@@ -1,0 +1,16 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual CPU mesh (the analog of the
+reference's DummyComm unit-testing strategy, but actually exercising
+collectives — see SURVEY.md §4 'Distributed testing without a cluster').
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
