@@ -1,0 +1,169 @@
+"""Batched on-device sampler — the analog of the reference's `Sampler`
+(`mistralrs-core/src/sampler.rs:282`: temperature, top-k/top-p/min-p,
+frequency/presence/repetition penalties, logit bias, on-device top-k paths
+`sampler.rs:964-1086`).
+
+TPU design: the whole batch samples in ONE jitted call with per-sequence
+parameter vectors — no per-sequence host loop. Top-k/top-p/min-p share a
+single descending sort (the analog of the CUDA `topk_logits` kernel); token
+history lives as a dense [B, V] count matrix so penalties are pure vector ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+@dataclass
+class SamplingParams:
+    """Per-request sampling configuration (host-side)."""
+
+    temperature: float = 1.0
+    top_k: int = 0  # 0 → disabled
+    top_p: float = 1.0
+    min_p: float = 0.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    seed: Optional[int] = None
+    logit_bias: dict[int, float] = field(default_factory=dict)
+    max_tokens: int = 512
+    stop_token_ids: tuple[int, ...] = ()
+    stop_strings: tuple[str, ...] = ()
+    n_logprobs: int = 0
+
+    @property
+    def is_greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
+@dataclass(frozen=True)
+class BatchSamplingState:
+    """Device-side per-batch-slot sampling state (a pytree)."""
+
+    temperature: jax.Array  # [B] f32 (0 → greedy)
+    top_k: jax.Array  # [B] i32 (0 → off)
+    top_p: jax.Array  # [B] f32
+    min_p: jax.Array  # [B] f32
+    frequency_penalty: jax.Array  # [B] f32
+    presence_penalty: jax.Array  # [B] f32
+    repetition_penalty: jax.Array  # [B] f32
+    counts: jax.Array  # [B, V] i32 token occurrence counts (context + generated)
+    logit_bias: jax.Array  # [B, V] f32
+
+
+jax.tree_util.register_dataclass(
+    BatchSamplingState,
+    data_fields=[
+        "temperature", "top_k", "top_p", "min_p", "frequency_penalty",
+        "presence_penalty", "repetition_penalty", "counts", "logit_bias",
+    ],
+    meta_fields=[],
+)
+
+
+def make_batch_state(
+    params: list[SamplingParams], vocab_size: int, prompt_ids: list[list[int]]
+) -> BatchSamplingState:
+    b = len(params)
+    counts = np.zeros((b, vocab_size), np.int32)
+    bias = np.zeros((b, vocab_size), np.float32)
+    for i, (p, toks) in enumerate(zip(params, prompt_ids)):
+        ids, c = np.unique(np.asarray(toks, np.int64), return_counts=True)
+        if ids.size:
+            counts[i, ids] = c
+        for tok, v in p.logit_bias.items():
+            if 0 <= tok < vocab_size:
+                bias[i, tok] = v
+    f = lambda attr: jnp.asarray([getattr(p, attr) for p in params], jnp.float32)
+    return BatchSamplingState(
+        temperature=f("temperature"),
+        top_k=jnp.asarray([p.top_k for p in params], jnp.int32),
+        top_p=f("top_p"),
+        min_p=f("min_p"),
+        frequency_penalty=f("frequency_penalty"),
+        presence_penalty=f("presence_penalty"),
+        repetition_penalty=f("repetition_penalty"),
+        counts=jnp.asarray(counts),
+        logit_bias=jnp.asarray(bias),
+    )
+
+
+@jax.jit
+def sample(
+    logits: jax.Array,  # [B, V] f32
+    state: BatchSamplingState,
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array, BatchSamplingState]:
+    """One sampling step. Returns (tokens [B], logprobs [B], updated state)."""
+    b, v = logits.shape
+    logits = logits.astype(jnp.float32) + state.logit_bias
+
+    # repetition penalty (divide positive / multiply negative where seen)
+    seen = state.counts > 0
+    rp = state.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, penalized, logits)
+
+    # frequency / presence penalties
+    logits = logits - state.counts.astype(jnp.float32) * state.frequency_penalty[:, None]
+    logits = logits - seen.astype(jnp.float32) * state.presence_penalty[:, None]
+
+    greedy = state.temperature <= 0.0
+    temp = jnp.where(greedy, 1.0, state.temperature)
+    scaled = logits / temp[:, None]
+
+    # one shared descending sort powers top-k, top-p and min-p
+    sorted_logits = -jnp.sort(-scaled, axis=-1)
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+
+    # top-k threshold value (k=0 → off)
+    k = jnp.where(state.top_k > 0, state.top_k, v)
+    kth_val = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)  # [B,1]
+
+    # top-p: smallest prefix with cumulative prob >= top_p; find the cutoff
+    # logit value = last sorted logit whose (cum - prob) < top_p
+    include = (cum - probs_sorted) < state.top_p[:, None]
+    # last included index per row
+    idx = jnp.sum(include.astype(jnp.int32), axis=-1) - 1
+    idx = jnp.clip(idx, 0, v - 1)
+    topp_val = jnp.take_along_axis(sorted_logits, idx[:, None], axis=-1)
+
+    # min-p: probability floor relative to the max prob
+    max_logit = sorted_logits[:, :1]
+    # keep tokens with prob >= min_p * max_prob ⇔ logit >= max_logit + log(min_p)
+    minp_val = max_logit + jnp.log(jnp.maximum(state.min_p[:, None], 1e-20))
+    minp_val = jnp.where(state.min_p[:, None] > 0, minp_val, -jnp.inf)
+
+    threshold = jnp.maximum(jnp.maximum(kth_val, topp_val), minp_val)
+    filtered = jnp.where(scaled >= threshold, scaled, NEG_INF)
+
+    sampled = jax.random.categorical(key, filtered, axis=-1)
+    argmax = jnp.argmax(logits, axis=-1)
+    tokens = jnp.where(greedy, argmax, sampled).astype(jnp.int32)
+
+    logprobs_all = jax.nn.log_softmax(logits, axis=-1)
+    logprobs = jnp.take_along_axis(logprobs_all, tokens[:, None], axis=-1)[:, 0]
+
+    counts = state.counts.at[jnp.arange(b), tokens].add(1)
+    new_state = BatchSamplingState(
+        temperature=state.temperature,
+        top_k=state.top_k,
+        top_p=state.top_p,
+        min_p=state.min_p,
+        frequency_penalty=state.frequency_penalty,
+        presence_penalty=state.presence_penalty,
+        repetition_penalty=state.repetition_penalty,
+        counts=counts,
+        logit_bias=state.logit_bias,
+    )
+    return tokens, logprobs, new_state

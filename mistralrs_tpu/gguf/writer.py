@@ -23,9 +23,26 @@ from .constants import (
 from .quants import quantize
 
 
+_NP_SCALAR_TYPES = {
+    np.uint8: GGUFValueType.UINT8,
+    np.int8: GGUFValueType.INT8,
+    np.uint16: GGUFValueType.UINT16,
+    np.int16: GGUFValueType.INT16,
+    np.uint32: GGUFValueType.UINT32,
+    np.int32: GGUFValueType.INT32,
+    np.uint64: GGUFValueType.UINT64,
+    np.int64: GGUFValueType.INT64,
+    np.float32: GGUFValueType.FLOAT32,
+    np.float64: GGUFValueType.FLOAT64,
+    np.bool_: GGUFValueType.BOOL,
+}
+
+
 def _infer_value_type(v: Any) -> GGUFValueType:
     if isinstance(v, bool):
         return GGUFValueType.BOOL
+    if type(v) in _NP_SCALAR_TYPES:
+        return _NP_SCALAR_TYPES[type(v)]
     if isinstance(v, int):
         return GGUFValueType.INT64 if v < 0 else GGUFValueType.UINT64
     if isinstance(v, float):

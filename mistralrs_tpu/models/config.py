@@ -1,0 +1,158 @@
+"""Model configuration — the analog of the reference's per-arch ``Config``
+structs (`mistralrs-core/src/models/*.rs`) plus its loader auto-detection
+(`pipeline/loaders/normal_loaders.rs:150`: HF `config.json` "architectures";
+`pipeline/gguf.rs`: GGUF metadata keys).
+
+One normalized dataclass covers the Llama superfamily (llama, mistral,
+qwen2/3, gemma2/3, phi3, mixtral, ...); arch-specific behavior is selected by
+``arch`` + feature fields rather than per-arch classes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class ModelConfig:
+    arch: str
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict[str, Any]] = None
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    hidden_act: str = "silu"
+    sliding_window: Optional[int] = None
+    # which layers use sliding window: None → all full attention;
+    # "every_other" (gemma2/3), or an explicit per-layer bool list
+    layer_types: Optional[list[str]] = None
+    logit_softcap: Optional[float] = None
+    attn_logit_softcap: Optional[float] = None
+    embedding_multiplier: Optional[float] = None  # gemma: sqrt(hidden)
+    qk_norm: bool = False  # qwen3/gemma3: per-head RMSNorm on q/k
+    # MoE (mixtral/qwen-moe): 0 experts → dense
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = False
+    # bookkeeping
+    bos_token_id: Optional[int] = None
+    eos_token_ids: tuple[int, ...] = ()
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+# HF "architectures"[0] → arch tag (subset of the reference's 26-entry
+# NormalLoaderType registry, normal_loaders.rs:207-231; grows with models/).
+HF_ARCH_MAP = {
+    "LlamaForCausalLM": "llama",
+    "MistralForCausalLM": "mistral",
+    "MixtralForCausalLM": "mixtral",
+    "Qwen2ForCausalLM": "qwen2",
+    "Qwen3ForCausalLM": "qwen3",
+    "Qwen3MoeForCausalLM": "qwen3moe",
+    "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
+    "Phi3ForCausalLM": "phi3",
+    "SmolLM3ForCausalLM": "smollm3",
+    "Starcoder2ForCausalLM": "starcoder2",
+}
+
+
+def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
+    """Build from a HF ``config.json`` dict (auto-detect like `auto.rs:352`)."""
+    archs = cfg.get("architectures") or []
+    arch = HF_ARCH_MAP.get(archs[0]) if archs else None
+    if arch is None:
+        model_type = cfg.get("model_type", "")
+        arch = model_type if model_type else "llama"
+    n_heads = cfg["num_attention_heads"]
+    head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
+    eos = cfg.get("eos_token_id")
+    if eos is None:
+        eos_ids: tuple[int, ...] = ()
+    elif isinstance(eos, int):
+        eos_ids = (eos,)
+    else:
+        eos_ids = tuple(eos)
+    return ModelConfig(
+        arch=arch,
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=n_heads,
+        num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+        head_dim=head_dim,
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        rope_scaling=cfg.get("rope_scaling"),
+        max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        attention_bias=cfg.get("attention_bias", False),
+        mlp_bias=cfg.get("mlp_bias", False),
+        hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
+        sliding_window=cfg.get("sliding_window"),
+        layer_types=cfg.get("layer_types"),
+        logit_softcap=cfg.get("final_logit_softcapping"),
+        attn_logit_softcap=cfg.get("attn_logit_softcapping"),
+        qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
+        num_experts=cfg.get("num_local_experts", cfg.get("num_experts", 0)) or 0,
+        num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
+        moe_intermediate_size=cfg.get("moe_intermediate_size"),
+        norm_topk_prob=cfg.get("norm_topk_prob", False),
+        bos_token_id=cfg.get("bos_token_id"),
+        eos_token_ids=eos_ids,
+    )
+
+
+def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
+    """Build from GGUF metadata (keys per the GGUF spec, `<arch>.` prefixed)."""
+    arch = md["general.architecture"]
+
+    def g(key: str, default=None):
+        return md.get(f"{arch}.{key}", default)
+
+    n_heads = g("attention.head_count")
+    hidden = g("embedding_length")
+    head_dim = g("attention.key_length") or hidden // n_heads
+    n_vocab = md.get("tokenizer.ggml.tokens")
+    vocab_size = g("vocab_size") or (len(n_vocab) if n_vocab is not None else None)
+    eos = md.get("tokenizer.ggml.eos_token_id")
+    return ModelConfig(
+        arch=arch,
+        vocab_size=vocab_size,
+        hidden_size=hidden,
+        intermediate_size=g("feed_forward_length"),
+        num_layers=g("block_count"),
+        num_heads=n_heads,
+        num_kv_heads=g("attention.head_count_kv", n_heads),
+        head_dim=head_dim,
+        rms_norm_eps=g("attention.layer_norm_rms_epsilon", 1e-5),
+        rope_theta=g("rope.freq_base", 10000.0),
+        max_position_embeddings=g("context_length", 4096),
+        sliding_window=g("attention.sliding_window"),
+        num_experts=g("expert_count", 0) or 0,
+        num_experts_per_tok=g("expert_used_count", 0) or 0,
+        moe_intermediate_size=g("expert_feed_forward_length"),
+        qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
+        bos_token_id=md.get("tokenizer.ggml.bos_token_id"),
+        eos_token_ids=(eos,) if eos is not None else (),
+    )

@@ -1,0 +1,230 @@
+"""HF safetensors → model weights loader (the analog of the reference's
+`NormalPipeline` load path: `mistralrs-core/src/pipeline/normal.rs:353` with
+`mistralrs-quant/src/safetensors.rs` mmap shard slicing).
+
+Loads a HF-format model directory (``config.json`` + ``*.safetensors``) into
+the stacked-layer pytree of :mod:`.llama`, optionally applying ISQ
+(in-situ quantization to a GGUF k-quant type) per tensor — the analog of the
+reference's ISQ flow (`pipeline/isq_flow/`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Any, Callable, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..quant.qtensor import QTensor
+from .config import ModelConfig, config_from_hf
+from .llama import layer_windows
+
+# tensors that stay dense regardless of ISQ (reference: "sensitive tensor
+# precision", docs/reference/quantization-types.md — norms stay fp; embeddings
+# and lm_head get a higher-precision quant, handled by the isq plan)
+_NORM_RE = re.compile(r"(norm|layernorm)", re.IGNORECASE)
+
+
+def load_safetensors_dir(path: str | os.PathLike) -> dict[str, np.ndarray]:
+    """mmap-load every ``*.safetensors`` shard in a directory."""
+    from safetensors import safe_open
+
+    tensors: dict[str, np.ndarray] = {}
+    files = sorted(Path(path).glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {path}")
+    for f in files:
+        with safe_open(str(f), framework="np") as st:
+            for name in st.keys():
+                tensors[name] = st.get_tensor(name)
+    return tensors
+
+
+# HF tensor name templates for the llama superfamily
+_HF_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm",
+    "self_attn.q_proj.weight": "wq",
+    "self_attn.k_proj.weight": "wk",
+    "self_attn.v_proj.weight": "wv",
+    "self_attn.o_proj.weight": "wo",
+    "self_attn.q_proj.bias": "wq_bias",
+    "self_attn.k_proj.bias": "wk_bias",
+    "self_attn.v_proj.bias": "wv_bias",
+    "self_attn.o_proj.bias": "wo_bias",
+    "self_attn.q_norm.weight": "q_norm",
+    "self_attn.k_norm.weight": "k_norm",
+    "post_attention_layernorm.weight": "ffn_norm",
+    "mlp.gate_proj.weight": "gate",
+    "mlp.up_proj.weight": "up",
+    "mlp.down_proj.weight": "down",
+    "pre_feedforward_layernorm.weight": "ffn_norm",  # gemma2/3
+    "post_feedforward_layernorm.weight": "post_ffn_norm",
+    "block_sparse_moe.gate.weight": "router",  # mixtral
+    "mlp.gate.weight": "router",  # qwen-moe
+}
+# gemma2/3 use post_attention_layernorm as the *post* norm and
+# pre_feedforward_layernorm as the pre-FFN norm; remap per-arch below.
+_GEMMA_LAYER_MAP = dict(_HF_LAYER_MAP)
+_GEMMA_LAYER_MAP["post_attention_layernorm.weight"] = "post_attn_norm"
+
+# phi3 fused projections → split at load
+_PHI3_FUSED = {
+    "self_attn.qkv_proj.weight": ("wq", "wk", "wv"),
+    "mlp.gate_up_proj.weight": ("gate", "up"),
+}
+
+
+def _quantize_tensor(w: np.ndarray, t: GGMLType) -> QTensor:
+    return QTensor.quantize(w.astype(np.float32), t)
+
+
+def default_isq_plan(
+    isq: Optional[GGMLType],
+) -> Callable[[str, tuple[int, ...]], Optional[GGMLType]]:
+    """Per-tensor quant-type resolution (the analog of
+    `pipeline/isq_flow/plan.rs`): norms/biases dense; embeddings & lm_head at
+    Q8_0 ("sensitive tensor precision"); everything else at ``isq``."""
+
+    def plan(name: str, shape: tuple[int, ...]) -> Optional[GGMLType]:
+        if isq is None:
+            return None
+        if len(shape) != 2 or _NORM_RE.search(name) or name.endswith("bias"):
+            return None
+        if shape[1] % 256 != 0:
+            return None  # k-quant superblocks need K % 256 == 0
+        if "embed" in name or "lm_head" in name:
+            return GGMLType.Q8_0
+        return isq
+
+    return plan
+
+
+def weights_from_state_dict(
+    sd: Mapping[str, np.ndarray],
+    cfg: ModelConfig,
+    *,
+    dtype=jnp.bfloat16,
+    isq: Optional[GGMLType] = None,
+    isq_plan: Optional[Callable[[str, tuple[int, ...]], Optional[GGMLType]]] = None,
+    num_threads: int = 8,
+) -> dict:
+    """Build the stacked-layer weights pytree from a HF state dict."""
+    plan = isq_plan or default_isq_plan(isq)
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    layer_map = _GEMMA_LAYER_MAP if cfg.arch.startswith("gemma") else _HF_LAYER_MAP
+
+    def get(name: str) -> Optional[np.ndarray]:
+        return sd.get(prefix + name)
+
+    # collect per-layer dense tensors first
+    per_layer: dict[str, list[np.ndarray]] = {}
+
+    def add(key: str, i: int, arr: np.ndarray):
+        per_layer.setdefault(key, [None] * cfg.num_layers)[i] = arr
+
+    for i in range(cfg.num_layers):
+        lp = f"layers.{i}."
+        for suffix, key in layer_map.items():
+            arr = get(lp + suffix)
+            if arr is not None:
+                add(key, i, arr)
+        for suffix, keys in _PHI3_FUSED.items():
+            arr = get(lp + suffix)
+            if arr is not None:
+                if len(keys) == 3:
+                    qd, kvd = cfg.q_dim, cfg.kv_dim
+                    add("wq", i, arr[:qd])
+                    add("wk", i, arr[qd : qd + kvd])
+                    add("wv", i, arr[qd + kvd :])
+                else:
+                    half = arr.shape[0] // 2
+                    add("gate", i, arr[:half])
+                    add("up", i, arr[half:])
+        # MoE experts (mixtral: block_sparse_moe.experts.N.w1/w3/w2;
+        # qwen-moe: mlp.experts.N.gate_proj/up_proj/down_proj)
+        for e in range(cfg.num_experts):
+            for hf_names, key in (
+                (("block_sparse_moe.experts.%d.w1.weight", "mlp.experts.%d.gate_proj.weight"), "exp_gate"),
+                (("block_sparse_moe.experts.%d.w3.weight", "mlp.experts.%d.up_proj.weight"), "exp_up"),
+                (("block_sparse_moe.experts.%d.w2.weight", "mlp.experts.%d.down_proj.weight"), "exp_down"),
+            ):
+                for hf_name in hf_names:
+                    arr = get(lp + hf_name % e)
+                    if arr is not None:
+                        per_layer.setdefault(key, [None] * (cfg.num_layers * cfg.num_experts))[
+                            i * cfg.num_experts + e
+                        ] = arr
+
+    def build_stacked(key: str, tensors: list[np.ndarray]):
+        name = f"layers.{key}"
+        t = plan(name, tensors[0].shape)
+        if t is None:
+            return jnp.asarray(np.stack(tensors), dtype)
+        with ThreadPoolExecutor(num_threads) as ex:
+            qts = list(ex.map(lambda w: _quantize_tensor(w, t), tensors))
+        import jax
+
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
+
+    layers: dict[str, Any] = {}
+    for key, tensors in per_layer.items():
+        if key.startswith("exp_"):
+            continue
+        if any(x is None for x in tensors):
+            missing = [i for i, x in enumerate(tensors) if x is None]
+            raise ValueError(f"{key}: missing layers {missing}")
+        layers[key] = build_stacked(key, tensors)
+
+    if "exp_gate" in per_layer:
+        import jax
+
+        experts: dict[str, Any] = {}
+        for key, out_key in (("exp_gate", "gate"), ("exp_up", "up"), ("exp_down", "down")):
+            tensors = per_layer[key]
+            per_l = [
+                build_stacked(key, tensors[l * cfg.num_experts : (l + 1) * cfg.num_experts])
+                for l in range(cfg.num_layers)
+            ]
+            experts[out_key] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_l)
+        layers["experts"] = experts
+
+    embed = get("embed_tokens.weight")
+    lm_head = sd.get("lm_head.weight")
+
+    def maybe_quant(name: str, arr: Optional[np.ndarray]):
+        if arr is None:
+            return None
+        t = plan(name, arr.shape)
+        if t is None:
+            return jnp.asarray(arr, dtype)
+        return _quantize_tensor(arr, t)
+
+    return {
+        "embed": maybe_quant("embed_tokens", embed),
+        "layers": layers,
+        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+        "lm_head": maybe_quant("lm_head", lm_head),
+        "layer_windows": jnp.asarray(layer_windows(cfg)),
+    }
+
+
+def load_hf_model(
+    path: str | os.PathLike,
+    *,
+    dtype=jnp.bfloat16,
+    isq: Optional[GGMLType] = None,
+) -> tuple[ModelConfig, dict, dict[str, Any]]:
+    """Load a HF model directory. Returns (config, weights, config-dict)."""
+    path = Path(path)
+    with open(path / "config.json") as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg)
+    sd = load_safetensors_dir(path)
+    weights = weights_from_state_dict(sd, cfg, dtype=dtype, isq=isq)
+    return cfg, weights, hf_cfg

@@ -1,0 +1,317 @@
+"""Fused dequant + matmul — the TPU analog of the reference's quantized GEMM
+kernel families (MMQ/MMVQ `mistralrs-quant/kernels/mmq_gguf/`, Marlin
+`kernels/marlin/`, packed-affine `kernels/gguf_affine_packed/`).
+
+Design (see `/opt/skills/guides/pallas_guide.md`):
+
+* Weights live in HBM as K-major integer codes (half the bytes of bf16 for
+  4-bit). A code tile ``[TK, TN]`` is DMA'd to VMEM, dequantized at VPU speed
+  (scale expansion is a *sublane* broadcast — no lane shuffles), and fed
+  straight to the MXU as the canonical ``x[TM, TK] @ w[TK, TN]`` contraction.
+  Dequantized weights never touch HBM. Decode (small M) is HBM-bound and wins
+  by the packing ratio; prefill (large M) runs at bf16 MXU speed.
+* Split-half nibble packing (see ``quant/qtensor.py``) unpacks into two
+  full-width ``[TK, TN]`` planes (``byte & 15``, ``byte >> 4``) that dot
+  against the matching halves of ``x``.
+* Grid is ``(M-tiles, N-tiles, K-tiles)`` with K innermost; partials
+  accumulate in an f32 VMEM scratch, written once on the last K step.
+
+The XLA path (`_matmul_xla`) is the numeric reference: dequantize fully, then
+matmul. Tests assert the Pallas kernels match it on CPU via interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.qtensor import QTensor
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+def _matmul_xla(x: jax.Array, qt: QTensor, dequant_dtype) -> jax.Array:
+    w = qt.dequantize(dequant_dtype)  # [N, K]
+    return jax.lax.dot_general(
+        x.astype(dequant_dtype),
+        w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _dequant(codes_i32, s_ref, b_ref, group_size, dequant_dtype):
+    """codes [TK, TN] + scales [gpt, TN] → dequantized weights [TK, TN]."""
+    s = jnp.repeat(s_ref[...].reshape(-1, s_ref.shape[-1]), group_size, axis=0)
+    w = codes_i32.astype(jnp.float32) * s
+    if b_ref is not None:
+        b = jnp.repeat(b_ref[...].reshape(-1, b_ref.shape[-1]), group_size, axis=0)
+        w = w + b
+    return w.astype(dequant_dtype)
+
+
+_DN = (((1,), (0,)), ((), ()))  # x[TM, TK] @ w[TK, TN]
+
+
+def _w4_kernel(
+    x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, b_lo_ref, b_hi_ref,
+    o_ref, acc_ref, *, group_size, dequant_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[...].astype(jnp.int32) & 0xFF
+    w_lo = _dequant(p & 15, s_lo_ref, b_lo_ref, group_size, dequant_dtype)
+    w_hi = _dequant(p >> 4, s_hi_ref, b_hi_ref, group_size, dequant_dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_lo_ref[...], w_lo, _DN, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(x_hi_ref[...], w_hi, _DN, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _w8_kernel(
+    x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref, *, group_size, dequant_dtype, signed,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...].astype(jnp.int32)
+    if not signed:
+        q = q & 0xFF
+    w = _dequant(q, s_ref, b_ref, group_size, dequant_dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, _DN, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _pick_tiles(m: int, n: int, k_store: int, group_size: int):
+    """(TM, TN, TK): TK in *stored*-K units (packed bytes for w4).
+
+    Mosaic constraint: the scale block (gpt, TN) needs gpt = TK/gs ≥ 8 (or the
+    whole G dim); TK must divide the stored K.
+    """
+    tm = min(_round_up(m, 16), 256)
+    tn = 256 if n % 256 == 0 else 128
+    tk = 512
+    while tk > group_size and k_store % tk != 0:
+        tk //= 2
+    if k_store % tk != 0 or (tk // group_size) < 8:
+        tk = k_store  # single K step: scale block covers the full G dim
+    return tm, tn, tk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "dequant_dtype", "out_dtype", "interpret"),
+)
+def _w4_matmul(
+    x, packed, scale, bias, *, group_size, dequant_dtype, out_dtype, interpret
+):
+    m, k = x.shape
+    k2, n = packed.shape
+    tm, tn, tk = _pick_tiles(m, n, k2, group_size)
+    mp = _round_up(m, tm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    grid = (mp // tm, _cdiv(n, tn), k2 // tk)
+    gpt = tk // group_size
+    khalf = k2 // tk  # K tiles per half
+    g2 = scale.shape[0] // 2
+
+    # scales viewed as [2, G/2, N]: plane 0 = low-nibble half, 1 = high half
+    scale3 = scale.reshape(2, g2, n)
+    bias3 = None if bias is None else bias.reshape(2, g2, n)
+
+    x_lo_spec = pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM)
+    x_hi_spec = pl.BlockSpec(
+        (tm, tk), lambda i, j, kk: (i, khalf + kk), memory_space=pltpu.VMEM
+    )
+    p_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM)
+    s_lo_spec = pl.BlockSpec(
+        (1, gpt, tn), lambda i, j, kk: (0, kk, j), memory_space=pltpu.VMEM
+    )
+    s_hi_spec = pl.BlockSpec(
+        (1, gpt, tn), lambda i, j, kk: (1, kk, j), memory_space=pltpu.VMEM
+    )
+
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            x_lo, x_hi, p, s_lo, s_hi, b_lo, b_hi, o, acc = refs
+        else:
+            x_lo, x_hi, p, s_lo, s_hi, o, acc = refs
+            b_lo = b_hi = None
+        _w4_kernel(
+            x_lo, x_hi, p, s_lo, s_hi, b_lo, b_hi, o, acc,
+            group_size=group_size, dequant_dtype=dequant_dtype,
+        )
+
+    in_specs = [x_lo_spec, x_hi_spec, p_spec, s_lo_spec, s_hi_spec]
+    args = [x, x, packed, scale3, scale3]
+    if has_bias:
+        in_specs += [s_lo_spec, s_hi_spec]
+        args += [bias3, bias3]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * n * k2,
+            bytes_accessed=n * k2 + 2 * scale.size * 4 + mp * k2 * 2 * 2 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:m] if mp != m else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "dequant_dtype", "out_dtype", "signed", "interpret"),
+)
+def _w8_matmul(
+    x, codes, scale, bias, *, group_size, dequant_dtype, out_dtype, signed, interpret
+):
+    m, k = x.shape
+    _, n = codes.shape
+    tm, tn, tk = _pick_tiles(m, n, k, group_size)
+    mp = _round_up(m, tm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    grid = (mp // tm, _cdiv(n, tn), k // tk)
+    gpt = tk // group_size
+
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref = refs
+        else:
+            x_ref, q_ref, s_ref, o_ref, acc_ref = refs
+            b_ref = None
+        _w8_kernel(
+            x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref,
+            group_size=group_size, dequant_dtype=dequant_dtype, signed=signed,
+        )
+
+    s_spec = pl.BlockSpec((gpt, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        s_spec,
+    ]
+    args = [x, codes, scale]
+    if has_bias:
+        in_specs.append(s_spec)
+        args.append(bias)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=n * k + scale.size * 4 + mp * k * 2 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:m] if mp != m else out
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def _default_backend() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def quant_matmul(
+    x: jax.Array,
+    qt: QTensor,
+    *,
+    out_dtype=None,
+    dequant_dtype=jnp.bfloat16,
+    backend: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compute ``x @ w.T`` for quantized ``w = [N, K]``; ``x`` is ``[..., K]``.
+
+    Accumulation is always f32 on the MXU; ``dequant_dtype`` is the precision
+    weights are dequantized to in VMEM (bf16 = MXU-native).
+    """
+    if backend is None:
+        backend = _default_backend()
+    out_dtype = out_dtype or x.dtype
+    *batch, k = x.shape
+    n = qt.out_features
+    if k != qt.in_features:
+        raise ValueError(f"x K={k} != weight K={qt.in_features}")
+    if backend == "xla":
+        return _matmul_xla(x, qt, dequant_dtype).astype(out_dtype)
+
+    x2 = x.reshape(-1, k).astype(dequant_dtype)
+    if qt.packed:
+        out = _w4_matmul(
+            x2, qt.data, qt.scale, qt.bias,
+            group_size=qt.group_size, dequant_dtype=dequant_dtype,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+    else:
+        signed = qt.data.dtype == jnp.int8
+        out = _w8_matmul(
+            x2, qt.data, qt.scale, qt.bias,
+            group_size=qt.group_size, dequant_dtype=dequant_dtype,
+            out_dtype=out_dtype, signed=signed, interpret=interpret,
+        )
+    return out.reshape(*batch, n)

@@ -1,0 +1,123 @@
+"""Rotary position embeddings — the RoPE family of the reference
+(`mistralrs-core/src/layers.rs:628-657`: standard, Llama3, YaRN/LongRope).
+
+Convention: HF ``rotate_half`` (first half / second half pairing). GGUF
+checkpoints converted from HF are un-permuted back to this convention at load
+(see `models/gguf_loader.py`), so a single RoPE implementation serves both
+weight sources.
+
+Frequencies are computed in f32 once per (pos, head_dim) and applied as a
+fused elementwise op; XLA folds this into the attention chain.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_frequencies(
+    head_dim: int,
+    theta: float = 10000.0,
+    scaling: Optional[dict[str, Any]] = None,
+) -> jax.Array:
+    """Per-pair inverse frequencies [head_dim // 2], with optional scaling.
+
+    ``scaling`` follows the HF ``rope_scaling`` config dict:
+      - {"rope_type"/"type": "linear", "factor": f}
+      - {"rope_type": "llama3", "factor", "low_freq_factor", "high_freq_factor",
+         "original_max_position_embeddings"}
+      - {"rope_type": "yarn", "factor", "original_max_position_embeddings",
+         ["beta_fast"], ["beta_slow"]}
+    """
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    if not scaling:
+        return inv_freq
+    kind = scaling.get("rope_type") or scaling.get("type") or "default"
+    if kind in ("default", "none"):
+        return inv_freq
+    if kind == "linear":
+        return inv_freq / float(scaling["factor"])
+    if kind == "llama3":
+        factor = float(scaling["factor"])
+        low = float(scaling.get("low_freq_factor", 1.0))
+        high = float(scaling.get("high_freq_factor", 4.0))
+        orig = float(scaling.get("original_max_position_embeddings", 8192))
+        wavelen = 2.0 * math.pi / inv_freq
+        low_wl = orig / low
+        high_wl = orig / high
+        smooth = (orig / wavelen - low) / (high - low)
+        scaled = jnp.where(
+            wavelen > low_wl,
+            inv_freq / factor,
+            jnp.where(
+                wavelen < high_wl,
+                inv_freq,
+                (1 - smooth) * inv_freq / factor + smooth * inv_freq,
+            ),
+        )
+        return scaled
+    if kind == "yarn":
+        factor = float(scaling["factor"])
+        orig = float(scaling.get("original_max_position_embeddings", 4096))
+        beta_fast = float(scaling.get("beta_fast", 32.0))
+        beta_slow = float(scaling.get("beta_slow", 1.0))
+
+        def correction_dim(num_rot: float) -> float:
+            return (head_dim * math.log(orig / (num_rot * 2 * math.pi))) / (
+                2 * math.log(theta)
+            )
+
+        low = math.floor(correction_dim(beta_fast))
+        high = math.ceil(correction_dim(beta_slow))
+        low, high = max(low, 0), min(high, head_dim - 1)
+        dims = jnp.arange(head_dim // 2, dtype=jnp.float32)
+        ramp = jnp.clip((dims - low) / max(high - low, 1e-3), 0.0, 1.0)
+        mask = 1.0 - ramp  # 1 → interpolate (low freq), 0 → extrapolate
+        return inv_freq / factor * mask + inv_freq * (1.0 - mask)
+    raise NotImplementedError(f"rope scaling type {kind!r}")
+
+
+def yarn_attention_factor(scaling: Optional[dict[str, Any]]) -> float:
+    """YaRN mscale applied to attention logits (1.0 when not using YaRN)."""
+    if not scaling:
+        return 1.0
+    kind = scaling.get("rope_type") or scaling.get("type")
+    if kind != "yarn":
+        return 1.0
+    factor = float(scaling["factor"])
+    if factor <= 1.0:
+        return 1.0
+    return 0.1 * math.log(factor) + 1.0
+
+
+def rope_cos_sin(
+    positions: jax.Array, inv_freq: jax.Array, dtype=jnp.float32
+) -> tuple[jax.Array, jax.Array]:
+    """positions [...,] int32 -> (cos, sin) each [..., head_dim//2]."""
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def apply_rope(
+    x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> jax.Array:
+    """Apply rotate-half RoPE.
+
+    x: [..., n_heads, head_dim]; cos/sin: broadcastable to [..., 1, head_dim//2]
+    (i.e. computed from positions of shape x.shape[:-2]).
+    """
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    dtype = x.dtype
+    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = x1f * cos - x2f * sin
+    out2 = x2f * cos + x1f * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(dtype)

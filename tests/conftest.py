@@ -7,10 +7,17 @@ collectives — see SURVEY.md §4 'Distributed testing without a cluster').
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu" via
+# jax.config at interpreter start, overriding JAX_PLATFORMS. Re-override it
+# before any backend initializes so tests run on the virtual 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

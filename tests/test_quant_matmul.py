@@ -1,0 +1,110 @@
+"""Planar decomposition + fused dequant-matmul correctness.
+
+Validates the whole quantized compute chain against the bit-exact numpy
+dequant reference (`gguf/quants.py`):
+  GGUF bytes -> PlanarQuant -> QTensor -> dequantize / quant_matmul
+mirroring the reference's CPU-reference-in-test kernel strategy
+(`mistralrs-quant/tests/cutlass_moe_tests.rs:23-50`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mistralrs_tpu.gguf import GGMLType, dequantize, quantize, row_byte_size
+from mistralrs_tpu.gguf.planar import PLANAR_TYPES, to_planar
+from mistralrs_tpu.ops import quant_matmul
+from mistralrs_tpu.quant import QTensor
+
+ALL_TYPES = sorted(PLANAR_TYPES, key=lambda t: t.value)
+
+
+def _random_raw(t: GGMLType, n: int, k: int, seed: int = 0) -> np.ndarray:
+    """Random raw GGUF bytes for an [n, k] tensor (round-trip via quantize)."""
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n, k), dtype=np.float32)
+    try:
+        return quantize(w, t)
+    except NotImplementedError:
+        # formats we can read but not write: synthesize raw bytes directly
+        raw = rng.integers(0, 256, size=row_byte_size(t, n * k), dtype=np.uint8)
+        return raw
+
+
+@pytest.mark.parametrize("t", ALL_TYPES, ids=lambda t: t.name)
+def test_planar_matches_dequant(t):
+    n, k = 4, 512
+    raw = _random_raw(t, n, k)
+    ref = dequantize(raw, t, (n, k))
+    planar = to_planar(raw, t)
+    np.testing.assert_array_equal(planar.dequantize().reshape(n, k), ref)
+
+
+@pytest.mark.parametrize("t", ALL_TYPES, ids=lambda t: t.name)
+def test_qtensor_dequant_exact(t):
+    n, k = 4, 512
+    raw = _random_raw(t, n, k)
+    ref = dequantize(raw, t, (n, k))
+    qt = QTensor.from_gguf_raw(raw, t, (n, k))
+    got = np.asarray(qt.dequantize(jnp.float32))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q6_K, GGMLType.Q4_0])
+def test_xla_matmul_matches_numpy(t):
+    n, k, m = 8, 512, 3
+    raw = _random_raw(t, n, k)
+    w = dequantize(raw, t, (n, k))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((m, k), dtype=np.float32)
+    qt = QTensor.from_gguf_raw(raw, t, (n, k))
+    got = np.asarray(
+        quant_matmul(jnp.asarray(x), qt, backend="xla", dequant_dtype=jnp.float32,
+                     out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, x @ w.T, rtol=1e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q8_0, GGMLType.Q6_K, GGMLType.Q4_0]
+)
+@pytest.mark.parametrize("m", [1, 16])
+def test_pallas_matmul_matches_xla(t, m):
+    n, k = 256, 512
+    raw = _random_raw(t, n, k)
+    qt = QTensor.from_gguf_raw(raw, t, (n, k))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32) * 0.1, jnp.bfloat16)
+    ref = quant_matmul(x, qt, backend="xla", out_dtype=jnp.float32)
+    got = quant_matmul(x, qt, backend="pallas", interpret=True, out_dtype=jnp.float32)
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_pallas_batch_dims():
+    t = GGMLType.Q4_K
+    n, k = 256, 512
+    raw = _random_raw(t, n, k)
+    qt = QTensor.from_gguf_raw(raw, t, (n, k))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 5, k), dtype=np.float32), jnp.bfloat16)
+    got = quant_matmul(x, qt, backend="pallas", interpret=True)
+    ref = quant_matmul(x, qt, backend="xla")
+    assert got.shape == (2, 5, n)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_isq_roundtrip_quality():
+    """ISQ (quantize-from-float) keeps relative error within format bounds."""
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((16, 512), dtype=np.float32)
+    for t, max_rel in [(GGMLType.Q8_0, 0.01), (GGMLType.Q4_K, 0.08), (GGMLType.Q6_K, 0.02)]:
+        qt = QTensor.quantize(w, t)
+        deq = np.asarray(qt.dequantize())
+        rel = np.abs(deq - w).mean() / np.abs(w).mean()
+        assert rel < max_rel, (t, rel)
