@@ -1,0 +1,363 @@
+"""The serving engine: continuous batching over the paged KV cache.
+
+The analog of `Engine::run` (`mistralrs-core/src/engine/mod.rs:423`) +
+`Pipeline::step` (`pipeline/mod.rs:1314`), re-designed for XLA's compilation
+model:
+
+* Decode runs with a **fixed slot batch** [max_batch] — one compiled
+  executable for the whole serving lifetime (the analog of CUDA-graph
+  capture keyed by batch shape, `cuda_graph.rs:666`). Empty slots carry
+  dummy tokens whose KV writes are dropped (slot −1).
+* Prefill runs per-sequence in bucketed chunk lengths (static shapes,
+  cached executables per bucket).
+* Block tables are bucketed in width and passed per step; sampling state
+  (penalty counts, per-slot params) lives on device and is updated in-graph.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..generate import _freeze
+from ..kv.manager import KVCacheManager
+from ..kv.paged import PagedKVCache
+from ..models.config import ModelConfig
+from ..models.llama import forward_paged
+from .sampler import BatchSamplingState, SamplingParams, sample
+from .scheduler import Scheduler, SchedulerOutput
+from .sequence import Sequence, SequenceState, StopReason
+
+_PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket(n: int, buckets=_PREFILL_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
+                kv_lens, block_size, backend, compute_dtype):
+    return forward_paged(
+        weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
+        block_size=block_size, backend=backend, logits_last_only=True,
+        compute_dtype=compute_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
+               kv_lens, samp_state, key, block_size, backend, compute_dtype):
+    logits, cache = forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, block_tables,
+        slot_map[:, None], kv_lens, block_size=block_size, backend=backend,
+        logits_last_only=True, compute_dtype=compute_dtype,
+    )
+    new_tokens, logprobs, samp_state = sample(logits[:, -1], samp_state, key)
+    return new_tokens, logprobs, cache, samp_state
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _admit_slot(state: BatchSamplingState, slot, scalars, counts_row, bias_row):
+    (temp, tk, tp, mp, fp, pp, rp) = scalars
+    return BatchSamplingState(
+        temperature=state.temperature.at[slot].set(temp),
+        top_k=state.top_k.at[slot].set(tk),
+        top_p=state.top_p.at[slot].set(tp),
+        min_p=state.min_p.at[slot].set(mp),
+        frequency_penalty=state.frequency_penalty.at[slot].set(fp),
+        presence_penalty=state.presence_penalty.at[slot].set(pp),
+        repetition_penalty=state.repetition_penalty.at[slot].set(rp),
+        counts=state.counts.at[slot].set(counts_row),
+        logit_bias=state.logit_bias.at[slot].set(bias_row),
+    )
+
+
+class Engine:
+    """Single-model serving engine (synchronous step loop; the async server
+    drives it from an executor thread)."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        weights: dict,
+        *,
+        num_blocks: int = 512,
+        block_size: int = 16,
+        max_batch: int = 8,
+        max_model_len: Optional[int] = None,
+        prefill_chunk: int = 512,
+        backend: Optional[str] = None,
+        compute_dtype=jnp.bfloat16,
+        kv_quant: Optional[str] = None,
+        enable_prefix_caching: bool = True,
+        tokenizer=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self._fcfg = _freeze(cfg)
+        self.weights = weights
+        self.block_size = block_size
+        self.max_batch = max_batch
+        self.max_model_len = max_model_len or cfg.max_position_embeddings
+        self.backend = backend
+        self.compute_dtype = compute_dtype
+        self.tokenizer = tokenizer
+        self.kv = KVCacheManager(num_blocks, block_size, enable_prefix_caching)
+        self.scheduler = Scheduler(self.kv, max_batch, prefill_chunk)
+        self.cache = PagedKVCache.create(
+            cfg, num_blocks, block_size, dtype=compute_dtype, kv_quant=kv_quant
+        )
+        self.samp_state = BatchSamplingState(
+            temperature=jnp.zeros((max_batch,), jnp.float32),
+            top_k=jnp.zeros((max_batch,), jnp.int32),
+            top_p=jnp.ones((max_batch,), jnp.float32),
+            min_p=jnp.zeros((max_batch,), jnp.float32),
+            frequency_penalty=jnp.zeros((max_batch,), jnp.float32),
+            presence_penalty=jnp.zeros((max_batch,), jnp.float32),
+            repetition_penalty=jnp.ones((max_batch,), jnp.float32),
+            counts=jnp.zeros((max_batch, cfg.vocab_size), jnp.int32),
+            logit_bias=jnp.zeros((max_batch, cfg.vocab_size), jnp.float32),
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self._req_counter = itertools.count()
+        self._slot_seq: list[Optional[Sequence]] = [None] * max_batch
+        # stats (the analog of engine/logger.rs IntervalLogger)
+        self.stats = {
+            "prompt_tokens": 0, "generated_tokens": 0, "preemptions": 0,
+            "prefix_cache_hit_tokens": 0, "steps": 0,
+        }
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def add_request(
+        self,
+        prompt_ids: list[int],
+        params: Optional[SamplingParams] = None,
+        request_id: Optional[str] = None,
+        on_tokens=None,
+        priority: int = 0,
+    ) -> Sequence:
+        params = params or SamplingParams()
+        if len(prompt_ids) >= self.max_model_len:
+            raise ValueError(
+                f"prompt length {len(prompt_ids)} ≥ max_model_len {self.max_model_len}"
+            )
+        seq = Sequence(
+            request_id=request_id or f"req-{next(self._req_counter)}",
+            prompt_ids=list(prompt_ids),
+            params=params,
+            on_tokens=on_tokens,
+            priority=priority,
+        )
+        self.scheduler.add(seq)
+        return seq
+
+    def abort(self, request_id: str) -> None:
+        seq = self.scheduler.abort(request_id)
+        if seq is not None and seq.slot is not None:
+            self._slot_seq[seq.slot] = None
+
+    # -- stepping ------------------------------------------------------------
+
+    @property
+    def has_work(self) -> bool:
+        return self.scheduler.has_work
+
+    def step(self) -> list[Sequence]:
+        """Run one engine step. Returns sequences that finished this step."""
+        out = self.scheduler.schedule()
+        self.stats["steps"] += 1
+        self.stats["preemptions"] = self.scheduler.num_preemptions
+        for seq in out.preempted:
+            if seq.slot is not None:
+                self._slot_seq[seq.slot] = None
+        if out.is_empty:
+            return []
+        if out.prefill is not None:
+            self._run_prefill(out.prefill)
+            return []
+        return self._run_decode(out.decode)
+
+    def run_to_completion(self) -> list[Sequence]:
+        """Drain all queued work (batch/offline mode)."""
+        finished = []
+        while self.has_work:
+            finished.extend(self.step())
+        return finished
+
+    # -- internals -----------------------------------------------------------
+
+    def _max_blocks_bucket(self) -> int:
+        hard_max = -(-self.max_model_len // self.block_size)
+        longest = 1
+        for s in self.scheduler.running:
+            longest = max(longest, len(self.kv.block_table(s.request_id)))
+        b = 32
+        while b < longest:
+            b *= 2
+        return min(b, hard_max) if hard_max >= 32 else hard_max
+
+    def _block_table_array(self, seqs: list[Sequence], width: int) -> np.ndarray:
+        bt = np.zeros((len(seqs), width), np.int32)
+        for i, s in enumerate(seqs):
+            ids = self.kv.block_table(s.request_id)[:width]
+            bt[i, : len(ids)] = ids
+        return bt
+
+    def _run_prefill(self, sp) -> None:
+        seq = sp.seq
+        ids = seq.prompt_ids[sp.start : sp.start + sp.length]
+        t = _bucket(sp.length)
+        ids_arr = np.zeros((1, t), np.int32)
+        ids_arr[0, : sp.length] = ids
+        positions = np.zeros((1, t), np.int32)
+        positions[0, : sp.length] = np.arange(sp.start, sp.start + sp.length)
+        slot_map = np.full((1, t), -1, np.int64)
+        slot_map[0, : sp.length] = self.kv.slot_mapping(
+            seq.request_id, sp.start, sp.length
+        )
+        width = max(32, self._max_blocks_bucket())
+        bt = np.zeros((1, width), np.int32)
+        table = self.kv.block_table(seq.request_id)[:width]
+        bt[0, : len(table)] = table
+        kv_lens = np.asarray([sp.start + sp.length], np.int32)
+        # positions beyond the chunk are masked by kv_len/causality; the last
+        # VALID token's logits are what we need → roll so it lands last? No:
+        # logits_last_only takes index −1, so place the chunk at the END pad?
+        # Simpler: take full logits and index. Use logits_last_only=False for
+        # the final chunk only when padded.
+        logits, self.cache = _prefill_fn(
+            self.weights, self._fcfg, jnp.asarray(ids_arr), jnp.asarray(positions),
+            self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+            jnp.asarray(kv_lens), self.block_size, self.backend, self.compute_dtype,
+        )
+        self.stats["prompt_tokens"] += sp.length
+        self.stats["prefix_cache_hit_tokens"] += sp.cached
+        self.kv.publish_full_blocks(seq.request_id, sp.start + sp.length)
+
+        if sp.start + sp.length >= seq.prompt_len:
+            # prompt done — sequence joined the decode batch in the scheduler
+            slot = seq.slot
+            self._slot_seq[slot] = seq
+            counts = np.zeros((self.cfg.vocab_size,), np.int32)
+            uniq, c = np.unique(np.asarray(seq.prompt_ids, np.int64), return_counts=True)
+            counts[uniq] = c
+            bias = np.zeros((self.cfg.vocab_size,), np.float32)
+            for tok, val in seq.params.logit_bias.items():
+                if 0 <= tok < self.cfg.vocab_size:
+                    bias[tok] = val
+            p = seq.params
+            scalars = tuple(
+                jnp.asarray(v, jnp.float32 if i != 1 else jnp.int32)
+                for i, v in enumerate(
+                    (p.temperature, p.top_k, p.top_p, p.min_p,
+                     p.frequency_penalty, p.presence_penalty, p.repetition_penalty)
+                )
+            )
+            self.samp_state = _admit_slot(
+                self.samp_state, slot, scalars, jnp.asarray(counts), jnp.asarray(bias)
+            )
+            self._emit_first_token(seq, logits)
+
+    def _emit_first_token(self, seq: Sequence, logits) -> None:
+        # logits_last_only returned the PADDED last position; recompute from
+        # the valid position instead: we passed padded ids, so take care to
+        # only use this when padding is absent. To keep one executable, the
+        # prefill fn returns last-only logits of the padded chunk — the pad
+        # tokens attend causally to the real prompt (their KV is dropped via
+        # slot −1) so the LAST PAD position's logits equal the logits of the
+        # final real token only when there is no pad. We therefore re-run
+        # sampling on the decode path instead: mark the first decode step to
+        # consume the prompt's last token.
+        seq._needs_bootstrap = True  # type: ignore[attr-defined]
+
+    def _run_decode(self, seqs: list[Sequence]) -> list[Sequence]:
+        b = self.max_batch
+        tokens = np.zeros((b,), np.int32)
+        positions = np.zeros((b,), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        slot_map = np.full((b,), -1, np.int64)
+        width = self._max_blocks_bucket()
+        bt = np.zeros((b, width), np.int32)
+        active = [None] * b
+        for seq in seqs:
+            s = seq.slot
+            active[s] = seq
+            # the token whose logits we need next: last prompt token if no
+            # output yet (bootstrap), else the last generated token
+            tokens[s] = seq.all_ids[-1]
+            pos = seq.total_len - 1
+            positions[s] = pos
+            kv_lens[s] = pos + 1
+            if getattr(seq, "_needs_bootstrap", False):
+                # last prompt token's KV was already written during prefill →
+                # drop the rewrite
+                slot_map[s] = -1
+            else:
+                slot_map[s] = self.kv.slot_mapping(seq.request_id, pos, 1)[0]
+            table = self.kv.block_table(seq.request_id)[:width]
+            bt[s, : len(table)] = table
+
+        self._key, sub = jax.random.split(self._key)
+        new_tokens, logprobs, self.cache, self.samp_state = _decode_fn(
+            self.weights, self._fcfg, jnp.asarray(tokens), jnp.asarray(positions),
+            self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+            jnp.asarray(kv_lens), self.samp_state, sub,
+            self.block_size, self.backend, self.compute_dtype,
+        )
+        new_tokens = np.asarray(new_tokens)
+        logprobs = np.asarray(logprobs)
+
+        finished: list[Sequence] = []
+        for seq in seqs:
+            s = seq.slot
+            if getattr(seq, "_needs_bootstrap", False):
+                seq._needs_bootstrap = False  # type: ignore[attr-defined]
+                if seq.first_token_time is None:
+                    seq.first_token_time = time.monotonic()
+            tok = int(new_tokens[s])
+            seq.output_ids.append(tok)
+            seq.output_logprobs.append(float(logprobs[s]))
+            self.stats["generated_tokens"] += 1
+            self.kv.extend_hashes(seq.request_id, seq.all_ids)
+            self.kv.publish_full_blocks(seq.request_id, seq.total_len)
+            reason = self._check_stop(seq, tok)
+            if seq.on_tokens is not None:
+                seq.on_tokens([tok], reason is not None)
+            if reason is not None:
+                seq.finish(reason)
+                self.scheduler.release(seq)
+                self._slot_seq[s] = None
+                finished.append(seq)
+        return finished
+
+    def _check_stop(self, seq: Sequence, tok: int) -> Optional[StopReason]:
+        p = seq.params
+        if tok in p.stop_token_ids:
+            return StopReason.STOP_TOKEN
+        if tok in self.cfg.eos_token_ids:
+            return StopReason.EOS
+        if seq.num_generated >= p.max_tokens:
+            return StopReason.LENGTH
+        if seq.total_len >= self.max_model_len:
+            return StopReason.LENGTH
+        if p.stop_strings and self.tokenizer is not None:
+            text = self.tokenizer.decode(seq.output_ids)
+            if any(ss in text for ss in p.stop_strings):
+                return StopReason.STOP_STRING
+        return None

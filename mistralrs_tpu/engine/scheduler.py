@@ -1,0 +1,190 @@
+"""Continuous-batching scheduler over the paged KV pool.
+
+The analog of `PagedAttentionScheduler`
+(`mistralrs-core/src/paged_attention/scheduler.rs:64`): waiting/running
+queues, block allocation on admission with prefix-cache lookup, chunked
+prefill, and FCFS+priority preemption when the pool runs dry
+(`_preempt`, scheduler.rs:677).
+
+TPU twist: the engine runs decode with a *fixed* batch of slots (one compiled
+executable — the analog of CUDA-graph shape keys), so the scheduler also
+assigns/releases slot indices in [0, max_batch).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..kv.manager import KVCacheManager
+from .sequence import Sequence, SequenceState, StopReason
+
+
+@dataclass
+class ScheduledPrefill:
+    seq: Sequence
+    start: int  # first logical token position of this chunk
+    length: int  # chunk token count
+    cached: int  # tokens served from prefix cache (first chunk only)
+
+
+@dataclass
+class SchedulerOutput:
+    prefill: Optional[ScheduledPrefill] = None
+    decode: list[Sequence] = field(default_factory=list)
+    preempted: list[Sequence] = field(default_factory=list)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.prefill is None and not self.decode
+
+
+class Scheduler:
+    def __init__(
+        self,
+        kv: KVCacheManager,
+        max_batch: int,
+        prefill_chunk: int = 1024,
+        enable_prefix_caching: bool = True,
+    ):
+        self.kv = kv
+        self.max_batch = max_batch
+        self.prefill_chunk = prefill_chunk
+        self.waiting: deque[Sequence] = deque()
+        self.running: list[Sequence] = []
+        self._free_slots = list(range(max_batch - 1, -1, -1))
+        self.num_preemptions = 0
+
+    # -- queue ops -----------------------------------------------------------
+
+    def add(self, seq: Sequence) -> None:
+        self.waiting.append(seq)
+
+    def abort(self, request_id: str) -> Optional[Sequence]:
+        for q in (self.waiting, self.running):
+            for s in list(q):
+                if s.request_id == request_id:
+                    self._remove(s)
+                    s.finish(StopReason.CANCELLED)
+                    return s
+        return None
+
+    def _remove(self, seq: Sequence) -> None:
+        if seq in self.running:
+            self.running.remove(seq)
+            if seq.slot is not None:
+                self._free_slots.append(seq.slot)
+                seq.slot = None
+            self.kv.free(seq.request_id)
+        elif seq in self.waiting:
+            self.waiting.remove(seq)
+
+    def release(self, seq: Sequence) -> None:
+        """Free resources of a finished sequence."""
+        self._remove(seq)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    # -- core ----------------------------------------------------------------
+
+    def schedule(self) -> SchedulerOutput:
+        """One engine step: either advance a prompt chunk (prefill-priority,
+        like the reference's engine) or decode the whole running batch."""
+        out = SchedulerOutput()
+
+        # 1. try to admit / continue prefilling a waiting sequence
+        if self.waiting and self._free_slots:
+            # pop FIRST: preemption appendlefts victims onto `waiting`
+            seq = self.waiting.popleft()
+            start = seq.num_computed_tokens
+            if start == 0:
+                cached = self.kv.get_computed_blocks(seq.request_id, seq.prompt_ids)
+                start = cached
+                seq.num_computed_tokens = cached
+            else:
+                cached = 0
+            length = min(self.prefill_chunk, seq.prompt_len - start)
+            ok = self.kv.allocate_slots(seq.request_id, start + length)
+            if not ok:
+                # admission may only displace strictly lower-priority /
+                # later-arrival runners — prevents admit/decode ping-pong
+                ok = self._preempt_for(seq, start + length, beneath=seq)
+            if not ok:
+                # cannot admit now — put it back behind any preempted victims
+                self.waiting.append(seq)
+            else:
+                if seq.state == SequenceState.WAITING:
+                    seq.state = SequenceState.RUNNING
+                out.prefill = ScheduledPrefill(seq, start, length, cached)
+                seq.num_computed_tokens = start + length
+                if start + length >= seq.prompt_len:
+                    # prompt complete → joins the decode batch
+                    seq.slot = self._free_slots.pop()
+                    self.running.append(seq)
+                else:
+                    # more chunks to go: stays at the head of waiting
+                    self.waiting.appendleft(seq)
+                return out
+
+        # 2. decode the running batch
+        if self.running:
+            # ensure every running sequence has a slot for its next token
+            for seq in list(self.running):
+                ok = self.kv.allocate_slots(seq.request_id, seq.total_len + 1)
+                if not ok:
+                    ok = self._preempt_for(seq, seq.total_len + 1, exclude=seq)
+                if not ok:
+                    # cannot even preempt (seq is lowest priority) → preempt it
+                    self._preempt(seq)
+                    out.preempted.append(seq)
+            out.decode = list(self.running)
+        return out
+
+    # -- preemption ----------------------------------------------------------
+
+    def _victims(
+        self, exclude: Optional[Sequence], beneath: Optional[Sequence] = None
+    ) -> list[Sequence]:
+        """Lowest priority, then latest arrival first (scheduler.rs:677).
+        With ``beneath``, only sequences strictly below it qualify."""
+        cands = [s for s in self.running if s is not exclude]
+        if beneath is not None:
+            cands = [
+                s for s in cands
+                if (s.priority, -s.arrival_time) < (beneath.priority, -beneath.arrival_time)
+            ]
+        return sorted(cands, key=lambda s: (s.priority, -s.arrival_time))
+
+    def _preempt(self, seq: Sequence) -> None:
+        self.num_preemptions += 1
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq.slot is not None:
+            self._free_slots.append(seq.slot)
+            seq.slot = None
+        self.kv.free(seq.request_id)
+        # recompute-from-scratch preemption: generated tokens fold into the
+        # prompt so prefill replays them (reference: preempt_by_recompute)
+        seq.prompt_ids = seq.all_ids
+        seq.output_ids = []
+        seq.num_computed_tokens = 0
+        seq.state = SequenceState.WAITING
+        self.waiting.appendleft(seq)
+
+    def _preempt_for(
+        self,
+        seq: Sequence,
+        needed_tokens: int,
+        exclude: Optional[Sequence] = None,
+        beneath: Optional[Sequence] = None,
+    ) -> bool:
+        """Evict victims until `seq` can allocate. Returns success."""
+        victims = self._victims(exclude, beneath)
+        while victims:
+            if self.kv.allocate_slots(seq.request_id, needed_tokens):
+                return True
+            self._preempt(victims.pop(0))  # best victim first
+        return self.kv.allocate_slots(seq.request_id, needed_tokens)

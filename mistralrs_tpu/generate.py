@@ -18,25 +18,25 @@ from .models.config import ModelConfig
 from .models.llama import KVCache, forward
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
-def _prefill_step(weights, cfg, ids, cache, backend):
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "compute_dtype"))
+def _prefill_step(weights, cfg, ids, cache, backend, compute_dtype):
     b, t = ids.shape
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     kv_start = jnp.zeros((b,), jnp.int32)
     logits, cache = forward(
         weights, cfg, ids, positions, cache, kv_start,
-        backend=backend, logits_last_only=True,
+        backend=backend, logits_last_only=True, compute_dtype=compute_dtype,
     )
     return logits[:, -1, :], cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
-def _decode_step(weights, cfg, token, pos, cache, backend):
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "compute_dtype"))
+def _decode_step(weights, cfg, token, pos, cache, backend, compute_dtype):
     b = token.shape[0]
     positions = pos[:, None]
     logits, cache = forward(
         weights, cfg, token[:, None], positions, cache, pos,
-        backend=backend, logits_last_only=True,
+        backend=backend, logits_last_only=True, compute_dtype=compute_dtype,
     )
     return logits[:, -1, :], cache
 
@@ -52,17 +52,18 @@ def generate(
     backend: Optional[str] = None,
     stop_tokens: Optional[set[int]] = None,
     kv_capacity: Optional[int] = None,
+    compute_dtype=jnp.bfloat16,
 ) -> list[int]:
     """Greedy / temperature sampling for a single sequence. Returns new tokens."""
     ids = np.asarray(prompt_ids, np.int32)[None, :]
     t0 = ids.shape[1]
     capacity = kv_capacity or min(cfg.max_position_embeddings, t0 + max_new_tokens)
-    cache = KVCache.create(cfg, 1, capacity)
+    cache = KVCache.create(cfg, 1, capacity, dtype=compute_dtype)
     stops = stop_tokens if stop_tokens is not None else set(cfg.eos_token_ids)
 
     # hashability for jit static arg
     cfg_key = _freeze(cfg)
-    logits, cache = _prefill_step(weights, cfg_key, jnp.asarray(ids), cache, backend)
+    logits, cache = _prefill_step(weights, cfg_key, jnp.asarray(ids), cache, backend, compute_dtype)
 
     key = jax.random.PRNGKey(seed)
     out: list[int] = []
@@ -78,7 +79,7 @@ def generate(
             break
         out.append(tok_i)
         logits, cache = _decode_step(
-            weights, cfg_key, tok.astype(jnp.int32), pos, cache, backend
+            weights, cfg_key, tok.astype(jnp.int32), pos, cache, backend, compute_dtype
         )
         pos = pos + 1
     return out

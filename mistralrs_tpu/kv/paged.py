@@ -1,0 +1,145 @@
+"""Device-side paged KV cache tensors + write/attend ops.
+
+The analog of the reference's `CacheEngine` (physical paged tensors,
+`paged_attention/cache_engine.rs`) and the PagedAttention model layer
+(`paged_attention/layers/paged_attention.rs`: `reshape_and_cache` write +
+paged decode kernel + gather-KV prefill).
+
+Layout: one pool per layer, flattened over slots —
+``k/v: [L, num_blocks * block_size, n_kv, head_dim]`` — so a slot mapping is
+a single scatter index and a block table row gathers contiguous
+``block_size`` stripes. XLA path uses scatter/gather (fused well for decode
+batch sizes); the Pallas flash/paged kernel path takes over large-context
+decode (`ops/paged_attention.py`).
+
+Optional KV quantization (INT8/FP8 per-head-group scale) mirrors
+`PagedCacheType` (cache_engine.rs:13).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import ModelConfig
+
+
+@dataclass(frozen=True)
+class PagedKVCache:
+    """k/v pools: [L, S_total(slots), n_kv, head_dim] (+ scales if quantized)."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array] = None  # [L, S_total, n_kv] for int8/fp8 KV
+    v_scale: Optional[jax.Array] = None
+
+    @classmethod
+    def create(
+        cls,
+        cfg: ModelConfig,
+        num_blocks: int,
+        block_size: int,
+        dtype=jnp.bfloat16,
+        kv_quant: Optional[str] = None,  # None | 'int8' | 'fp8'
+    ) -> "PagedKVCache":
+        # +1 trash block: dropped writes (slot −1) scatter into it so they
+        # can never collide with live slots (duplicate scatter indices have
+        # nondeterministic winners)
+        shape = (
+            cfg.num_layers,
+            (num_blocks + 1) * block_size,
+            cfg.num_kv_heads,
+            cfg.head_dim,
+        )
+        if kv_quant is None:
+            return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
+        sshape = shape[:-1]
+        return cls(
+            jnp.zeros(shape, store),
+            jnp.zeros(shape, store),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(sshape, jnp.float32),
+        )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    PagedKVCache, data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[]
+)
+
+
+def write_kv(
+    cache_k: jax.Array,  # [S_total, n_kv, hd] (one layer)
+    cache_v: jax.Array,
+    k_new: jax.Array,  # [T, n_kv, hd]
+    v_new: jax.Array,
+    slots: jax.Array,  # [T] int32 physical slot ids; negative → dropped
+    k_scale: Optional[jax.Array] = None,  # [S_total, n_kv]
+    v_scale: Optional[jax.Array] = None,
+):
+    """reshape_and_cache: scatter new KV rows into the pool. Dropped rows
+    (slot < 0) land in the reserved trash block at the end of the pool.
+    Returns updated (cache_k, cache_v, k_scale, v_scale)."""
+    trash = cache_k.shape[0] - 1  # last slot of the reserved trash block
+    safe = jnp.where(slots < 0, trash, slots)
+    if k_scale is None:
+        return (
+            cache_k.at[safe].set(k_new.astype(cache_k.dtype)),
+            cache_v.at[safe].set(v_new.astype(cache_v.dtype)),
+            None,
+            None,
+        )
+    # quantized KV: per (slot, head) abs-max scale
+    def q(x, cache, scale):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [T, n_kv]
+        if cache.dtype == jnp.int8:
+            s = amax / 127.0
+            enc = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / jnp.maximum(s, 1e-10)[..., None]),
+                -127,
+                127,
+            ).astype(jnp.int8)
+        else:  # fp8 e4m3: max normal 448
+            s = amax / 448.0
+            enc = (x.astype(jnp.float32) / jnp.maximum(s, 1e-10)[..., None]).astype(
+                cache.dtype
+            )
+        return cache.at[safe].set(enc), scale.at[safe].set(s)
+
+    ck, ks = q(k_new, cache_k, k_scale)
+    cv, vs = q(v_new, cache_v, v_scale)
+    return ck, cv, ks, vs
+
+
+def gather_kv(
+    cache_k: jax.Array,  # [S_total, n_kv, hd]
+    cache_v: jax.Array,
+    block_table: jax.Array,  # [B, max_blocks] int32 (−1 padding allowed)
+    block_size: int,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    dtype=jnp.bfloat16,
+):
+    """Materialize per-sequence KV [B, max_blocks*block_size, n_kv, hd] from
+    the pool (the gather-KV path; validity masked downstream via kv_len)."""
+    bt = jnp.maximum(block_table, 0)
+    slots = (bt[:, :, None] * block_size + jnp.arange(block_size)[None, None, :]).reshape(
+        block_table.shape[0], -1
+    )  # [B, S]
+    k = cache_k[slots]
+    v = cache_v[slots]
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale[slots][..., None]
+        v = v.astype(jnp.float32) * v_scale[slots][..., None]
+    return k.astype(dtype), v.astype(dtype)

@@ -80,8 +80,16 @@ _PHI3_FUSED = {
 }
 
 
-def _quantize_tensor(w: np.ndarray, t: GGMLType) -> QTensor:
-    return QTensor.quantize(w.astype(np.float32), t)
+_ROW_PARALLEL_KEYS = {"wo", "down", "exp_down"}
+
+
+def _quantize_tensor(w: np.ndarray, t: GGMLType, chunks: int = 1) -> QTensor:
+    from ..gguf.planar import to_planar
+    from ..gguf.quants import quantize as gguf_quantize
+
+    w = np.asarray(w, np.float32)
+    raw = gguf_quantize(w, t)
+    return QTensor.from_planar(to_planar(raw, t), w.shape, ggml_type=t, chunks=chunks)
 
 
 def default_isq_plan(
@@ -113,6 +121,7 @@ def weights_from_state_dict(
     isq: Optional[GGMLType] = None,
     isq_plan: Optional[Callable[[str, tuple[int, ...]], Optional[GGMLType]]] = None,
     num_threads: int = 8,
+    row_parallel_chunks: int = 1,
 ) -> dict:
     """Build the stacked-layer weights pytree from a HF state dict."""
     plan = isq_plan or default_isq_plan(isq)
@@ -166,8 +175,9 @@ def weights_from_state_dict(
         t = plan(name, tensors[0].shape)
         if t is None:
             return jnp.asarray(np.stack(tensors), dtype)
+        chunks = row_parallel_chunks if key in _ROW_PARALLEL_KEYS else 1
         with ThreadPoolExecutor(num_threads) as ex:
-            qts = list(ex.map(lambda w: _quantize_tensor(w, t), tensors))
+            qts = list(ex.map(lambda w: _quantize_tensor(w, t, chunks), tensors))
         import jax
 
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)

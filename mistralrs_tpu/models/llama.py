@@ -25,12 +25,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dataclasses import replace as _dc_replace
+
 from ..ops.attention import sdpa
 from ..ops.norms import rms_norm, rms_norm_gemma
 from ..ops.rope import apply_rope, rope_cos_sin, rope_frequencies
 from ..quant.linear import Weight, embedding_lookup, linear
 from ..quant.qtensor import QTensor
 from .config import ModelConfig
+
+
+def _local_view(w):
+    """Inside shard_map, a row-parallel QTensor's local shard is one packing
+    chunk — reset the chunk count so the Pallas kernel sees plain packing."""
+    if isinstance(w, QTensor) and w.chunks > 1:
+        return _dc_replace(w, chunks=1)
+    return w
+
+
+def _row_linear(x, w, bias, tp_axis, backend):
+    """Row-parallel linear: local partial matmul + all-reduce (the analog of
+    `RowParallelLayer` + `SumAllReduce`, mistralrs-quant/src/distributed/
+    layers.rs:58). Bias is added once, after the reduction."""
+    out = linear(x, _local_view(w) if tp_axis else w, backend=backend)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 ACTIVATIONS = {
     "silu": jax.nn.silu,
@@ -84,13 +106,13 @@ def _maybe_norm(x, w, eps, gemma: bool):
     return rms_norm_gemma(x, w, eps) if gemma else rms_norm(x, w, eps)
 
 
-def _mlp(x, lw: dict, act, backend):
+def _mlp(x, lw: dict, act, backend, tp_axis=None):
     gate = linear(x, lw["gate"], lw.get("gate_bias"), backend=backend)
     up = linear(x, lw["up"], lw.get("up_bias"), backend=backend)
-    return linear(act(gate) * up, lw["down"], lw.get("down_bias"), backend=backend)
+    return _row_linear(act(gate) * up, lw["down"], lw.get("down_bias"), tp_axis, backend)
 
 
-def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend):
+def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
     """Dense-compute MoE (every expert computed, masked combine).
 
     TPU-friendly for small expert counts (Mixtral 8): no gathers, pure matmul
@@ -118,21 +140,31 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend):
     def expert(carry, xs):
         acc, idx = carry
         ew = xs
-        y = _mlp(x, ew, act, backend)
+        # experts are TP-sharded intra-expert; psum ONCE after the combine
+        # (analog of MoEExperts' single SumAllReduce, moe/experts/mod.rs:36)
+        y = _mlp(x, ew, act, backend, tp_axis=None)
         acc = acc + y * full_w[..., idx][..., None].astype(y.dtype)
         return (acc, idx + 1), None
 
+    experts = lw["experts"]
+    if tp_axis is not None:
+        experts = jax.tree_util.tree_map(
+            _local_view, experts, is_leaf=lambda l: isinstance(l, QTensor)
+        )
     (out, _), _ = jax.lax.scan(
-        expert, (jnp.zeros_like(x), jnp.int32(0)), lw["experts"]
+        expert, (jnp.zeros_like(x), jnp.int32(0)), experts
     )
     if "shared_expert" in lw:
-        out = out + _mlp(x, lw["shared_expert"], act, backend)
+        out = out + _mlp(x, lw["shared_expert"], act, backend, tp_axis=None)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
     return out
 
 
 def _layer_step(
     cfg: ModelConfig,
     backend: Optional[str],
+    tp_axis: Optional[str],
     act,
     h: jax.Array,  # [B, T, H]
     lw: dict,  # this layer's weights
@@ -174,16 +206,16 @@ def _layer_step(
         sliding_window=window,  # 0 → full attention (handled in sdpa)
     )
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
-    attn_out = linear(attn, lw["wo"], lw.get("wo_bias"), backend=backend)
+    attn_out = _row_linear(attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend)
     if "post_attn_norm" in lw:  # gemma2/3 post-attention scaling norm
         attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
     h = h + attn_out
 
     x = _maybe_norm(h, lw["ffn_norm"], cfg.rms_norm_eps, gemma)
     if cfg.num_experts > 0 and "experts" in lw:
-        mlp_out = _moe_mlp(x, lw, cfg, act, backend)
+        mlp_out = _moe_mlp(x, lw, cfg, act, backend, tp_axis)
     else:
-        mlp_out = _mlp(x, lw, act, backend)
+        mlp_out = _mlp(x, lw, act, backend, tp_axis)
     if "post_ffn_norm" in lw:
         mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
     h = h + mlp_out
@@ -201,8 +233,14 @@ def forward(
     backend: Optional[str] = None,
     logits_last_only: bool = False,
     compute_dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
 ) -> tuple[jax.Array, KVCache]:
-    """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache)."""
+    """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache).
+
+    When ``tp_axis`` is set, this body runs inside `shard_map`: ``cfg`` must
+    be the *local* config (heads/intermediate divided by TP — see
+    `parallel/tp.py`) and the row-parallel layers all-reduce over the axis.
+    """
     act = ACTIVATIONS[cfg.hidden_act]
     h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
     if cfg.arch.startswith("gemma"):
@@ -218,7 +256,8 @@ def forward(
     def body(h, xs):
         lw, k_c, v_c, win = xs
         h, k_c, v_c = _layer_step(
-            cfg, backend, act, h, lw, k_c, v_c, cos, sin, positions, kv_start, win
+            cfg, backend, tp_axis, act, h, lw, k_c, v_c, cos, sin, positions,
+            kv_start, win,
         )
         return h, (k_c, v_c)
 
@@ -232,12 +271,129 @@ def forward(
     if logits_last_only:
         h = h[:, -1:, :]
     lm_head = weights.get("lm_head")
-    if lm_head is None:
-        lm_head = weights["embed"]  # tied embeddings
+    tied = lm_head is None
+    if tied:
+        lm_head = weights["embed"]  # tied embeddings (replicated under TP)
     logits = linear(h, lm_head, backend=backend).astype(jnp.float32)
+    if tp_axis is not None and not tied:
+        # lm_head is vocab-sharded (column-parallel): gather the full vocab
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     if cfg.logit_softcap:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     return logits, KVCache(new_k, new_v)
+
+
+def forward_paged(
+    weights: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T] logical position of each token
+    cache,  # kv.paged.PagedKVCache
+    block_tables: jax.Array,  # [B, max_blocks] int32
+    slot_mapping: jax.Array,  # [B, T] physical slot per token (−1 → dropped)
+    kv_lens: jax.Array,  # [B] valid KV length *after* this step's writes
+    *,
+    block_size: int,
+    backend: Optional[str] = None,
+    logits_last_only: bool = True,
+    compute_dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+):
+    """Decoder step over the paged KV cache (decode or chunked prefill).
+
+    The gather-KV XLA path (see kv/paged.py); Pallas paged-attention kernels
+    plug in behind the same interface. Returns (logits, updated cache).
+    """
+    from ..kv.paged import PagedKVCache, gather_kv, write_kv
+
+    act = ACTIVATIONS[cfg.hidden_act]
+    b, t = input_ids.shape
+    gemma = cfg.arch.startswith("gemma")
+    h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
+    if gemma:
+        h = h * jnp.asarray(cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype)
+
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    windows = weights["layer_windows"]
+    flat_slots = slot_mapping.reshape(-1)
+    has_scales = cache.k_scale is not None
+
+    def body(hh, xs):
+        if has_scales:
+            lw, k_c, v_c, k_s, v_s, win = xs
+        else:
+            lw, k_c, v_c, win = xs
+            k_s = v_s = None
+        x = _maybe_norm(hh, lw["attn_norm"], cfg.rms_norm_eps, gemma)
+        q = linear(x, lw["wq"], lw.get("wq_bias"), backend=backend)
+        k = linear(x, lw["wk"], lw.get("wk_bias"), backend=backend)
+        v = linear(x, lw["wv"], lw.get("wv_bias"), backend=backend)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            qn = rms_norm_gemma if gemma else rms_norm
+            q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_c, v_c, k_s, v_s = write_kv(
+            k_c, v_c,
+            k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
+            flat_slots, k_s, v_s,
+        )
+        kk, vv = gather_kv(
+            k_c, v_c, block_tables, block_size, k_s, v_s, dtype=compute_dtype
+        )
+        attn = sdpa(
+            q, kk, vv,
+            q_positions=positions,
+            kv_len=kv_lens,
+            logit_softcap=cfg.attn_logit_softcap,
+            sliding_window=win,
+        ).reshape(b, t, cfg.num_heads * cfg.head_dim)
+        attn_out = _row_linear(attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend)
+        if "post_attn_norm" in lw:
+            attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
+        hh = hh + attn_out
+        x = _maybe_norm(hh, lw["ffn_norm"], cfg.rms_norm_eps, gemma)
+        if cfg.num_experts > 0 and "experts" in lw:
+            mlp_out = _moe_mlp(x, lw, cfg, act, backend, tp_axis)
+        else:
+            mlp_out = _mlp(x, lw, act, backend, tp_axis)
+        if "post_ffn_norm" in lw:
+            mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
+        hh = hh + mlp_out
+        if has_scales:
+            return hh, (k_c, v_c, k_s, v_s)
+        return hh, (k_c, v_c)
+
+    if has_scales:
+        xs = (weights["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale, windows)
+    else:
+        xs = (weights["layers"], cache.k, cache.v, windows)
+    h, outs = jax.lax.scan(body, h, xs)
+    if has_scales:
+        new_cache = PagedKVCache(*outs)
+    else:
+        new_cache = PagedKVCache(outs[0], outs[1])
+
+    h = _maybe_norm(h, weights["final_norm"], cfg.rms_norm_eps, gemma)
+    if logits_last_only:
+        h = h[:, -1:, :]
+    lm_head = weights.get("lm_head")
+    tied = lm_head is None
+    if tied:
+        lm_head = weights["embed"]
+    logits = linear(h, lm_head, backend=backend).astype(jnp.float32)
+    if tp_axis is not None and not tied:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    if cfg.logit_softcap:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    return logits, new_cache
 
 
 # ---------------------------------------------------------------------------

@@ -302,6 +302,11 @@ def quant_matmul(
 
     x2 = x.reshape(-1, k).astype(dequant_dtype)
     if qt.packed:
+        if qt.chunks != 1:
+            raise ValueError(
+                "Pallas path needs single-chunk packing: inside shard_map use "
+                "parallel.tp.local_view() on row-parallel weights"
+            )
         out = _w4_matmul(
             x2, qt.data, qt.scale, qt.bias,
             group_size=qt.group_size, dequant_dtype=dequant_dtype,

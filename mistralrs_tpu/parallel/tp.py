@@ -1,0 +1,205 @@
+"""Tensor-parallel execution over a device mesh.
+
+The TPU-native analog of the reference's TP stack
+(`mistralrs-quant/src/distributed/layers.rs` Row/ColumnParallel +
+`src/distributed/mod.rs` NcclComm): a (data, model) `Mesh`, NamedSharding
+placement of the weight pytree, and a `shard_map`-wrapped forward whose
+row-parallel boundaries all-reduce with `psum` over ICI.
+
+Sharding plan (megatron-style, quantized-aware — specs address the K-major
+QTensor storage):
+
+  wq/wk/wv/gate/up : column-parallel (shard out-features = heads/ffn)
+  wo/down          : row-parallel    (shard in-features; psum after)
+  lm_head          : column-parallel over vocab (+ all_gather of logits)
+  embed/norms      : replicated
+  KV cache         : sharded over kv-heads (model) and batch (data)
+  MoE experts      : TP-sharded intra-expert (single psum after combine)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..models.llama import KVCache, forward
+from ..quant.qtensor import QTensor
+
+TP_AXIS = "model"
+DP_AXIS = "data"
+
+_COLUMN_KEYS = {"wq", "wk", "wv", "gate", "up"}
+_ROW_KEYS = {"wo", "down"}
+_REPL = P()
+
+
+def resolve_tp(requested: int, n_heads: int, n_kv_heads: int, vocab: int) -> int:
+    """Auto step-down so heads divide evenly (analog of
+    `resolve_tensor_parallelism`, mistralrs-core/src/distributed.rs:149)."""
+    tp = requested
+    while tp > 1 and (
+        n_heads % tp or n_kv_heads % tp or vocab % tp
+    ):
+        tp -= 1
+    return max(tp, 1)
+
+
+def build_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices.size < tp * dp:
+        raise ValueError(f"need {tp * dp} devices, have {devices.size}")
+    grid = devices[: tp * dp].reshape(dp, tp)
+    return Mesh(grid, (DP_AXIS, TP_AXIS))
+
+
+def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
+    """Per-shard config: head/ffn dims divided by TP."""
+    if tp == 1:
+        return cfg
+    if cfg.num_heads % tp or cfg.num_kv_heads % tp or cfg.intermediate_size % tp:
+        raise ValueError(f"tp={tp} does not divide model dims")
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+        moe_intermediate_size=(
+            None if cfg.moe_intermediate_size is None else cfg.moe_intermediate_size // tp
+        ),
+    )
+
+
+def _qtensor_specs(qt: QTensor, kind: str, lead: int) -> QTensor:
+    pre = (None,) * lead
+    if kind == "column":  # shard N (last dim of every K-major leaf)
+        spec = P(*pre, None, TP_AXIS)
+    elif kind == "row":  # shard K/G (second-to-last dim)
+        spec = P(*pre, TP_AXIS, None)
+    else:
+        spec = P()
+    return QTensor(
+        data=spec,
+        scale=spec,
+        bias=None if qt.bias is None else spec,
+        group_size=qt.group_size,
+        packed=qt.packed,
+        code_bits=qt.code_bits,
+        ggml_type=qt.ggml_type,
+        chunks=qt.chunks,
+    )
+
+
+def _dense_specs(arr, kind: str, lead: int):
+    pre = (None,) * lead
+    if kind == "column":  # dense [.., N, K]: shard N
+        return P(*pre, TP_AXIS, None) if arr.ndim == lead + 2 else P(*pre, TP_AXIS)
+    if kind == "row":  # dense [.., N, K]: shard K
+        return P(*pre, None, TP_AXIS)
+    return P()
+
+
+def _entry_spec(key: str, w, lead: int):
+    base = key.removesuffix("_bias")
+    if base in _COLUMN_KEYS:
+        kind = "column" if not key.endswith("_bias") else "column_bias"
+    elif base in _ROW_KEYS:
+        # row-parallel bias is added AFTER the psum → replicated
+        kind = "row" if not key.endswith("_bias") else "repl"
+    else:
+        kind = "repl"
+    if kind == "column_bias":
+        return P(*((None,) * lead), TP_AXIS)
+    if isinstance(w, QTensor):
+        return _qtensor_specs(w, kind, lead)
+    return _dense_specs(w, kind, lead)
+
+
+def weight_pspecs(weights: dict) -> dict:
+    """PartitionSpec pytree matching the model weights pytree."""
+    layers_in = weights["layers"]
+    layers: dict[str, Any] = {}
+    for key, w in layers_in.items():
+        if key == "experts":
+            layers[key] = {
+                ek: _entry_spec(ek, ew, lead=2) for ek, ew in w.items()
+            }
+        else:
+            layers[key] = _entry_spec(key, w, lead=1)
+
+    lm_head = weights.get("lm_head")
+    if lm_head is None:
+        head_spec = None
+    elif isinstance(lm_head, QTensor):
+        head_spec = _qtensor_specs(lm_head, "column", 0)
+    else:
+        head_spec = P(TP_AXIS, None)
+
+    embed = weights["embed"]
+    embed_spec = _qtensor_specs(embed, "repl", 0) if isinstance(embed, QTensor) else P()
+
+    return {
+        "embed": embed_spec,
+        "layers": layers,
+        "final_norm": P(),
+        "lm_head": head_spec,
+        "layer_windows": P(),
+    }
+
+
+def shard_weights(mesh: Mesh, weights: dict, specs: Optional[dict] = None) -> dict:
+    specs = specs or weight_pspecs(weights)
+    return jax.tree_util.tree_map(
+        lambda w, s: None if w is None else jax.device_put(w, NamedSharding(mesh, s)),
+        weights,
+        specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def cache_pspecs() -> KVCache:
+    spec = P(None, DP_AXIS, None, TP_AXIS, None)
+    return KVCache(k=spec, v=spec)
+
+
+def tp_forward_fn(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    weights: dict,
+    *,
+    backend: Optional[str] = None,
+    logits_last_only: bool = True,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build the jitted multi-chip forward:
+    (weights, ids, positions, cache, kv_start) → (logits, cache)."""
+    tp = mesh.shape[TP_AXIS]
+    lcfg = local_config(cfg, tp)
+    wspecs = weight_pspecs(weights)
+
+    def body(w, ids, positions, cache, kv_start):
+        return forward(
+            w, lcfg, ids, positions, cache, kv_start,
+            backend=backend, logits_last_only=logits_last_only,
+            compute_dtype=compute_dtype, tp_axis=TP_AXIS if tp > 1 else None,
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            wspecs,
+            P(DP_AXIS, None),  # ids
+            P(DP_AXIS, None),  # positions
+            cache_pspecs(),
+            P(DP_AXIS),  # kv_start
+        ),
+        out_specs=(P(DP_AXIS, None, None), cache_pspecs()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -49,6 +49,11 @@ class QTensor:
     packed: bool = False
     code_bits: int = 8
     ggml_type: Optional[GGMLType] = None
+    # Number of independent split-half packing segments along K. Row-parallel
+    # (K-sharded) weights are packed per TP shard so each device's local slice
+    # is itself split-half packed (analog of the reference's per-rank shard
+    # loading, mistralrs-quant/src/safetensors.rs).
+    chunks: int = 1
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -76,7 +81,11 @@ class QTensor:
 
     @classmethod
     def from_planar(
-        cls, planar: PlanarQuant, shape: tuple[int, int], ggml_type: GGMLType | None = None
+        cls,
+        planar: PlanarQuant,
+        shape: tuple[int, int],
+        ggml_type: GGMLType | None = None,
+        chunks: int = 1,
     ) -> "QTensor":
         n, k = shape
         gs = planar.group_size
@@ -93,11 +102,19 @@ class QTensor:
                 planar.bias.reshape(n, k // gs).astype(np.float32).T
             )
         )
-        pack = (not planar.signed) and planar.code_bits <= 4 and (k // 2) % gs == 0
+        kc = k // chunks
+        pack = (
+            (not planar.signed)
+            and planar.code_bits <= 4
+            and k % chunks == 0
+            and (kc // 2) % gs == 0
+        )
         if pack:
-            half = k // 2
-            data = (q[:half] | (q[half:] << 4)).astype(np.uint8)
+            qc = q.reshape(chunks, kc, n)
+            half = kc // 2
+            data = (qc[:, :half] | (qc[:, half:] << 4)).reshape(k // 2, n).astype(np.uint8)
         else:
+            chunks = 1
             data = q.astype(np.int8 if planar.signed else np.uint8)
         return cls(
             data=jnp.asarray(data),
@@ -107,6 +124,7 @@ class QTensor:
             packed=pack,
             code_bits=planar.code_bits,
             ggml_type=ggml_type,
+            chunks=chunks,
         )
 
     @classmethod
@@ -125,8 +143,9 @@ class QTensor:
     def unpack_codes(self) -> jax.Array:
         """Integer codes as int32 ``[K, N]`` (kernel-independent reference)."""
         if self.packed:
-            d = self.data.astype(jnp.int32)
-            return jnp.concatenate([d & 15, d >> 4], axis=0)
+            k2, n = self.data.shape
+            d = self.data.astype(jnp.int32).reshape(self.chunks, k2 // self.chunks, n)
+            return jnp.concatenate([d & 15, d >> 4], axis=1).reshape(k2 * 2, n)
         if self.data.dtype == jnp.int8:
             return self.data.astype(jnp.int32)
         return self.data.astype(jnp.int32) & 0xFF
@@ -155,5 +174,5 @@ class QTensor:
 jax.tree_util.register_dataclass(
     QTensor,
     data_fields=["data", "scale", "bias"],
-    meta_fields=["group_size", "packed", "code_bits", "ggml_type"],
+    meta_fields=["group_size", "packed", "code_bits", "ggml_type", "chunks"],
 )
