@@ -1,0 +1,178 @@
+"""Benchmark: Llama-3-8B-geometry Q4_K batched decode tokens/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- Weights are synthesized on-device (random Q4_K planar codes/scales —
+  identical compute/bandwidth profile to a real checkpoint, no host
+  transfer), matching BASELINE.json config #3 geometry.
+- The measured step is the real serving decode path: fused Pallas
+  dequant-matmul + paged KV write/gather attention, batch 8, context 1024.
+- Timing uses the iteration-count slope between two chained-scan lengths
+  with forced device→host materialization (the axon relay makes
+  block_until_ready unreliable and adds ~28 ms RTT per dispatch).
+- vs_baseline = fraction of the single-chip HBM roofline for this model
+  (weight+KV bytes per step / 819 GB/s on v5e; the north-star target in
+  BASELINE.json is ≥0.9 of roofline; no comparable published GPU number
+  exists for this config).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mistralrs_tpu.models.config import ModelConfig
+from mistralrs_tpu.models.llama import forward_paged
+from mistralrs_tpu.kv.paged import PagedKVCache
+from mistralrs_tpu.quant.qtensor import QTensor
+from mistralrs_tpu.generate import _freeze
+
+V5E_HBM_GBPS = 819e9
+
+
+def llama8b_cfg(smoke: bool = False) -> ModelConfig:
+    if smoke:
+        return ModelConfig(
+            arch="llama", vocab_size=1024, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+            max_position_embeddings=2048, rope_theta=500000.0,
+        )
+    return ModelConfig(
+        arch="llama", vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    )
+
+
+def _rand_qtensor(key, l, n, k, gs=32) -> QTensor:
+    """Random stacked [L, N, K] Q4_K-layout planar tensor, created on device."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    data = jax.random.randint(k1, (l, k // 2, n), 0, 256, jnp.uint8)
+    scale = jax.random.uniform(k2, (l, k // gs, n), jnp.float32, 0.001, 0.01)
+    bias = jax.random.uniform(k3, (l, k // gs, n), jnp.float32, -0.01, 0.0)
+    return QTensor(
+        data=data, scale=scale, bias=bias, group_size=gs, packed=True,
+        code_bits=4, ggml_type=None, chunks=1,
+    )
+
+
+def build_weights(cfg: ModelConfig, seed: int = 0) -> tuple[dict, int]:
+    keys = jax.random.split(jax.random.PRNGKey(seed), 12)
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    layers = {
+        "attn_norm": jnp.ones((L, H), jnp.bfloat16),
+        "ffn_norm": jnp.ones((L, H), jnp.bfloat16),
+        "wq": _rand_qtensor(keys[0], L, cfg.q_dim, H),
+        "wk": _rand_qtensor(keys[1], L, cfg.kv_dim, H),
+        "wv": _rand_qtensor(keys[2], L, cfg.kv_dim, H),
+        "wo": _rand_qtensor(keys[3], L, H, cfg.q_dim),
+        "gate": _rand_qtensor(keys[4], L, I, H),
+        "up": _rand_qtensor(keys[5], L, I, H),
+        "down": _rand_qtensor(keys[6], L, H, I),
+    }
+    embed = (jax.random.normal(keys[7], (cfg.vocab_size, H), jnp.bfloat16) * 0.02)
+    # lm_head as w8 (Q8_0-style: int8 codes, "sensitive tensor" policy)
+    hk1, hk2 = jax.random.split(keys[8])
+    lm_head = QTensor(
+        data=jax.random.randint(hk1, (H, cfg.vocab_size), -127, 128, jnp.int8),
+        scale=jax.random.uniform(hk2, (H // 32, cfg.vocab_size), jnp.float32, 0.001, 0.01),
+        bias=None, group_size=32, packed=False, code_bits=8, ggml_type=None, chunks=1,
+    )
+    weights = {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": lm_head,
+        "layer_windows": jnp.zeros((L,), jnp.int32),
+    }
+    weight_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(layers)
+    ) + lm_head.nbytes
+    return weights, weight_bytes
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    smoke = not on_tpu
+    cfg = llama8b_cfg(smoke=smoke)
+    fcfg = _freeze(cfg)
+    B = 8
+    CTX = 256 if smoke else 1024
+    BS = 16
+    num_blocks = B * CTX // BS
+    weights, weight_bytes = build_weights(cfg)
+    cache = PagedKVCache.create(cfg, num_blocks, BS)
+    # per-seq contiguous block ranges; context pre-"filled" (garbage KV is fine
+    # for throughput: same bandwidth/compute)
+    width = CTX // BS
+    block_tables = (
+        jnp.arange(B)[:, None] * width + jnp.arange(width)[None, :]
+    ).astype(jnp.int32)
+    start_len = CTX - 64  # leave room to decode
+
+    def make_chain(n_steps):
+        @jax.jit
+        def chain(weights, cache, tokens, lens):
+            def body(carry, _):
+                cache, tokens, lens = carry
+                slots = (
+                    block_tables[jnp.arange(B), lens // BS] * BS + lens % BS
+                ).astype(jnp.int32)
+                logits, cache = forward_paged(
+                    weights, fcfg, tokens[:, None], lens[:, None], cache,
+                    block_tables, slots[:, None], lens + 1,
+                    block_size=BS, logits_last_only=True,
+                )
+                tokens = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (cache, tokens, lens + 1), None
+
+            (cache, tokens, lens), _ = jax.lax.scan(
+                body, (cache, tokens, lens), None, length=n_steps
+            )
+            return tokens
+
+        return chain
+
+    tokens0 = jnp.zeros((B,), jnp.int32)
+    lens0 = jnp.full((B,), start_len, jnp.int32)
+    n1, n2 = (2, 6) if smoke else (5, 25)
+    f1, f2 = make_chain(n1), make_chain(n2)
+
+    import numpy as np
+
+    def run(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(weights, cache, tokens0, lens0)
+            np.asarray(out)  # force full completion through the relay
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    run(f1)  # compile both
+    run(f2)
+    t1, t2 = run(f1), run(f2)
+    step_time = (t2 - t1) / (n2 - n1)
+    tps = B / step_time
+
+    # roofline: weight bytes + KV read+write traffic per decode step
+    kv_bytes_per_step = (
+        cfg.num_layers * B * CTX * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+    )
+    roofline_step = (weight_bytes + kv_bytes_per_step) / V5E_HBM_GBPS
+    roofline_tps = B / roofline_step
+    result = {
+        "metric": "llama3-8b-q4k decode tokens/s (bs=8, ctx=1024, 1 chip)"
+        if not smoke
+        else "SMOKE decode tokens/s (cpu)",
+        "value": round(tps, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tps / roofline_tps, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

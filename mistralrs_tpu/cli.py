@@ -1,0 +1,248 @@
+"""Command-line interface (the analog of `mistralrs-cli`: run / serve /
+bench / quantize / doctor — `mistralrs-cli/src/main.rs:34-80`)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("model", help="path to a .gguf file or HF model directory")
+    p.add_argument("--isq", default=None, help="in-situ quantization (q4k, q8_0, ...)")
+    p.add_argument("--max-seq-len", type=int, default=None)
+    p.add_argument("--kv-quant", choices=["int8", "fp8"], default=None)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--num-kv-blocks", type=int, default=None)
+    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--chat-template", default=None, help="jinja template override file")
+
+
+def _build_engine(args):
+    import jax.numpy as jnp
+
+    from .engine.engine import Engine
+    from .pipeline import load_pipeline
+
+    override = None
+    if args.chat_template:
+        with open(args.chat_template) as f:
+            override = f.read()
+    pipe = load_pipeline(args.model, isq=args.isq, chat_template_override=override)
+    max_len = args.max_seq_len or min(pipe.cfg.max_position_embeddings, 8192)
+    num_blocks = args.num_kv_blocks or (
+        (max_len // args.block_size) * max(2, args.max_batch // 2)
+    )
+    eng = Engine(
+        pipe.cfg,
+        pipe.weights,
+        num_blocks=num_blocks,
+        block_size=args.block_size,
+        max_batch=args.max_batch,
+        max_model_len=max_len,
+        kv_quant=args.kv_quant,
+        tokenizer=pipe.tokenizer,
+    )
+    return pipe, eng
+
+
+def cmd_run(args):
+    from .engine.sampler import SamplingParams
+
+    pipe, eng = _build_engine(args)
+    if pipe.tokenizer is None:
+        print("error: model has no tokenizer; `run` needs one", file=sys.stderr)
+        return 1
+    print(f"loaded {pipe.model_id} ({pipe.cfg.arch}); empty line to exit", flush=True)
+    history = []
+    while True:
+        try:
+            line = input("> ")
+        except EOFError:
+            break
+        if not line.strip():
+            break
+        history.append({"role": "user", "content": line})
+        prompt = pipe.chat_template.render(history, add_generation_prompt=True)
+        ids = pipe.tokenizer.encode(prompt)
+        detok = pipe.tokenizer.detokenizer()
+
+        def on_tokens(toks, fin):
+            text = detok.push(toks)
+            if fin:
+                text += detok.flush()
+            if text:
+                print(text, end="", flush=True)
+
+        seq = eng.add_request(
+            ids,
+            SamplingParams(temperature=args.temperature, max_tokens=args.max_tokens),
+            on_tokens=on_tokens,
+        )
+        eng.run_to_completion()
+        print()
+        history.append(
+            {"role": "assistant", "content": pipe.tokenizer.decode(seq.generated_ids)}
+        )
+    return 0
+
+
+def cmd_serve(args):
+    from .serving.server import ServerState, serve
+
+    pipe, eng = _build_engine(args)
+    if pipe.tokenizer is None:
+        print("error: model has no tokenizer; `serve` needs one", file=sys.stderr)
+        return 1
+    state = ServerState(eng, pipe.tokenizer, pipe.chat_template, pipe.model_id)
+    print(f"serving {pipe.model_id} on {args.host}:{args.port}", flush=True)
+    serve(state, host=args.host, port=args.port)
+    return 0
+
+
+def cmd_bench(args):
+    """Latency/throughput sweep (the analog of `mistralrs bench`,
+    mistralrs-cli/src/commands/bench.rs:79)."""
+    import numpy as np
+
+    from .engine.sampler import SamplingParams
+
+    pipe, eng = _build_engine(args)
+    rng = np.random.default_rng(0)
+    results = []
+    for plen in args.prompt_lens:
+        gen = args.gen_tokens
+        prompts = [
+            [int(x) for x in rng.integers(4, pipe.cfg.vocab_size - 1, plen)]
+            for _ in range(args.concurrency)
+        ]
+        for warm in (True, False):
+            t0 = time.perf_counter()
+            ttft = [None] * len(prompts)
+
+            seqs = []
+            for i, p in enumerate(prompts):
+                def cb(toks, fin, i=i):
+                    if ttft[i] is None:
+                        ttft[i] = time.perf_counter() - t0
+                seqs.append(
+                    eng.add_request(
+                        p,
+                        SamplingParams(temperature=0.0, max_tokens=gen),
+                        on_tokens=cb,
+                    )
+                )
+            eng.run_to_completion()
+            dt = time.perf_counter() - t0
+            if warm:
+                continue
+            n_gen = sum(len(s.generated_ids) for s in seqs)
+            valid_ttft = [t for t in ttft if t is not None]
+            worst_ttft = max(valid_ttft) if valid_ttft else None
+            results.append(
+                {
+                    "prompt_len": plen,
+                    "concurrency": args.concurrency,
+                    "prefill_tps": (
+                        round(plen * len(prompts) / worst_ttft, 1) if worst_ttft else None
+                    ),
+                    "decode_tps": round(n_gen / dt, 1),
+                    "ttft_s": round(worst_ttft, 3) if worst_ttft else None,
+                    "total_s": round(dt, 3),
+                }
+            )
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+def cmd_quantize(args):
+    """HF safetensors → quantized GGUF (the analog of `mistralrs quantize`)."""
+    from .convert import convert_hf_to_gguf
+    from .models.config import config_from_hf
+    from .models.hf_loader import load_safetensors_dir
+    from .pipeline import parse_isq
+
+    import json as _json
+    from pathlib import Path
+
+    src = Path(args.model)
+    with open(src / "config.json") as f:
+        cfg = config_from_hf(_json.load(f))
+    sd = load_safetensors_dir(src)
+    t = parse_isq(args.quant)
+    convert_hf_to_gguf(sd, cfg, args.output, quant=t)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_doctor(args):
+    """Environment health check (the analog of `mistralrs doctor`,
+    mistralrs-core/src/diagnostics.rs:408)."""
+    import platform
+
+    info = {"python": sys.version.split()[0], "platform": platform.platform()}
+    try:
+        import jax
+
+        info["jax"] = jax.__version__
+        info["backend"] = jax.default_backend()
+        info["devices"] = [str(d) for d in jax.devices()]
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128)) @ jnp.ones((128, 128))
+        jax.block_until_ready(x)
+        info["matmul_check"] = "ok"
+    except Exception as e:  # noqa: BLE001
+        info["jax_error"] = str(e)
+    for mod in ("flax", "tokenizers", "safetensors", "aiohttp", "jinja2"):
+        try:
+            m = __import__(mod)
+            info[mod] = getattr(m, "__version__", "present")
+        except ImportError:
+            info[mod] = "MISSING"
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="mistralrs_tpu", description="TPU-native quantized LLM inference"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("run", help="interactive chat REPL")
+    _add_model_args(p)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--max-tokens", type=int, default=512)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
+    _add_model_args(p)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("bench", help="latency/throughput sweep")
+    _add_model_args(p)
+    p.add_argument("--prompt-lens", type=int, nargs="+", default=[128, 512])
+    p.add_argument("--gen-tokens", type=int, default=64)
+    p.add_argument("--concurrency", type=int, default=1)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("quantize", help="HF safetensors → quantized GGUF")
+    p.add_argument("model", help="HF model directory")
+    p.add_argument("--quant", default="q4k")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("doctor", help="environment health check")
+    p.set_defaults(fn=cmd_doctor)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

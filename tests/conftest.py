@@ -21,3 +21,6 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+pytest_plugins = ("aiohttp.pytest_plugin",)

@@ -1,0 +1,140 @@
+"""HTTP server integration: OpenAI + Anthropic routes over a tiny model
+(the analog of the reference's server-core handler tests)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+pytest.importorskip("aiohttp")
+
+from mistralrs_tpu.chat_template import resolve_chat_template
+from mistralrs_tpu.engine.engine import Engine
+from mistralrs_tpu.models import ModelConfig, init_random_weights
+from mistralrs_tpu.serving.server import ServerState, build_app
+from mistralrs_tpu.tokenizer import TokenizerWrapper
+
+
+def make_byte_tokenizer(vocab_size=256) -> TokenizerWrapper:
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+
+    alphabet = pre_tokenizers.ByteLevel.alphabet()
+    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    tok = Tokenizer(models.BPE(vocab, []))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    return TokenizerWrapper(tok, bos_id=None, eos_ids=())
+
+
+CFG = ModelConfig(
+    arch="llama", vocab_size=256, hidden_size=64, intermediate_size=128,
+    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+    max_position_embeddings=512,
+)
+
+
+WEIGHTS = init_random_weights(CFG, seed=3)
+
+
+@pytest.fixture()
+def server_state():
+    eng = Engine(
+        CFG, WEIGHTS, num_blocks=64, block_size=16, max_batch=4,
+        backend="xla", compute_dtype=jnp.float32,
+    )
+    tok = make_byte_tokenizer()
+    ct = resolve_chat_template(arch="qwen2")  # chatml fallback
+    state = ServerState(eng, tok, ct, model_id="tiny-test")
+    state.start()
+    yield state
+    state.shutdown()
+
+
+@pytest.fixture()
+async def client(aiohttp_client, server_state):
+    return await aiohttp_client(build_app(server_state))
+
+
+async def test_health_and_models(client):
+    r = await client.get("/health")
+    assert r.status == 200
+    r = await client.get("/v1/models")
+    data = await r.json()
+    assert data["data"][0]["id"] == "tiny-test"
+
+
+async def test_chat_completion_blocking(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 5,
+            "temperature": 0.0,
+        },
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["object"] == "chat.completion"
+    assert data["usage"]["completion_tokens"] > 0
+    assert isinstance(data["choices"][0]["message"]["content"], str)
+
+
+async def test_chat_completion_streaming(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 5,
+            "temperature": 0.0,
+            "stream": True,
+        },
+    )
+    assert r.status == 200
+    body = await r.text()
+    events = [l for l in body.split("\n\n") if l.startswith("data: ")]
+    assert events[-1] == "data: [DONE]"
+    payloads = [json.loads(e[6:]) for e in events[:-1]]
+    assert payloads[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert payloads[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+async def test_completions(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"prompt": "abc", "max_tokens": 4, "temperature": 0.0},
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["object"] == "text_completion"
+    assert data["usage"]["completion_tokens"] > 0
+
+
+async def test_anthropic_messages(client):
+    r = await client.post(
+        "/v1/messages",
+        json={
+            "model": "tiny-test",
+            "max_tokens": 5,
+            "messages": [{"role": "user", "content": "hello"}],
+        },
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["type"] == "message"
+    assert data["content"][0]["type"] == "text"
+    assert data["usage"]["output_tokens"] > 0
+
+
+async def test_metrics(client):
+    await client.get("/health")
+    r = await client.get("/metrics")
+    text = await r.text()
+    assert "http_requests_total" in text
+    assert "engine_generated_tokens" in text
+
+
+async def test_invalid_request_422(client):
+    r = await client.post("/v1/chat/completions", json={"messages": "nope"})
+    assert r.status == 422
