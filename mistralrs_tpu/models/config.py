@@ -32,12 +32,15 @@ class ModelConfig:
     attention_bias: bool = False
     mlp_bias: bool = False
     hidden_act: str = "silu"
+    norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm" (starcoder2)
     sliding_window: Optional[int] = None
     # which layers use sliding window: None → all full attention;
     # "every_other" (gemma2/3), or an explicit per-layer bool list
     layer_types: Optional[list[str]] = None
     logit_softcap: Optional[float] = None
     attn_logit_softcap: Optional[float] = None
+    attn_scale: Optional[float] = None  # gemma2/3: query_pre_attn_scalar**-0.5
+    rope_local_theta: Optional[float] = None  # gemma3: sliding layers' theta
     embedding_multiplier: Optional[float] = None  # gemma: sqrt(hidden)
     qk_norm: bool = False  # qwen3/gemma3: per-head RMSNorm on q/k
     # MoE (mixtral/qwen-moe): 0 experts → dense
@@ -45,6 +48,8 @@ class ModelConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: Optional[int] = None
     norm_topk_prob: bool = False
+    # smollm3: per-layer rope toggle (1 = apply RoPE, 0 = NoPE layer)
+    no_rope_layers: Optional[list[int]] = None
     # bookkeeping
     bos_token_id: Optional[int] = None
     eos_token_ids: tuple[int, ...] = ()
@@ -101,7 +106,7 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         num_heads=n_heads,
         num_kv_heads=cfg.get("num_key_value_heads", n_heads),
         head_dim=head_dim,
-        rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        rms_norm_eps=cfg.get("rms_norm_eps", cfg.get("norm_epsilon", 1e-5)),
         rope_theta=cfg.get("rope_theta", 10000.0),
         rope_scaling=cfg.get("rope_scaling"),
         max_position_embeddings=cfg.get("max_position_embeddings", 4096),
@@ -109,15 +114,23 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         attention_bias=cfg.get("attention_bias", False),
         mlp_bias=cfg.get("mlp_bias", False),
         hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
+        norm_type="layernorm" if arch == "starcoder2" else "rmsnorm",
         sliding_window=cfg.get("sliding_window"),
         layer_types=cfg.get("layer_types"),
         logit_softcap=cfg.get("final_logit_softcapping"),
         attn_logit_softcap=cfg.get("attn_logit_softcapping"),
+        attn_scale=(
+            cfg["query_pre_attn_scalar"] ** -0.5
+            if cfg.get("query_pre_attn_scalar")
+            else None
+        ),
+        rope_local_theta=cfg.get("rope_local_base_freq"),
         qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
         num_experts=cfg.get("num_local_experts", cfg.get("num_experts", 0)) or 0,
         num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
         moe_intermediate_size=cfg.get("moe_intermediate_size"),
         norm_topk_prob=cfg.get("norm_topk_prob", False),
+        no_rope_layers=cfg.get("no_rope_layers"),
         bos_token_id=cfg.get("bos_token_id"),
         eos_token_ids=eos_ids,
     )

@@ -27,7 +27,7 @@ from ..gguf.planar import PLANAR_TYPES, PlanarQuant, to_planar
 from ..gguf.reader import GGUFContent
 from ..quant.qtensor import QTensor
 from .config import ModelConfig, config_from_gguf
-from .llama import layer_windows
+from .llama import layer_rope_flags, layer_windows
 
 # archs whose GGUF conversion permutes q/k for interleaved ("NORM") RoPE
 _PERMUTED_QK_ARCHS = {"llama", "mistral", "granite"}
@@ -240,6 +240,7 @@ def load_gguf_model(
             load("output.weight").to_weight(dtype) if "output.weight" in content else None
         ),
         "layer_windows": jnp.asarray(layer_windows(cfg)),
+        "layer_use_rope": jnp.asarray(layer_rope_flags(cfg)),
     }
     return cfg, weights, md
 

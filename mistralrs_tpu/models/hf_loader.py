@@ -23,7 +23,7 @@ import numpy as np
 from ..gguf.constants import GGMLType
 from ..quant.qtensor import QTensor
 from .config import ModelConfig, config_from_hf
-from .llama import layer_windows
+from .llama import layer_rope_flags, layer_windows
 
 # tensors that stay dense regardless of ISQ (reference: "sensitive tensor
 # precision", docs/reference/quantization-types.md — norms stay fp; embeddings
@@ -63,6 +63,12 @@ _HF_LAYER_MAP = {
     "mlp.gate_proj.weight": "gate",
     "mlp.up_proj.weight": "up",
     "mlp.down_proj.weight": "down",
+    "mlp.c_fc.weight": "up",  # starcoder2 gateless MLP
+    "mlp.c_proj.weight": "down",
+    "mlp.c_fc.bias": "up_bias",
+    "mlp.c_proj.bias": "down_bias",
+    "input_layernorm.bias": "attn_norm_bias",
+    "post_attention_layernorm.bias": "ffn_norm_bias",
     "pre_feedforward_layernorm.weight": "ffn_norm",  # gemma2/3
     "post_feedforward_layernorm.weight": "post_ffn_norm",
     "block_sparse_moe.gate.weight": "router",  # mixtral
@@ -221,6 +227,7 @@ def weights_from_state_dict(
         "final_norm": jnp.asarray(get("norm.weight"), dtype),
         "lm_head": maybe_quant("lm_head", lm_head),
         "layer_windows": jnp.asarray(layer_windows(cfg)),
+        "layer_use_rope": jnp.asarray(layer_rope_flags(cfg)),
     }
 
 

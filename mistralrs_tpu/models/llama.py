@@ -28,7 +28,7 @@ import numpy as np
 from dataclasses import replace as _dc_replace
 
 from ..ops.attention import sdpa
-from ..ops.norms import rms_norm, rms_norm_gemma
+from ..ops.norms import layer_norm, rms_norm, rms_norm_gemma
 from ..ops.rope import apply_rope, rope_cos_sin, rope_frequencies
 from ..quant.linear import Weight, embedding_lookup, linear
 from ..quant.qtensor import QTensor
@@ -102,14 +102,20 @@ def _write_kv(cache_layer: jax.Array, new: jax.Array, starts: jax.Array) -> jax.
 # ---------------------------------------------------------------------------
 
 
-def _maybe_norm(x, w, eps, gemma: bool):
+def _maybe_norm(x, w, eps, gemma: bool, bias=None, norm_type="rmsnorm"):
+    if norm_type == "layernorm":
+        return layer_norm(x, w, bias, eps)
     return rms_norm_gemma(x, w, eps) if gemma else rms_norm(x, w, eps)
 
 
 def _mlp(x, lw: dict, act, backend, tp_axis=None):
-    gate = linear(x, lw["gate"], lw.get("gate_bias"), backend=backend)
     up = linear(x, lw["up"], lw.get("up_bias"), backend=backend)
-    return _row_linear(act(gate) * up, lw["down"], lw.get("down_bias"), tp_axis, backend)
+    if "gate" in lw:  # gated (SwiGLU-family)
+        gate = linear(x, lw["gate"], lw.get("gate_bias"), backend=backend)
+        hidden = act(gate) * up
+    else:  # plain 2-layer MLP (starcoder2)
+        hidden = act(up)
+    return _row_linear(hidden, lw["down"], lw.get("down_bias"), tp_axis, backend)
 
 
 def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
@@ -170,15 +176,26 @@ def _layer_step(
     lw: dict,  # this layer's weights
     k_cache: jax.Array,  # [B, S, n_kv, hd]
     v_cache: jax.Array,
-    cos: jax.Array,  # [B, T, hd//2]
-    sin: jax.Array,
+    ropes,  # (cos, sin, cos_local, sin_local), each [B, T, hd//2]
     positions: jax.Array,  # [B, T]
     kv_start: jax.Array,  # [B] write offset (= tokens already cached)
     window: jax.Array,  # scalar int32; 0 → full attention
+    use_rope: jax.Array,  # scalar int32; 0 → NoPE layer
 ):
     b, t, _ = h.shape
     gemma = cfg.arch.startswith("gemma")
-    x = _maybe_norm(h, lw["attn_norm"], cfg.rms_norm_eps, gemma)
+    cos, sin, cos_l, sin_l = ropes
+    # sliding-window layers may use a different RoPE base (gemma3)
+    if cos_l is not cos:
+        cos = jnp.where(window > 0, cos_l, cos)
+        sin = jnp.where(window > 0, sin_l, sin)
+    # NoPE layers (smollm3): identity rotation
+    cos = jnp.where(use_rope > 0, cos, jnp.ones_like(cos))
+    sin = jnp.where(use_rope > 0, sin, jnp.zeros_like(sin))
+    x = _maybe_norm(
+        h, lw["attn_norm"], cfg.rms_norm_eps, gemma,
+        lw.get("attn_norm_bias"), cfg.norm_type,
+    )
 
     q = linear(x, lw["wq"], lw.get("wq_bias"), backend=backend)
     k = linear(x, lw["wk"], lw.get("wk_bias"), backend=backend)
@@ -202,6 +219,7 @@ def _layer_step(
         q, k_cache, v_cache,
         q_positions=positions,
         kv_len=kv_len,
+        scale=cfg.attn_scale,
         logit_softcap=cfg.attn_logit_softcap,
         sliding_window=window,  # 0 → full attention (handled in sdpa)
     )
@@ -211,7 +229,10 @@ def _layer_step(
         attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
     h = h + attn_out
 
-    x = _maybe_norm(h, lw["ffn_norm"], cfg.rms_norm_eps, gemma)
+    x = _maybe_norm(
+        h, lw["ffn_norm"], cfg.rms_norm_eps, gemma,
+        lw.get("ffn_norm_bias"), cfg.norm_type,
+    )
     if cfg.num_experts > 0 and "experts" in lw:
         mlp_out = _moe_mlp(x, lw, cfg, act, backend, tp_axis)
     else:
@@ -220,6 +241,18 @@ def _layer_step(
         mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
     h = h + mlp_out
     return h, k_cache, v_cache
+
+
+def _rope_sets(cfg: ModelConfig, positions: jax.Array):
+    """(cos, sin, cos_local, sin_local): global-rope and (gemma3) local-rope
+    angle tables; identical objects when there is no local base."""
+    inv = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv)
+    if cfg.rope_local_theta is None:
+        return cos, sin, cos, sin
+    inv_l = rope_frequencies(cfg.head_dim, cfg.rope_local_theta, None)
+    cos_l, sin_l = rope_cos_sin(positions, inv_l)
+    return cos, sin, cos_l, sin_l
 
 
 def forward(
@@ -248,25 +281,29 @@ def forward(
             cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype
         )
 
-    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    ropes = _rope_sets(cfg, positions)
 
     windows = weights["layer_windows"]  # [L] int32 (0 = full attention)
 
+    rope_flags = weights.get("layer_use_rope")
+    if rope_flags is None:
+        rope_flags = jnp.ones_like(windows)
+
     def body(h, xs):
-        lw, k_c, v_c, win = xs
+        lw, k_c, v_c, win, ur = xs
         h, k_c, v_c = _layer_step(
-            cfg, backend, tp_axis, act, h, lw, k_c, v_c, cos, sin, positions,
-            kv_start, win,
+            cfg, backend, tp_axis, act, h, lw, k_c, v_c, ropes, positions,
+            kv_start, win, ur,
         )
         return h, (k_c, v_c)
 
     h, (new_k, new_v) = jax.lax.scan(
-        body, h, (weights["layers"], cache.k, cache.v, windows)
+        body, h, (weights["layers"], cache.k, cache.v, windows, rope_flags)
     )
 
     h = _maybe_norm(
-        h, weights["final_norm"], cfg.rms_norm_eps, cfg.arch.startswith("gemma")
+        h, weights["final_norm"], cfg.rms_norm_eps, cfg.arch.startswith("gemma"),
+        weights.get("final_norm_bias"), cfg.norm_type,
     )
     if logits_last_only:
         h = h[:, -1:, :]
@@ -313,19 +350,25 @@ def forward_paged(
     if gemma:
         h = h * jnp.asarray(cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype)
 
-    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    cos_g, sin_g, cos_lo, sin_lo = _rope_sets(cfg, positions)
     windows = weights["layer_windows"]
     flat_slots = slot_mapping.reshape(-1)
     has_scales = cache.k_scale is not None
 
+    rope_flags = weights.get("layer_use_rope")
+    if rope_flags is None:
+        rope_flags = jnp.ones_like(windows)
+
     def body(hh, xs):
         if has_scales:
-            lw, k_c, v_c, k_s, v_s, win = xs
+            lw, k_c, v_c, k_s, v_s, win, ur = xs
         else:
-            lw, k_c, v_c, win = xs
+            lw, k_c, v_c, win, ur = xs
             k_s = v_s = None
-        x = _maybe_norm(hh, lw["attn_norm"], cfg.rms_norm_eps, gemma)
+        x = _maybe_norm(
+            hh, lw["attn_norm"], cfg.rms_norm_eps, gemma,
+            lw.get("attn_norm_bias"), cfg.norm_type,
+        )
         q = linear(x, lw["wq"], lw.get("wq_bias"), backend=backend)
         k = linear(x, lw["wk"], lw.get("wk_bias"), backend=backend)
         v = linear(x, lw["wv"], lw.get("wv_bias"), backend=backend)
@@ -336,6 +379,13 @@ def forward_paged(
             qn = rms_norm_gemma if gemma else rms_norm
             q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
             k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
+        if cos_lo is not cos_g:
+            cos = jnp.where(win > 0, cos_lo, cos_g)
+            sin = jnp.where(win > 0, sin_lo, sin_g)
+        else:
+            cos, sin = cos_g, sin_g
+        cos = jnp.where(ur > 0, cos, jnp.ones_like(cos))
+        sin = jnp.where(ur > 0, sin, jnp.zeros_like(sin))
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -352,6 +402,7 @@ def forward_paged(
             q, kk, vv,
             q_positions=positions,
             kv_len=kv_lens,
+            scale=cfg.attn_scale,
             logit_softcap=cfg.attn_logit_softcap,
             sliding_window=win,
         ).reshape(b, t, cfg.num_heads * cfg.head_dim)
@@ -359,7 +410,10 @@ def forward_paged(
         if "post_attn_norm" in lw:
             attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
         hh = hh + attn_out
-        x = _maybe_norm(hh, lw["ffn_norm"], cfg.rms_norm_eps, gemma)
+        x = _maybe_norm(
+            hh, lw["ffn_norm"], cfg.rms_norm_eps, gemma,
+            lw.get("ffn_norm_bias"), cfg.norm_type,
+        )
         if cfg.num_experts > 0 and "experts" in lw:
             mlp_out = _moe_mlp(x, lw, cfg, act, backend, tp_axis)
         else:
@@ -372,16 +426,20 @@ def forward_paged(
         return hh, (k_c, v_c)
 
     if has_scales:
-        xs = (weights["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale, windows)
+        xs = (weights["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale,
+              windows, rope_flags)
     else:
-        xs = (weights["layers"], cache.k, cache.v, windows)
+        xs = (weights["layers"], cache.k, cache.v, windows, rope_flags)
     h, outs = jax.lax.scan(body, h, xs)
     if has_scales:
         new_cache = PagedKVCache(*outs)
     else:
         new_cache = PagedKVCache(outs[0], outs[1])
 
-    h = _maybe_norm(h, weights["final_norm"], cfg.rms_norm_eps, gemma)
+    h = _maybe_norm(
+        h, weights["final_norm"], cfg.rms_norm_eps, gemma,
+        weights.get("final_norm_bias"), cfg.norm_type,
+    )
     if logits_last_only:
         h = h[:, -1:, :]
     lm_head = weights.get("lm_head")
@@ -399,6 +457,13 @@ def forward_paged(
 # ---------------------------------------------------------------------------
 # weight construction helpers
 # ---------------------------------------------------------------------------
+
+
+def layer_rope_flags(cfg: ModelConfig) -> np.ndarray:
+    """Per-layer RoPE application flags [L] (0 = NoPE layer; smollm3)."""
+    if cfg.no_rope_layers:
+        return np.asarray(cfg.no_rope_layers, np.int32)
+    return np.ones(cfg.num_layers, dtype=np.int32)
 
 
 def layer_windows(cfg: ModelConfig) -> np.ndarray:
@@ -449,4 +514,5 @@ def init_random_weights(
         "final_norm": jnp.ones((H,), dtype),
         "lm_head": None if cfg.tie_word_embeddings else arr(cfg.vocab_size, H),
         "layer_windows": jnp.asarray(layer_windows(cfg)),
+        "layer_use_rope": jnp.asarray(layer_rope_flags(cfg)),
     }

@@ -1,0 +1,134 @@
+"""Multi-architecture logit parity vs HF torch reference models (tiny random
+configs, CPU): qwen2 (attn biases), qwen3 (qk-norm), gemma2 (pre/post norms,
+softcaps, sliding window, attn scale), phi3 (fused qkv/gate_up), mixtral
+(MoE). The arch-coverage analog of the reference's 33-arch model zoo tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from mistralrs_tpu.models.config import config_from_hf
+from mistralrs_tpu.models.hf_loader import weights_from_state_dict
+from mistralrs_tpu.models.llama import KVCache, forward
+
+RTOL = ATOL = 3e-4
+
+
+def _np_state_dict(model):
+    return {k: v.detach().numpy().astype(np.float32) for k, v in model.state_dict().items()}
+
+
+def _compare(hf_cfg, model, arch_name, ids=None):
+    cfg = config_from_hf(hf_cfg.to_dict() | {"architectures": [arch_name]})
+    weights = weights_from_state_dict(_np_state_dict(model), cfg, dtype=jnp.float32)
+    if ids is None:
+        ids = np.array([[1, 7, 23, 50, 9, 3, 17, 2]], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    b, t = ids.shape
+    cache = KVCache.create(cfg, b, t + 4, dtype=jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t)).astype(jnp.int32)
+    got, _ = forward(
+        weights, cfg, jnp.asarray(ids), positions, cache,
+        jnp.zeros((b,), jnp.int32), backend="xla", compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_qwen2():
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Qwen2ForCausalLM")
+
+
+def test_qwen3():
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Qwen3ForCausalLM")
+
+
+def test_gemma2():
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, sliding_window=4,
+        query_pre_attn_scalar=16, final_logit_softcapping=30.0,
+        attn_logit_softcapping=50.0, hidden_activation="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(2)
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Gemma2ForCausalLM")
+
+
+def test_phi3():
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(3)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Phi3ForCausalLM")
+
+
+def test_mixtral():
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    model = transformers.MixtralForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "MixtralForCausalLM")
+
+
+def test_starcoder2():
+    hf_cfg = transformers.Starcoder2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, use_bias=True,
+    )
+    torch.manual_seed(5)
+    model = transformers.Starcoder2ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Starcoder2ForCausalLM")
+
+
+def test_gemma3():
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, sliding_window=4,
+        query_pre_attn_scalar=16, rope_theta=1000000.0,
+        rope_local_base_freq=10000.0, sliding_window_pattern=2,
+    )
+    torch.manual_seed(6)
+    model = transformers.Gemma3ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Gemma3ForCausalLM")
+
+
+def test_smollm3_nope_layers():
+    hf_cfg = transformers.SmolLM3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        no_rope_layer_interval=4, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(7)
+    model = transformers.SmolLM3ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "SmolLM3ForCausalLM")
