@@ -128,14 +128,46 @@ def weights_from_state_dict(
     isq_plan: Optional[Callable[[str, tuple[int, ...]], Optional[GGMLType]]] = None,
     num_threads: int = 8,
     row_parallel_chunks: int = 1,
+    quant_config: Optional[Mapping[str, Any]] = None,
 ) -> dict:
-    """Build the stacked-layer weights pytree from a HF state dict."""
+    """Build the stacked-layer weights pytree from a HF state dict.
+
+    ``quant_config`` is the HF ``quantization_config`` dict: GPTQ/AWQ
+    checkpoints store ``<name>.qweight/qzeros/scales`` instead of
+    ``<name>.weight``; those decode straight into planar QTensors (see
+    `quant/gptq_awq.py`).
+    """
     plan = isq_plan or default_isq_plan(isq)
     prefix = "model." if any(k.startswith("model.") for k in sd) else ""
     layer_map = _GEMMA_LAYER_MAP if cfg.arch.startswith("gemma") else _HF_LAYER_MAP
+    quant_method = (quant_config or {}).get("quant_method")
+    q_bits = int((quant_config or {}).get("bits", 4))
+    # GPTQ checkpoints are "v1" (zero+1) unless checkpoint_format says v2
+    gptq_zero_offset = 0 if (quant_config or {}).get("checkpoint_format") == "gptq_v2" else 1
 
-    def get(name: str) -> Optional[np.ndarray]:
-        return sd.get(prefix + name)
+    def get(name: str, key: str = "", chunks: int = 1):
+        """Fetch a tensor; decodes GPTQ/AWQ triplets when present."""
+        base = prefix + name
+        arr = sd.get(base)
+        if arr is not None:
+            return arr
+        if name.endswith(".weight") and quant_method in ("gptq", "awq"):
+            stem = base[: -len(".weight")]
+            qw = sd.get(stem + ".qweight")
+            if qw is not None:
+                from ..quant.gptq_awq import awq_to_qtensor, gptq_to_qtensor
+
+                if quant_method == "awq":
+                    return awq_to_qtensor(
+                        qw, sd[stem + ".qzeros"], sd[stem + ".scales"],
+                        bits=q_bits, chunks=chunks,
+                    )
+                return gptq_to_qtensor(
+                    qw, sd[stem + ".qzeros"], sd[stem + ".scales"],
+                    g_idx=sd.get(stem + ".g_idx"), bits=q_bits,
+                    zero_offset=gptq_zero_offset, chunks=chunks,
+                )
+        return None
 
     # collect per-layer dense tensors first
     per_layer: dict[str, list[np.ndarray]] = {}
@@ -146,7 +178,8 @@ def weights_from_state_dict(
     for i in range(cfg.num_layers):
         lp = f"layers.{i}."
         for suffix, key in layer_map.items():
-            arr = get(lp + suffix)
+            chunks = row_parallel_chunks if key in _ROW_PARALLEL_KEYS else 1
+            arr = get(lp + suffix, key, chunks)
             if arr is not None:
                 add(key, i, arr)
         for suffix, keys in _PHI3_FUSED.items():
@@ -176,7 +209,11 @@ def weights_from_state_dict(
                             i * cfg.num_experts + e
                         ] = arr
 
-    def build_stacked(key: str, tensors: list[np.ndarray]):
+    def build_stacked(key: str, tensors: list):
+        import jax
+
+        if isinstance(tensors[0], QTensor):  # pre-quantized (GPTQ/AWQ)
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tensors)
         name = f"layers.{key}"
         t = plan(name, tensors[0].shape)
         if t is None:
@@ -184,8 +221,6 @@ def weights_from_state_dict(
         chunks = row_parallel_chunks if key in _ROW_PARALLEL_KEYS else 1
         with ThreadPoolExecutor(num_threads) as ex:
             qts = list(ex.map(lambda w: _quantize_tensor(w, t, chunks), tensors))
-        import jax
-
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
 
     layers: dict[str, Any] = {}
@@ -213,9 +248,11 @@ def weights_from_state_dict(
     embed = get("embed_tokens.weight")
     lm_head = sd.get("lm_head.weight")
 
-    def maybe_quant(name: str, arr: Optional[np.ndarray]):
+    def maybe_quant(name: str, arr):
         if arr is None:
             return None
+        if isinstance(arr, QTensor):
+            return arr
         t = plan(name, arr.shape)
         if t is None:
             return jnp.asarray(arr, dtype)
@@ -236,12 +273,18 @@ def load_hf_model(
     *,
     dtype=jnp.bfloat16,
     isq: Optional[GGMLType] = None,
+    row_parallel_chunks: int = 1,
 ) -> tuple[ModelConfig, dict, dict[str, Any]]:
-    """Load a HF model directory. Returns (config, weights, config-dict)."""
+    """Load a HF model directory (plain, GPTQ or AWQ).
+    Returns (config, weights, config-dict)."""
     path = Path(path)
     with open(path / "config.json") as f:
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg)
     sd = load_safetensors_dir(path)
-    weights = weights_from_state_dict(sd, cfg, dtype=dtype, isq=isq)
+    weights = weights_from_state_dict(
+        sd, cfg, dtype=dtype, isq=isq,
+        row_parallel_chunks=row_parallel_chunks,
+        quant_config=hf_cfg.get("quantization_config"),
+    )
     return cfg, weights, hf_cfg

@@ -64,6 +64,12 @@ def load_pipeline(
     """Load a model from a GGUF file or HF-format directory."""
     path = Path(model_path)
     isq_t = parse_isq(isq) if isinstance(isq, str) else isq
+    if path.is_file() and path.suffix == ".uqff":
+        from .uqff import load_uqff
+
+        cfg, weights = load_uqff(str(path))
+        ct = resolve_chat_template(override=chat_template_override, arch=cfg.arch)
+        return Pipeline(cfg, weights, None, ct, path.stem, {})
     if path.is_file() and path.suffix == ".gguf":
         cfg, weights, md = load_gguf_model(str(path), dtype=dtype)
         try:
@@ -88,4 +94,6 @@ def load_pipeline(
             override=chat_template_override, hf_dir=path, arch=cfg.arch
         )
         return Pipeline(cfg, weights, tokenizer, ct, path.name, hf_cfg)
-    raise FileNotFoundError(f"model path {model_path!r}: not a .gguf file or directory")
+    raise FileNotFoundError(
+        f"model path {model_path!r}: not a .gguf/.uqff file or a directory"
+    )

@@ -12,9 +12,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.quant_matmul import quant_matmul
+from .fp8 import Fp8Tensor, fp8_matmul
 from .qtensor import QTensor
 
-Weight = Union[QTensor, jax.Array]
+Weight = Union[QTensor, Fp8Tensor, jax.Array]
 
 
 def linear(
@@ -27,6 +28,8 @@ def linear(
     """``x @ w.T (+ bias)`` with ``w`` of shape [out, in] (HF convention)."""
     if isinstance(w, QTensor):
         out = quant_matmul(x, w, backend=backend)
+    elif isinstance(w, Fp8Tensor):
+        out = fp8_matmul(x, w)
     else:
         out = jax.lax.dot_general(
             x,

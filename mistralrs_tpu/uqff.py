@@ -1,0 +1,147 @@
+"""UQFF-TPU: pre-quantized model serialization (the analog of the reference's
+UQFF format, `mistralrs-quant/src/uqff/` — a safetensors container holding
+per-layer quantized tensors + typed metadata).
+
+One ``.uqff`` file = a safetensors archive of the entire stacked-weights
+pytree (QTensor codes/scales/biases, dense norms/embeddings) plus a JSON
+metadata header carrying the model config and per-entry static quant
+metadata. Loading is mmap + device_put — no quantization work, the analog of
+`UqffReader` (`pipeline/normal.rs:402`).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gguf.constants import GGMLType
+from .models.config import ModelConfig
+from .quant.fp8 import Fp8Tensor
+from .quant.qtensor import QTensor
+
+UQFF_TPU_VERSION = 1
+
+
+def _flatten(weights: dict, prefix: str = "") -> list[tuple[str, Any]]:
+    out = []
+    for k, v in weights.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.extend(_flatten(v, key + "."))
+        else:
+            out.append((key, v))
+    return out
+
+
+def save_uqff(path: str, cfg: ModelConfig, weights: dict) -> None:
+    from safetensors.numpy import save_file
+
+    tensors: dict[str, np.ndarray] = {}
+    meta_entries: dict[str, Any] = {}
+    for key, v in _flatten(weights):
+        if v is None:
+            meta_entries[key] = {"kind": "none"}
+        elif isinstance(v, QTensor):
+            tensors[key + ".data"] = np.asarray(v.data)
+            tensors[key + ".scale"] = np.asarray(v.scale)
+            if v.bias is not None:
+                tensors[key + ".bias"] = np.asarray(v.bias)
+            meta_entries[key] = {
+                "kind": "qtensor",
+                "group_size": v.group_size,
+                "packed": v.packed,
+                "code_bits": v.code_bits,
+                "ggml_type": int(v.ggml_type) if v.ggml_type is not None else None,
+                "chunks": v.chunks,
+                "has_bias": v.bias is not None,
+            }
+        elif isinstance(v, Fp8Tensor):
+            tensors[key + ".data"] = np.asarray(v.data).view(np.uint8)
+            tensors[key + ".scale"] = np.asarray(v.scale)
+            meta_entries[key] = {
+                "kind": "fp8",
+                "block_shape": list(v.block_shape) if v.block_shape else None,
+                "shape": list(v.data.shape),
+            }
+        else:
+            arr = np.asarray(v)
+            if arr.dtype == jnp.bfloat16:
+                tensors[key] = arr.view(np.uint16)
+                meta_entries[key] = {"kind": "bf16"}
+            else:
+                tensors[key] = arr
+                meta_entries[key] = {"kind": "dense"}
+    header = {
+        "uqff_tpu_version": UQFF_TPU_VERSION,
+        "config": asdict(cfg),
+        "entries": meta_entries,
+    }
+    save_file(tensors, path, metadata={"uqff_tpu": json.dumps(header)})
+
+
+def load_uqff(path: str) -> tuple[ModelConfig, dict]:
+    from safetensors import safe_open
+
+    with safe_open(str(path), framework="np") as st:
+        meta = st.metadata()
+        header = json.loads(meta["uqff_tpu"])
+        if header["uqff_tpu_version"] > UQFF_TPU_VERSION:
+            raise ValueError(
+                f"uqff version {header['uqff_tpu_version']} newer than supported"
+            )
+        raw = {name: st.get_tensor(name) for name in st.keys()}
+
+    cfg_d = header["config"]
+    cfg_d["eos_token_ids"] = tuple(cfg_d.get("eos_token_ids") or ())
+    cfg = ModelConfig(**cfg_d)
+
+    weights: dict[str, Any] = {}
+
+    def put(key: str, value):
+        parts = key.split(".")
+        d = weights
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = value
+
+    for key, ent in header["entries"].items():
+        kind = ent["kind"]
+        if kind == "none":
+            put(key, None)
+        elif kind == "qtensor":
+            bias = raw.get(key + ".bias") if ent["has_bias"] else None
+            put(
+                key,
+                QTensor(
+                    data=jnp.asarray(raw[key + ".data"]),
+                    scale=jnp.asarray(raw[key + ".scale"]),
+                    bias=None if bias is None else jnp.asarray(bias),
+                    group_size=ent["group_size"],
+                    packed=ent["packed"],
+                    code_bits=ent["code_bits"],
+                    ggml_type=(
+                        GGMLType(ent["ggml_type"]) if ent["ggml_type"] is not None else None
+                    ),
+                    chunks=ent["chunks"],
+                ),
+            )
+        elif kind == "fp8":
+            put(
+                key,
+                Fp8Tensor(
+                    data=jnp.asarray(raw[key + ".data"]).view(jnp.float8_e4m3fn),
+                    scale=jnp.asarray(raw[key + ".scale"]),
+                    block_shape=tuple(ent["block_shape"]) if ent["block_shape"] else None,
+                ),
+            )
+        elif kind == "bf16":
+            put(key, jnp.asarray(raw[key]).view(jnp.bfloat16))
+        else:
+            put(key, jnp.asarray(raw[key]))
+    return cfg, weights
