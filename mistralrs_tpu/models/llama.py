@@ -30,6 +30,7 @@ from dataclasses import replace as _dc_replace
 from ..ops.attention import sdpa
 from ..ops.norms import layer_norm, rms_norm, rms_norm_gemma
 from ..ops.rope import apply_rope, rope_cos_sin, rope_frequencies
+from ..lora import apply_lora_delta
 from ..quant.linear import Weight, embedding_lookup, linear
 from ..quant.qtensor import QTensor
 from .config import ModelConfig
@@ -43,16 +44,23 @@ def _local_view(w):
     return w
 
 
-def _row_linear(x, w, bias, tp_axis, backend):
+def _row_linear(x, w, bias, tp_axis, backend, lora=None):
     """Row-parallel linear: local partial matmul + all-reduce (the analog of
     `RowParallelLayer` + `SumAllReduce`, mistralrs-quant/src/distributed/
     layers.rs:58). Bias is added once, after the reduction."""
     out = linear(x, _local_view(w) if tp_axis else w, backend=backend)
+    out = apply_lora_delta(out, x, lora)
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _proj(x, lw, name, backend):
+    """Column-style projection with optional dynamic-LoRA delta."""
+    out = linear(x, lw[name], lw.get(name + "_bias"), backend=backend)
+    return apply_lora_delta(out, x, lw.get(name + "_lora"))
 
 ACTIVATIONS = {
     "silu": jax.nn.silu,
@@ -109,13 +117,15 @@ def _maybe_norm(x, w, eps, gemma: bool, bias=None, norm_type="rmsnorm"):
 
 
 def _mlp(x, lw: dict, act, backend, tp_axis=None):
-    up = linear(x, lw["up"], lw.get("up_bias"), backend=backend)
+    up = _proj(x, lw, "up", backend)
     if "gate" in lw:  # gated (SwiGLU-family)
-        gate = linear(x, lw["gate"], lw.get("gate_bias"), backend=backend)
-        hidden = act(gate) * up
+        hidden = act(_proj(x, lw, "gate", backend)) * up
     else:  # plain 2-layer MLP (starcoder2)
         hidden = act(up)
-    return _row_linear(hidden, lw["down"], lw.get("down_bias"), tp_axis, backend)
+    return _row_linear(
+        hidden, lw["down"], lw.get("down_bias"), tp_axis, backend,
+        lora=lw.get("down_lora"),
+    )
 
 
 def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
@@ -197,9 +207,9 @@ def _layer_step(
         lw.get("attn_norm_bias"), cfg.norm_type,
     )
 
-    q = linear(x, lw["wq"], lw.get("wq_bias"), backend=backend)
-    k = linear(x, lw["wk"], lw.get("wk_bias"), backend=backend)
-    v = linear(x, lw["wv"], lw.get("wv_bias"), backend=backend)
+    q = _proj(x, lw, "wq", backend)
+    k = _proj(x, lw, "wk", backend)
+    v = _proj(x, lw, "wv", backend)
     q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -224,7 +234,9 @@ def _layer_step(
         sliding_window=window,  # 0 → full attention (handled in sdpa)
     )
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
-    attn_out = _row_linear(attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend)
+    attn_out = _row_linear(
+        attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend, lora=lw.get("wo_lora")
+    )
     if "post_attn_norm" in lw:  # gemma2/3 post-attention scaling norm
         attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
     h = h + attn_out
@@ -369,9 +381,9 @@ def forward_paged(
             hh, lw["attn_norm"], cfg.rms_norm_eps, gemma,
             lw.get("attn_norm_bias"), cfg.norm_type,
         )
-        q = linear(x, lw["wq"], lw.get("wq_bias"), backend=backend)
-        k = linear(x, lw["wk"], lw.get("wk_bias"), backend=backend)
-        v = linear(x, lw["wv"], lw.get("wv_bias"), backend=backend)
+        q = _proj(x, lw, "wq", backend)
+        k = _proj(x, lw, "wk", backend)
+        v = _proj(x, lw, "wv", backend)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -406,7 +418,10 @@ def forward_paged(
             logit_softcap=cfg.attn_logit_softcap,
             sliding_window=win,
         ).reshape(b, t, cfg.num_heads * cfg.head_dim)
-        attn_out = _row_linear(attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend)
+        attn_out = _row_linear(
+            attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend,
+            lora=lw.get("wo_lora"),
+        )
         if "post_attn_norm" in lw:
             attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
         hh = hh + attn_out

@@ -21,6 +21,7 @@ from typing import Any, Optional
 from aiohttp import web
 
 from ..chat_template import ChatTemplate
+from ..tools import ToolCallingMatcher, split_reasoning
 from ..engine.engine import Engine
 from ..engine.sampler import SamplingParams
 from ..engine.sequence import Sequence, StopReason
@@ -260,11 +261,26 @@ def build_app(state: ServerState) -> web.Application:
             return web.json_response(
                 {"error": {"message": "engine error"}}, status=500
             )
-        return web.json_response(
-            P.chat_completion_response(
-                state.model_id, text, _FINISH_MAP.get(seq.stop_reason, "stop"), usage
-            )
-        )
+        reasoning, content = split_reasoning(text)
+        finish = _FINISH_MAP.get(seq.stop_reason, "stop")
+        tool_calls = None
+        if req.tools and (req.tool_choice or "auto") != "none":
+            matcher = ToolCallingMatcher(family=state.engine.cfg.arch
+                                         if state.engine.cfg.arch in
+                                         ("llama", "mistral", "qwen2", "qwen3",
+                                          "gemma2", "gemma3") else "auto")
+            calls = matcher.get_calls(content)
+            if calls:
+                tool_calls = [c.to_openai() for c in calls]
+                finish = "tool_calls"
+                content = ""
+        resp = P.chat_completion_response(state.model_id, content, finish, usage)
+        if reasoning:
+            resp["choices"][0]["message"]["reasoning_content"] = reasoning
+        if tool_calls:
+            resp["choices"][0]["message"]["tool_calls"] = tool_calls
+            resp["choices"][0]["message"]["content"] = None
+        return web.json_response(resp)
 
     async def _stream_chat(request, state, prompt_ids, params, usage_base):
         resp = web.StreamResponse(

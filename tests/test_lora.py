@@ -1,0 +1,110 @@
+"""LoRA: static merge == dynamic application, PEFT name parsing, detach."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mistralrs_tpu.lora import (
+    attach_dynamic_lora,
+    detach_dynamic_lora,
+    merge_lora_into_state_dict,
+)
+from mistralrs_tpu.models import ModelConfig
+from mistralrs_tpu.models.hf_loader import weights_from_state_dict
+from mistralrs_tpu.models.llama import KVCache, forward
+
+CFG = ModelConfig(
+    arch="llama", vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+)
+
+
+def _base_sd(rng):
+    H, I, V = CFG.hidden_size, CFG.intermediate_size, CFG.vocab_size
+    sd = {
+        "model.embed_tokens.weight": rng.standard_normal((V, H)).astype(np.float32) * 0.05,
+        "model.norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": rng.standard_normal((V, H)).astype(np.float32) * 0.05,
+    }
+    for i in range(CFG.num_layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        for nm, shp in [
+            ("self_attn.q_proj", (64, H)), ("self_attn.k_proj", (32, H)),
+            ("self_attn.v_proj", (32, H)), ("self_attn.o_proj", (H, 64)),
+            ("mlp.gate_proj", (I, H)), ("mlp.up_proj", (I, H)),
+            ("mlp.down_proj", (H, I)),
+        ]:
+            sd[p + nm + ".weight"] = rng.standard_normal(shp).astype(np.float32) * 0.05
+    return sd
+
+
+def _adapter(rng, r=4):
+    cfg = {"r": r, "lora_alpha": 8, "target_modules": ["q_proj", "down_proj"]}
+    t = {}
+    for i in range(CFG.num_layers):
+        b = f"base_model.model.model.layers.{i}."
+        t[b + "self_attn.q_proj.lora_A.weight"] = rng.standard_normal((r, 64)).astype(np.float32) * 0.1
+        t[b + "self_attn.q_proj.lora_B.weight"] = rng.standard_normal((64, r)).astype(np.float32) * 0.1
+        t[b + "mlp.down_proj.lora_A.weight"] = rng.standard_normal((r, 128)).astype(np.float32) * 0.1
+        t[b + "mlp.down_proj.lora_B.weight"] = rng.standard_normal((64, r)).astype(np.float32) * 0.1
+    return cfg, t
+
+
+def _logits(weights, ids):
+    b, t = ids.shape
+    cache = KVCache.create(CFG, b, t + 2, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t)).astype(jnp.int32)
+    lg, _ = forward(
+        weights, CFG, jnp.asarray(ids), pos, cache, jnp.zeros((b,), jnp.int32),
+        backend="xla", compute_dtype=jnp.float32,
+    )
+    return np.asarray(lg)
+
+
+def test_static_merge_equals_dynamic():
+    rng = np.random.default_rng(0)
+    sd = _base_sd(rng)
+    acfg, at = _adapter(rng)
+    ids = np.array([[1, 5, 9, 33]], np.int32)
+
+    merged = weights_from_state_dict(
+        merge_lora_into_state_dict(sd, acfg, at), CFG, dtype=jnp.float32
+    )
+    base = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    dynamic = attach_dynamic_lora(base, acfg, at, CFG.num_layers, dtype=jnp.float32)
+
+    np.testing.assert_allclose(
+        _logits(dynamic, ids), _logits(merged, ids), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_lora_changes_output_and_detach_restores():
+    rng = np.random.default_rng(1)
+    sd = _base_sd(rng)
+    acfg, at = _adapter(rng)
+    base = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    dynamic = attach_dynamic_lora(base, acfg, at, CFG.num_layers, dtype=jnp.float32)
+    ids = np.array([[2, 4, 8]], np.int32)
+    lg_base = _logits(base, ids)
+    lg_lora = _logits(dynamic, ids)
+    assert np.abs(lg_base - lg_lora).max() > 1e-3
+    detached = detach_dynamic_lora(dynamic)
+    np.testing.assert_array_equal(_logits(detached, ids), lg_base)
+
+
+def test_dynamic_lora_on_quantized_base():
+    """Adapters compose with a quantized base (the QLoRA serving pattern)."""
+    from mistralrs_tpu.gguf.constants import GGMLType
+
+    rng = np.random.default_rng(2)
+    sd = _base_sd(rng)
+    acfg, at = _adapter(rng)
+    qbase = weights_from_state_dict(sd, CFG, dtype=jnp.float32, isq=GGMLType.Q8_0)
+    dynamic = attach_dynamic_lora(qbase, acfg, at, CFG.num_layers, dtype=jnp.float32)
+    ids = np.array([[7, 3, 11]], np.int32)
+    lg_q = _logits(qbase, ids)
+    lg_ql = _logits(dynamic, ids)
+    assert np.isfinite(lg_ql).all()
+    assert np.abs(lg_q - lg_ql).max() > 1e-3
