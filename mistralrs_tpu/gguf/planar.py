@@ -198,3 +198,24 @@ def to_planar(raw: np.ndarray, t: GGMLType) -> PlanarQuant:
     if fn is None:
         raise NotImplementedError(f"no planar decomposition for {t!r}")
     return fn(raw)
+
+
+def widen_planar(p: PlanarQuant) -> PlanarQuant:
+    """Convert any planar layout to the common (int8, group 16, biased) form
+    so tensors of different quant types can be stacked uniformly."""
+    if p.group_size % 16 != 0:
+        raise ValueError(f"group size {p.group_size} not divisible by 16")
+    rep = p.group_size // 16
+    scale = np.repeat(p.scale, rep) if rep > 1 else p.scale
+    if p.bias is None:
+        bias = np.zeros_like(scale)
+    else:
+        bias = np.repeat(p.bias, rep) if rep > 1 else p.bias
+    return PlanarQuant(
+        q=p.q.astype(np.int8),  # unsigned codes are ≤31, so int8 is lossless
+        scale=scale,
+        bias=bias,
+        group_size=16,
+        code_bits=8,
+        signed=True,
+    )

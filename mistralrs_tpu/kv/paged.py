@@ -5,12 +5,11 @@ The analog of the reference's `CacheEngine` (physical paged tensors,
 (`paged_attention/layers/paged_attention.rs`: `reshape_and_cache` write +
 paged decode kernel + gather-KV prefill).
 
-Layout: one pool per layer, flattened over slots —
-``k/v: [L, num_blocks * block_size, n_kv, head_dim]`` — so a slot mapping is
-a single scatter index and a block table row gathers contiguous
-``block_size`` stripes. XLA path uses scatter/gather (fused well for decode
-batch sizes); the Pallas flash/paged kernel path takes over large-context
-decode (`ops/paged_attention.py`).
+Layout: one pool per layer, **head-major** —
+``k/v: [L, n_kv, num_blocks * block_size, head_dim]`` — so one (head, block)
+stripe is a single contiguous ``block_size × head_dim`` DMA for the Pallas
+paged-decode kernel (`ops/paged_attention.py`), and a slot mapping is one
+scatter index along the slot axis. The XLA path uses scatter/gather.
 
 Optional KV quantization (INT8/FP8 per-head-group scale) mirrors
 `PagedCacheType` (cache_engine.rs:13).
@@ -29,11 +28,11 @@ from ..models.config import ModelConfig
 
 @dataclass(frozen=True)
 class PagedKVCache:
-    """k/v pools: [L, S_total(slots), n_kv, head_dim] (+ scales if quantized)."""
+    """k/v pools: [L, n_kv, S_total(slots), head_dim] (+ scales if quantized)."""
 
     k: jax.Array
     v: jax.Array
-    k_scale: Optional[jax.Array] = None  # [L, S_total, n_kv] for int8/fp8 KV
+    k_scale: Optional[jax.Array] = None  # [L, n_kv, S_total] for int8/fp8 KV
     v_scale: Optional[jax.Array] = None
 
     @classmethod
@@ -50,8 +49,8 @@ class PagedKVCache:
         # nondeterministic winners)
         shape = (
             cfg.num_layers,
-            (num_blocks + 1) * block_size,
             cfg.num_kv_heads,
+            (num_blocks + 1) * block_size,
             cfg.head_dim,
         )
         if kv_quant is None:
@@ -71,7 +70,7 @@ class PagedKVCache:
 
     @property
     def num_slots(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[2]
 
 
 jax.tree_util.register_dataclass(
@@ -80,29 +79,31 @@ jax.tree_util.register_dataclass(
 
 
 def write_kv(
-    cache_k: jax.Array,  # [S_total, n_kv, hd] (one layer)
+    cache_k: jax.Array,  # [n_kv, S_total, hd] (one layer)
     cache_v: jax.Array,
     k_new: jax.Array,  # [T, n_kv, hd]
     v_new: jax.Array,
     slots: jax.Array,  # [T] int32 physical slot ids; negative → dropped
-    k_scale: Optional[jax.Array] = None,  # [S_total, n_kv]
+    k_scale: Optional[jax.Array] = None,  # [n_kv, S_total]
     v_scale: Optional[jax.Array] = None,
 ):
     """reshape_and_cache: scatter new KV rows into the pool. Dropped rows
     (slot < 0) land in the reserved trash block at the end of the pool.
     Returns updated (cache_k, cache_v, k_scale, v_scale)."""
-    trash = cache_k.shape[0] - 1  # last slot of the reserved trash block
+    trash = cache_k.shape[1] - 1  # last slot of the reserved trash block
     safe = jnp.where(slots < 0, trash, slots)
+    k_hm = jnp.swapaxes(k_new, 0, 1)  # [n_kv, T, hd]
+    v_hm = jnp.swapaxes(v_new, 0, 1)
     if k_scale is None:
         return (
-            cache_k.at[safe].set(k_new.astype(cache_k.dtype)),
-            cache_v.at[safe].set(v_new.astype(cache_v.dtype)),
+            cache_k.at[:, safe].set(k_hm.astype(cache_k.dtype)),
+            cache_v.at[:, safe].set(v_hm.astype(cache_v.dtype)),
             None,
             None,
         )
-    # quantized KV: per (slot, head) abs-max scale
-    def q(x, cache, scale):
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [T, n_kv]
+    # quantized KV: per (head, slot) abs-max scale
+    def q(x, cache, scale):  # x: [n_kv, T, hd]
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [n_kv, T]
         if cache.dtype == jnp.int8:
             s = amax / 127.0
             enc = jnp.clip(
@@ -115,15 +116,15 @@ def write_kv(
             enc = (x.astype(jnp.float32) / jnp.maximum(s, 1e-10)[..., None]).astype(
                 cache.dtype
             )
-        return cache.at[safe].set(enc), scale.at[safe].set(s)
+        return cache.at[:, safe].set(enc), scale.at[:, safe].set(s)
 
-    ck, ks = q(k_new, cache_k, k_scale)
-    cv, vs = q(v_new, cache_v, v_scale)
+    ck, ks = q(k_hm, cache_k, k_scale)
+    cv, vs = q(v_hm, cache_v, v_scale)
     return ck, cv, ks, vs
 
 
 def gather_kv(
-    cache_k: jax.Array,  # [S_total, n_kv, hd]
+    cache_k: jax.Array,  # [n_kv, S_total, hd]
     cache_v: jax.Array,
     block_table: jax.Array,  # [B, max_blocks] int32 (−1 padding allowed)
     block_size: int,
@@ -137,9 +138,13 @@ def gather_kv(
     slots = (bt[:, :, None] * block_size + jnp.arange(block_size)[None, None, :]).reshape(
         block_table.shape[0], -1
     )  # [B, S]
-    k = cache_k[slots]
-    v = cache_v[slots]
+    k = cache_k[:, slots]  # [n_kv, B, S, hd]
+    v = cache_v[:, slots]
     if k_scale is not None:
-        k = k.astype(jnp.float32) * k_scale[slots][..., None]
-        v = v.astype(jnp.float32) * v_scale[slots][..., None]
-    return k.astype(dtype), v.astype(dtype)
+        k = k.astype(jnp.float32) * k_scale[:, slots][..., None]
+        v = v.astype(jnp.float32) * v_scale[:, slots][..., None]
+    # → [B, S, n_kv, hd] (XLA fuses the transpose into the gather consumer)
+    return (
+        jnp.transpose(k, (1, 2, 0, 3)).astype(dtype),
+        jnp.transpose(v, (1, 2, 0, 3)).astype(dtype),
+    )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf.constants import GGMLType
-from ..gguf.planar import PLANAR_TYPES, PlanarQuant, to_planar
+from ..gguf.planar import PLANAR_TYPES, PlanarQuant, to_planar, widen_planar
 from ..gguf.reader import GGUFContent
 from ..quant.qtensor import QTensor
 from .config import ModelConfig, config_from_gguf
@@ -58,29 +58,6 @@ def _unpermute_planar(p: PlanarQuant, shape: tuple[int, int], n_heads: int) -> P
         group_size=gs,
         code_bits=p.code_bits,
         signed=p.signed,
-    )
-
-
-def _widen_planar(p: PlanarQuant) -> PlanarQuant:
-    """Convert any planar layout to the common (int8, group 16, biased) form."""
-    rep = p.group_size // 16
-    if p.group_size % 16 != 0:
-        raise ValueError(f"group size {p.group_size} not divisible by 16")
-    scale = np.repeat(p.scale, rep) if rep > 1 else p.scale
-    bias = (
-        np.repeat(p.bias, rep)
-        if (p.bias is not None and rep > 1)
-        else (p.bias if p.bias is not None else np.zeros_like(scale))
-    )
-    if p.bias is None:
-        bias = np.zeros_like(scale)
-    return PlanarQuant(
-        q=p.q.astype(np.int8),  # unsigned codes are ≤31, so int8 is lossless
-        scale=scale,
-        bias=bias,
-        group_size=16,
-        code_bits=8,
-        signed=True,
     )
 
 
@@ -121,7 +98,7 @@ def _stack_weights(tensors: list[_Tensor], dtype=jnp.bfloat16):
     kinds = {(t.ggml_type, t.planar.group_size, t.planar.signed, t.planar.bias is None)
              for t in tensors}
     if len(kinds) > 1:
-        planars = [_widen_planar(t.planar) for t in tensors]
+        planars = [widen_planar(t.planar) for t in tensors]
         gg = None
     else:
         planars = [t.planar for t in tensors]

@@ -129,6 +129,7 @@ def weights_from_state_dict(
     num_threads: int = 8,
     row_parallel_chunks: int = 1,
     quant_config: Optional[Mapping[str, Any]] = None,
+    topology=None,  # Topology: per-layer ISQ overrides (topology.py)
 ) -> dict:
     """Build the stacked-layer weights pytree from a HF state dict.
 
@@ -215,12 +216,41 @@ def weights_from_state_dict(
         if isinstance(tensors[0], QTensor):  # pre-quantized (GPTQ/AWQ)
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tensors)
         name = f"layers.{key}"
-        t = plan(name, tensors[0].shape)
-        if t is None:
+        base_t = plan(name, tensors[0].shape)
+        if topology is not None and base_t is not None:
+            types = [
+                topology.type_for_layer(i) if topology.type_for_layer(i) is not None
+                else base_t
+                for i in range(len(tensors))
+            ]
+        else:
+            types = [base_t] * len(tensors)
+        if all(t is None for t in types):
             return jnp.asarray(np.stack(tensors), dtype)
+        if any(t is None for t in types):
+            raise ValueError(
+                f"{key}: topology mixes quantized and unquantized layers"
+            )
         chunks = row_parallel_chunks if key in _ROW_PARALLEL_KEYS else 1
         with ThreadPoolExecutor(num_threads) as ex:
-            qts = list(ex.map(lambda w: _quantize_tensor(w, t, chunks), tensors))
+            qts = list(
+                ex.map(lambda wt: _quantize_tensor(wt[0], wt[1], chunks),
+                       zip(tensors, types))
+            )
+        if len(set(types)) > 1:
+            # mixed types per layer: re-extract planar and widen to a common
+            # form so the stack stays uniform (same trick as the GGUF loader)
+            from ..gguf.planar import widen_planar, to_planar
+            from ..gguf.quants import quantize as gguf_quantize
+
+            planars = []
+            for w, t in zip(tensors, types):
+                w32 = np.asarray(w, np.float32)
+                planars.append(widen_planar(to_planar(gguf_quantize(w32, t), t)))
+            qts = [
+                QTensor.from_planar(p, np.asarray(w).shape)
+                for p, w in zip(planars, tensors)
+            ]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
 
     layers: dict[str, Any] = {}

@@ -279,8 +279,11 @@ def forward(
     logits_last_only: bool = False,
     compute_dtype=jnp.bfloat16,
     tp_axis: Optional[str] = None,
+    return_hidden: bool = False,
 ) -> tuple[jax.Array, KVCache]:
-    """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache).
+    """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache);
+    with ``return_hidden`` the first element is the final-norm hidden states
+    [B, T, H] instead (embedding-model path).
 
     When ``tp_axis`` is set, this body runs inside `shard_map`: ``cfg`` must
     be the *local* config (heads/intermediate divided by TP — see
@@ -317,6 +320,8 @@ def forward(
         h, weights["final_norm"], cfg.rms_norm_eps, cfg.arch.startswith("gemma"),
         weights.get("final_norm_bias"), cfg.norm_type,
     )
+    if return_hidden:
+        return h.astype(jnp.float32), KVCache(new_k, new_v)
     if logits_last_only:
         h = h[:, -1:, :]
     lm_head = weights.get("lm_head")
@@ -354,6 +359,7 @@ def forward_paged(
     plug in behind the same interface. Returns (logits, updated cache).
     """
     from ..kv.paged import PagedKVCache, gather_kv, write_kv
+    from ..ops.paged_attention import paged_decode_attention
 
     act = ACTIVATIONS[cfg.hidden_act]
     b, t = input_ids.shape
@@ -366,6 +372,14 @@ def forward_paged(
     windows = weights["layer_windows"]
     flat_slots = slot_mapping.reshape(-1)
     has_scales = cache.k_scale is not None
+    # fused Pallas decode kernel: single-token step, unquantized KV, no
+    # softcap (falls back to the gather path otherwise)
+    use_decode_kernel = (
+        t == 1
+        and not has_scales
+        and cfg.attn_logit_softcap is None
+        and (backend == "pallas" or (backend is None and jax.default_backend() == "tpu"))
+    )
 
     rope_flags = weights.get("layer_use_rope")
     if rope_flags is None:
@@ -407,17 +421,24 @@ def forward_paged(
             v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
             flat_slots, k_s, v_s,
         )
-        kk, vv = gather_kv(
-            k_c, v_c, block_tables, block_size, k_s, v_s, dtype=compute_dtype
-        )
-        attn = sdpa(
-            q, kk, vv,
-            q_positions=positions,
-            kv_len=kv_lens,
-            scale=cfg.attn_scale,
-            logit_softcap=cfg.attn_logit_softcap,
-            sliding_window=win,
-        ).reshape(b, t, cfg.num_heads * cfg.head_dim)
+        if use_decode_kernel:
+            attn = paged_decode_attention(
+                q[:, 0], k_c, v_c, block_tables, kv_lens, win,
+                block_size=block_size, scale=cfg.attn_scale,
+            )[:, None]
+        else:
+            kk, vv = gather_kv(
+                k_c, v_c, block_tables, block_size, k_s, v_s, dtype=compute_dtype
+            )
+            attn = sdpa(
+                q, kk, vv,
+                q_positions=positions,
+                kv_len=kv_lens,
+                scale=cfg.attn_scale,
+                logit_softcap=cfg.attn_logit_softcap,
+                sliding_window=win,
+            )
+        attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
         attn_out = _row_linear(
             attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend,
             lora=lw.get("wo_lora"),

@@ -143,13 +143,18 @@ def weight_pspecs(weights: dict) -> dict:
     embed = weights["embed"]
     embed_spec = _qtensor_specs(embed, "repl", 0) if isinstance(embed, QTensor) else P()
 
-    return {
+    specs = {
         "embed": embed_spec,
         "layers": layers,
         "final_norm": P(),
         "lm_head": head_spec,
         "layer_windows": P(),
     }
+    # replicate any other top-level entries (rope flags, extra norms, ...)
+    for key in weights:
+        if key not in specs:
+            specs[key] = P()
+    return specs
 
 
 def shard_weights(mesh: Mesh, weights: dict, specs: Optional[dict] = None) -> dict:

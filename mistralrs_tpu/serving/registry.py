@@ -1,0 +1,152 @@
+"""Multi-model runtime registry (the analog of `MistralRs`,
+`mistralrs-core/src/lib.rs:416`: named `EngineInstance`s with their own
+engine threads, request routing by model id, load/unload/reload at runtime).
+"""
+
+from __future__ import annotations
+
+import threading
+import traceback
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from ..chat_template import ChatTemplate
+from ..engine.engine import Engine
+from ..engine.sampler import SamplingParams
+from ..engine.sequence import Sequence, StopReason
+from ..tokenizer import TokenizerWrapper
+
+
+@dataclass
+class ModelInstance:
+    """One loaded model: engine + its worker thread (EngineInstance analog)."""
+
+    model_id: str
+    engine: Engine
+    tokenizer: Optional[TokenizerWrapper]
+    chat_template: ChatTemplate
+    source: Optional[str] = None  # path, for reload
+    load_options: dict[str, Any] = field(default_factory=dict)
+    _wake: threading.Event = field(default_factory=threading.Event)
+    _stop: bool = False
+    _thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+
+    @property
+    def is_alive(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def _loop(self):
+        while not self._stop:
+            if self.engine.has_work:
+                try:
+                    self.engine.step()
+                except Exception:  # noqa: BLE001 — keep the engine alive
+                    traceback.print_exc()
+                    for seq in list(self.engine.scheduler.running) + list(
+                        self.engine.scheduler.waiting
+                    ):
+                        seq.finish(StopReason.ERROR)
+                        if seq.on_tokens:
+                            seq.on_tokens([], True)
+                        self.engine.scheduler.release(seq)
+            else:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def submit(self, prompt_ids, params: SamplingParams, on_tokens) -> Sequence:
+        seq = self.engine.add_request(prompt_ids, params, on_tokens=on_tokens)
+        self._wake.set()
+        return seq
+
+
+class ModelRegistry:
+    """Thread-safe named-model registry with a default model."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._models: dict[str, ModelInstance] = {}
+        self._default: Optional[str] = None
+
+    def register(self, inst: ModelInstance, default: bool = False) -> None:
+        with self._lock:
+            old = self._models.get(inst.model_id)
+            self._models[inst.model_id] = inst
+            if default or self._default is None:
+                self._default = inst.model_id
+        if old is not None:
+            old.shutdown()
+        inst.start()
+
+    def load(
+        self,
+        model_id: str,
+        path: str,
+        *,
+        default: bool = False,
+        isq: Optional[str] = None,
+        engine_options: Optional[dict[str, Any]] = None,
+    ) -> ModelInstance:
+        """Load a model from disk and register it (the /v1/models/load analog)."""
+        from ..pipeline import load_pipeline
+
+        pipe = load_pipeline(path, isq=isq)
+        engine = Engine(pipe.cfg, pipe.weights, **(engine_options or {}))
+        inst = ModelInstance(
+            model_id=model_id,
+            engine=engine,
+            tokenizer=pipe.tokenizer,
+            chat_template=pipe.chat_template,
+            source=path,
+            load_options={"isq": isq, "engine_options": engine_options or {}},
+        )
+        self.register(inst, default=default)
+        return inst
+
+    def unload(self, model_id: str) -> bool:
+        with self._lock:
+            inst = self._models.pop(model_id, None)
+            if self._default == model_id:
+                self._default = next(iter(self._models), None)
+        if inst is None:
+            return False
+        inst.shutdown()
+        return True
+
+    def reload(self, model_id: str) -> bool:
+        with self._lock:
+            inst = self._models.get(model_id)
+        if inst is None or inst.source is None:
+            return False
+        opts = inst.load_options
+        self.load(
+            model_id, inst.source,
+            isq=opts.get("isq"), engine_options=opts.get("engine_options"),
+        )
+        return True
+
+    def get(self, model_id: Optional[str] = None) -> Optional[ModelInstance]:
+        with self._lock:
+            if model_id in (None, "", "default"):
+                model_id = self._default
+            return self._models.get(model_id) if model_id else None
+
+    def list(self) -> list[ModelInstance]:
+        with self._lock:
+            return list(self._models.values())
+
+    @property
+    def default_id(self) -> Optional[str]:
+        with self._lock:
+            return self._default
+
+    def shutdown(self):
+        for inst in self.list():
+            inst.shutdown()

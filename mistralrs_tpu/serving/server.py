@@ -26,6 +26,7 @@ from ..engine.engine import Engine
 from ..engine.sampler import SamplingParams
 from ..engine.sequence import Sequence, StopReason
 from ..tokenizer import TokenizerWrapper
+from .registry import ModelInstance, ModelRegistry
 from . import protocol as P
 
 _FINISH_MAP = {
@@ -78,56 +79,71 @@ class Metrics:
 
 
 class ServerState:
+    """Server-wide state: a multi-model registry + metrics.
+
+    Back-compat constructor: passing a single (engine, tokenizer, template)
+    registers it as the default model (the common single-model deployment).
+    """
+
     def __init__(
         self,
-        engine: Engine,
-        tokenizer: TokenizerWrapper,
-        chat_template: ChatTemplate,
+        engine: Optional[Engine] = None,
+        tokenizer: Optional[TokenizerWrapper] = None,
+        chat_template: Optional[ChatTemplate] = None,
         model_id: str = "default",
+        registry: Optional[ModelRegistry] = None,
     ):
-        self.engine = engine
-        self.tokenizer = tokenizer
-        self.chat_template = chat_template
-        self.model_id = model_id
+        self.registry = registry or ModelRegistry()
         self.metrics = Metrics()
         self.created = int(time.time())
-        self._wake = threading.Event()
-        self._stop = False
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._started = False
+        if engine is not None:
+            self.registry.register(
+                ModelInstance(
+                    model_id=model_id,
+                    engine=engine,
+                    tokenizer=tokenizer,
+                    chat_template=chat_template,
+                ),
+                default=True,
+            )
+            self._started = True  # register() starts the instance thread
+
+    # back-compat accessors (default model)
+    @property
+    def _default(self) -> ModelInstance:
+        inst = self.registry.get()
+        if inst is None:
+            raise RuntimeError("no models loaded")
+        return inst
+
+    @property
+    def engine(self) -> Engine:
+        return self._default.engine
+
+    @property
+    def tokenizer(self) -> TokenizerWrapper:
+        return self._default.tokenizer
+
+    @property
+    def chat_template(self) -> ChatTemplate:
+        return self._default.chat_template
+
+    @property
+    def model_id(self) -> str:
+        return self._default.model_id
 
     def start(self):
-        self._thread.start()
+        pass  # instances start when registered
 
     def shutdown(self):
-        self._stop = True
-        self._wake.set()
+        self.registry.shutdown()
 
-    def _loop(self):
-        while not self._stop:
-            if self.engine.has_work:
-                try:
-                    self.engine.step()
-                except Exception as e:  # noqa: BLE001 — keep serving alive
-                    # the analog of handle_pipeline_forward_error!: fail the
-                    # affected sequences, keep the loop running
-                    import traceback
-
-                    traceback.print_exc()
-                    for seq in list(self.engine.scheduler.running) + list(
-                        self.engine.scheduler.waiting
-                    ):
-                        seq.finish(StopReason.ERROR)
-                        if seq.on_tokens:
-                            seq.on_tokens([], True)
-                        self.engine.scheduler.release(seq)
-            else:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+    def resolve(self, model_id: Optional[str]) -> Optional[ModelInstance]:
+        return self.registry.get(model_id)
 
     def submit(self, prompt_ids, params: SamplingParams, on_tokens) -> Sequence:
-        seq = self.engine.add_request(prompt_ids, params, on_tokens=on_tokens)
-        self._wake.set()
-        return seq
+        return self._default.submit(prompt_ids, params, on_tokens)
 
 
 def _sampling_from_chat(req: P.ChatCompletionRequest, tok: TokenizerWrapper) -> SamplingParams:
@@ -207,12 +223,77 @@ def build_app(state: ServerState) -> web.Application:
                 "object": "list",
                 "data": [
                     {
-                        "id": state.model_id,
+                        "id": inst.model_id,
                         "object": "model",
                         "created": state.created,
                         "owned_by": "mistralrs_tpu",
+                        "default": inst.model_id == state.registry.default_id,
                     }
+                    for inst in state.registry.list()
                 ],
+            }
+        )
+
+    @routes.post("/v1/models/load")
+    async def models_load(request: web.Request):
+        body = await request.json()
+        model_id = body.get("model_id") or body.get("model")
+        path = body.get("path")
+        if not model_id or not path:
+            return web.json_response(
+                {"error": {"message": "model_id and path required"}}, status=422
+            )
+        loop = asyncio.get_running_loop()
+        try:
+            await loop.run_in_executor(
+                None,
+                lambda: state.registry.load(
+                    model_id, path,
+                    default=bool(body.get("default", False)),
+                    isq=body.get("isq"),
+                    engine_options=body.get("engine_options"),
+                ),
+            )
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        return web.json_response({"status": "loaded", "model_id": model_id})
+
+    @routes.post("/v1/models/unload")
+    async def models_unload(request: web.Request):
+        body = await request.json()
+        ok = state.registry.unload(body.get("model_id") or body.get("model") or "")
+        if not ok:
+            return web.json_response(
+                {"error": {"message": "model not found"}}, status=404
+            )
+        return web.json_response({"status": "unloaded"})
+
+    @routes.post("/v1/models/reload")
+    async def models_reload(request: web.Request):
+        body = await request.json()
+        loop = asyncio.get_running_loop()
+        ok = await loop.run_in_executor(
+            None, lambda: state.registry.reload(body.get("model_id") or "")
+        )
+        if not ok:
+            return web.json_response(
+                {"error": {"message": "model not found or not reloadable"}},
+                status=404,
+            )
+        return web.json_response({"status": "reloaded"})
+
+    @routes.get("/v1/system/info")
+    async def system_info(_req):
+        import platform
+
+        import jax
+
+        return web.json_response(
+            {
+                "backend": jax.default_backend(),
+                "devices": [str(d) for d in jax.devices()],
+                "platform": platform.platform(),
+                "models": [i.model_id for i in state.registry.list()],
             }
         )
 
@@ -404,6 +485,45 @@ def build_app(state: ServerState) -> web.Application:
         }
         return web.json_response(
             P.anthropic_response(state.model_id, text, stop_reason, usage)
+        )
+
+    @routes.post("/v1/embeddings")
+    async def embeddings_route(request: web.Request):
+        body = await request.json()
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        if not isinstance(inputs, list):
+            return web.json_response(
+                {"error": {"message": "input must be string or list"}}, status=422
+            )
+        if inputs and isinstance(inputs[0], int):
+            batches = [list(inputs)]
+        elif inputs and isinstance(inputs[0], list):
+            batches = [list(x) for x in inputs]
+        else:
+            batches = [state.tokenizer.encode(t) for t in inputs]
+        from ..embeddings import embed as _embed
+
+        loop = asyncio.get_running_loop()
+        vecs = await loop.run_in_executor(
+            None,
+            lambda: _embed(
+                state.engine.weights, state.engine.cfg, batches,
+                pooling=body.get("pooling", "last"),
+            ),
+        )
+        n_tok = sum(len(b_) for b_ in batches)
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {"object": "embedding", "index": i, "embedding": v.tolist()}
+                    for i, v in enumerate(vecs)
+                ],
+                "model": state.model_id,
+                "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+            }
         )
 
     @routes.post("/v1/messages/count_tokens")

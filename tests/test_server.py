@@ -138,3 +138,57 @@ async def test_metrics(client):
 async def test_invalid_request_422(client):
     r = await client.post("/v1/chat/completions", json={"messages": "nope"})
     assert r.status == 422
+
+
+async def test_embeddings(client):
+    r = await client.post("/v1/embeddings", json={"input": ["hello", "world"]})
+    assert r.status == 200
+    data = await r.json()
+    assert len(data["data"]) == 2
+    assert len(data["data"][0]["embedding"]) == CFG.hidden_size
+
+
+async def test_model_management_routes(client, server_state):
+    import tempfile
+
+    from mistralrs_tpu.convert import convert_hf_to_gguf
+    from mistralrs_tpu.models.config import ModelConfig as MC
+
+    rng = np.random.default_rng(0)
+    H, I, V, L = 64, 128, 256, 2
+    cfg = MC(arch="llama", vocab_size=V, hidden_size=H, intermediate_size=I,
+             num_layers=L, num_heads=4, num_kv_heads=2, head_dim=16)
+    sd = {"model.embed_tokens.weight": rng.standard_normal((V, H)).astype(np.float32),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": rng.standard_normal((V, H)).astype(np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        for nm, shp in [("self_attn.q_proj", (64, H)), ("self_attn.k_proj", (32, H)),
+                        ("self_attn.v_proj", (32, H)), ("self_attn.o_proj", (H, 64)),
+                        ("mlp.gate_proj", (I, H)), ("mlp.up_proj", (I, H)),
+                        ("mlp.down_proj", (H, I))]:
+            sd[p + nm + ".weight"] = rng.standard_normal(shp).astype(np.float32) * 0.05
+    path = tempfile.mktemp(suffix=".gguf")
+    convert_hf_to_gguf(sd, cfg, path)
+
+    r = await client.post(
+        "/v1/models/load",
+        json={"model_id": "second", "path": path,
+              "engine_options": {"num_blocks": 16, "max_batch": 2,
+                                 "backend": "xla"}},
+    )
+    assert r.status == 200, await r.text()
+    r = await client.get("/v1/models")
+    ids = [m["id"] for m in (await r.json())["data"]]
+    assert set(ids) == {"tiny-test", "second"}
+    r = await client.post("/v1/models/reload", json={"model_id": "second"})
+    assert r.status == 200
+    r = await client.post("/v1/models/unload", json={"model_id": "second"})
+    assert r.status == 200
+    r = await client.get("/v1/models")
+    ids = [m["id"] for m in (await r.json())["data"]]
+    assert ids == ["tiny-test"]
+    r = await client.get("/v1/system/info")
+    assert (await r.json())["backend"] == "cpu"
