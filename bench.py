@@ -100,7 +100,7 @@ def main():
     fcfg = _freeze(cfg)
     B = 8
     CTX = 256 if smoke else 1024
-    BS = 16
+    BS = 16 if smoke else 64
     num_blocks = B * CTX // BS
     weights, weight_bytes = build_weights(cfg)
     cache = PagedKVCache.create(cfg, num_blocks, BS)

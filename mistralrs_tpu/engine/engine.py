@@ -72,7 +72,8 @@ def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _admit_slot(state: BatchSamplingState, slot, scalars, counts_row, bias_row):
+def _admit_slot(state: BatchSamplingState, slot, scalars, counts_row, bias_row,
+                cbias_row):
     (temp, tk, tp, mp, fp, pp, rp) = scalars
     return BatchSamplingState(
         temperature=state.temperature.at[slot].set(temp),
@@ -84,6 +85,16 @@ def _admit_slot(state: BatchSamplingState, slot, scalars, counts_row, bias_row):
         repetition_penalty=state.repetition_penalty.at[slot].set(rp),
         counts=state.counts.at[slot].set(counts_row),
         logit_bias=state.logit_bias.at[slot].set(bias_row),
+        constraint_bias=state.constraint_bias.at[slot].set(cbias_row),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_constraint_bias(state: BatchSamplingState, slot, cbias_row):
+    import dataclasses
+
+    return dataclasses.replace(
+        state, constraint_bias=state.constraint_bias.at[slot].set(cbias_row)
     )
 
 
@@ -132,10 +143,14 @@ class Engine:
             repetition_penalty=jnp.ones((max_batch,), jnp.float32),
             counts=jnp.zeros((max_batch, cfg.vocab_size), jnp.int32),
             logit_bias=jnp.zeros((max_batch, cfg.vocab_size), jnp.float32),
+            constraint_bias=jnp.zeros((max_batch, cfg.vocab_size), jnp.float32),
         )
         self._key = jax.random.PRNGKey(seed)
         self._req_counter = itertools.count()
         self._slot_seq: list[Optional[Sequence]] = [None] * max_batch
+        # grammar constraints: per-slot (recognizer, state); mask table lazily
+        self._slot_constraint: list = [None] * max_batch
+        self._mask_builder = None
         # stats (the analog of engine/logger.rs IntervalLogger)
         self.stats = {
             "prompt_tokens": 0, "generated_tokens": 0, "preemptions": 0,
@@ -262,6 +277,16 @@ class Engine:
                 if 0 <= tok < self.cfg.vocab_size:
                     bias[tok] = val
             p = seq.params
+            cbias = np.zeros((self.cfg.vocab_size,), np.float32)
+            cons = self._resolve_constraint(p.constraint)
+            if cons is not None:
+                builder = self._get_mask_builder()
+                st0 = cons.initial()
+                self._slot_constraint[slot] = (cons, st0)
+                allow = builder.mask(cons, st0, self.cfg.eos_token_ids)
+                cbias = np.where(allow, 0.0, -1e30).astype(np.float32)
+            else:
+                self._slot_constraint[slot] = None
             scalars = tuple(
                 jnp.asarray(v, jnp.float32 if i != 1 else jnp.int32)
                 for i, v in enumerate(
@@ -270,7 +295,8 @@ class Engine:
                 )
             )
             self.samp_state = _admit_slot(
-                self.samp_state, slot, scalars, jnp.asarray(counts), jnp.asarray(bias)
+                self.samp_state, slot, scalars, jnp.asarray(counts),
+                jnp.asarray(bias), jnp.asarray(cbias),
             )
             self._emit_first_token(seq, logits)
 
@@ -326,6 +352,29 @@ class Engine:
         finished: list[Sequence] = []
         for seq in seqs:
             s = seq.slot
+            # advance grammar constraints with the committed token
+            slot_cons = self._slot_constraint[s]
+            if slot_cons is not None:
+                cons, st = slot_cons
+                builder = self._get_mask_builder()
+                st = builder.advance_with_token(cons, st, int(new_tokens[s]))
+                if st is None or cons.is_complete(st):
+                    # dead or complete → stop constraining (EOS-only mask when
+                    # complete is handled by the stop check below)
+                    self._slot_constraint[s] = None
+                    self.samp_state = _set_constraint_bias(
+                        self.samp_state, s,
+                        jnp.zeros((self.cfg.vocab_size,), jnp.float32),
+                    )
+                    if st is not None and cons.is_complete(st):
+                        seq._constraint_done = True  # type: ignore[attr-defined]
+                else:
+                    self._slot_constraint[s] = (cons, st)
+                    allow = builder.mask(cons, st, self.cfg.eos_token_ids)
+                    self.samp_state = _set_constraint_bias(
+                        self.samp_state, s,
+                        jnp.asarray(np.where(allow, 0.0, -1e30), jnp.float32),
+                    )
             if getattr(seq, "_needs_bootstrap", False):
                 seq._needs_bootstrap = False  # type: ignore[attr-defined]
                 if seq.first_token_time is None:
@@ -346,8 +395,30 @@ class Engine:
                 finished.append(seq)
         return finished
 
+    def _resolve_constraint(self, c):
+        if c is None:
+            return None
+        if isinstance(c, str):
+            from ..grammar import JsonConstraint
+
+            if c in ("json_object", "json"):
+                return JsonConstraint(root="object" if c == "json_object" else "any")
+            raise ValueError(f"unknown constraint {c!r}")
+        return c
+
+    def _get_mask_builder(self):
+        if self._mask_builder is None:
+            if self.tokenizer is None:
+                raise ValueError("grammar constraints require a tokenizer")
+            from ..grammar import TokenMaskBuilder
+
+            self._mask_builder = TokenMaskBuilder(self.tokenizer, self.cfg.vocab_size)
+        return self._mask_builder
+
     def _check_stop(self, seq: Sequence, tok: int) -> Optional[StopReason]:
         p = seq.params
+        if getattr(seq, "_constraint_done", False):
+            return StopReason.STOP_TOKEN
         if tok in p.stop_token_ids:
             return StopReason.STOP_TOKEN
         if tok in self.cfg.eos_token_ids:

@@ -35,6 +35,9 @@ class SamplingParams:
     repetition_penalty: float = 1.0
     seed: Optional[int] = None
     logit_bias: dict[int, float] = field(default_factory=dict)
+    # grammar constraint: None | "json_object" | "json" | a recognizer object
+    # (grammar.py JsonConstraint/ChoiceConstraint)
+    constraint: object = None
     max_tokens: int = 512
     stop_token_ids: tuple[int, ...] = ()
     stop_strings: tuple[str, ...] = ()
@@ -58,6 +61,7 @@ class BatchSamplingState:
     repetition_penalty: jax.Array  # [B] f32
     counts: jax.Array  # [B, V] i32 token occurrence counts (context + generated)
     logit_bias: jax.Array  # [B, V] f32
+    constraint_bias: jax.Array  # [B, V] f32 (0 or −inf; grammar masks)
 
 
 jax.tree_util.register_dataclass(
@@ -65,6 +69,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "temperature", "top_k", "top_p", "min_p", "frequency_penalty",
         "presence_penalty", "repetition_penalty", "counts", "logit_bias",
+        "constraint_bias",
     ],
     meta_fields=[],
 )
@@ -94,6 +99,7 @@ def make_batch_state(
         repetition_penalty=f("repetition_penalty"),
         counts=jnp.asarray(counts),
         logit_bias=jnp.asarray(bias),
+        constraint_bias=jnp.zeros((b, vocab_size), jnp.float32),
     )
 
 
@@ -105,7 +111,7 @@ def sample(
 ) -> tuple[jax.Array, jax.Array, BatchSamplingState]:
     """One sampling step. Returns (tokens [B], logprobs [B], updated state)."""
     b, v = logits.shape
-    logits = logits.astype(jnp.float32) + state.logit_bias
+    logits = logits.astype(jnp.float32) + state.logit_bias + state.constraint_bias
 
     # repetition penalty (divide positive / multiply negative where seen)
     seen = state.counts > 0
@@ -165,5 +171,6 @@ def sample(
         repetition_penalty=state.repetition_penalty,
         counts=counts,
         logit_bias=state.logit_bias,
+        constraint_bias=state.constraint_bias,
     )
     return tokens, logprobs, new_state

@@ -3,10 +3,11 @@ vLLM-style decode kernels, `mistralrs-paged-attn/src/cuda/
 pagedattention_v1/v2_*.cu`).
 
 One grid program per (sequence, kv-head). Each program walks the sequence's
-block table (scalar-prefetched), DMAs the (head, block) K/V stripes from the
-HBM pools into a double-buffered VMEM scratch, and runs online-softmax flash
-accumulation for that head's query group. KV is read exactly once — no
-gather materialization (the XLA fallback reads/writes it 3×).
+block table (scalar-prefetched) in CHUNKS of several blocks: all the chunk's
+(head, block) K/V stripes are DMA'd concurrently from the HBM pools into a
+double-buffered VMEM scratch (hiding per-DMA latency), then one flash step
+processes the whole [chunk*block_size, head_dim] tile. KV is read exactly
+once — no gather materialization (the XLA fallback reads/writes it 3×).
 
 Layouts (chosen for this kernel — see kv/paged.py):
   q:        [B, n_kv, group, head_dim]
@@ -41,64 +42,66 @@ def _decode_kernel(
     # outputs
     o_ref,  # [1, 1, group_p, hd]
     # scratch
-    k_buf,  # [2, bs, hd] VMEM
+    k_buf,  # [2, chunk*bs, hd] VMEM
     v_buf,
-    sem,  # DMA semaphores (2, 2)
+    sem,  # DMA semaphores (2, 2, chunk)
     *,
     block_size: int,
+    chunk: int,  # blocks fetched/processed per flash step
     scale: float,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
     kv_len = kv_lens_ref[b]
-    n_blocks = pl.cdiv(kv_len, block_size)
+    n_chunks = pl.cdiv(kv_len, block_size * chunk)
     group_p, hd = q_ref.shape[2], q_ref.shape[3]
+    span = block_size * chunk
 
     q = q_ref[0, 0].astype(jnp.float32) * scale  # [group_p, hd]
 
-    def start_dma(i, slot):
-        blk = block_tables_ref[b, i]
-        off = blk * block_size
-        k_dma = pltpu.make_async_copy(
-            k_pool_ref.at[h, pl.ds(off, block_size)], k_buf.at[slot], sem.at[slot, 0]
+    def dma(ci, j, slot, which):
+        """Async copy of block j of chunk ci into buffer row-range j."""
+        pool = k_pool_ref if which == 0 else v_pool_ref
+        buf = k_buf if which == 0 else v_buf
+        blk = block_tables_ref[b, ci * chunk + j]
+        return pltpu.make_async_copy(
+            pool.at[h, pl.ds(blk * block_size, block_size)],
+            buf.at[slot, pl.ds(j * block_size, block_size)],
+            sem.at[slot, which, j],
         )
-        v_dma = pltpu.make_async_copy(
-            v_pool_ref.at[h, pl.ds(off, block_size)], v_buf.at[slot], sem.at[slot, 1]
-        )
-        k_dma.start()
-        v_dma.start()
 
-    def wait_dma(i, slot):
-        blk = block_tables_ref[b, i]
-        off = blk * block_size
-        pltpu.make_async_copy(
-            k_pool_ref.at[h, pl.ds(off, block_size)], k_buf.at[slot], sem.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            v_pool_ref.at[h, pl.ds(off, block_size)], v_buf.at[slot], sem.at[slot, 1]
-        ).wait()
+    # Always fetch every block of a chunk: rows past kv_len read (padded)
+    # table entry 0 — valid memory, and the flash mask zeroes their weight.
+    # Fetching garbage instead would risk NaN·0 = NaN in the p @ v product.
+    def start_chunk(ci, slot):
+        for j in range(chunk):
+            dma(ci, j, slot, 0).start()
+            dma(ci, j, slot, 1).start()
 
-    @pl.when(n_blocks > 0)
+    def wait_chunk(ci, slot):
+        for j in range(chunk):
+            dma(ci, j, slot, 0).wait()
+            dma(ci, j, slot, 1).wait()
+
+    @pl.when(n_chunks > 0)
     def _():
-        start_dma(0, 0)
+        start_chunk(0, 0)
 
-    def body(i, carry):
+    def body(ci, carry):
         acc, m, l = carry
-        slot = i % 2
+        slot = ci % 2
 
-        @pl.when(i + 1 < n_blocks)
+        @pl.when(ci + 1 < n_chunks)
         def _():
-            start_dma(i + 1, (i + 1) % 2)
+            start_chunk(ci + 1, (ci + 1) % 2)
 
-        wait_dma(i, slot)
-        k = k_buf[slot].astype(jnp.float32)  # [bs, hd]
+        wait_chunk(ci, slot)
+        k = k_buf[slot].astype(jnp.float32)  # [span, hd]
         v = v_buf[slot].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [group_p, bs]
-        pos = i * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_size), 1
-        )  # [1, bs]
+        )  # [group_p, span]
+        pos = ci * span + jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
         mask = pos < kv_len
         w = window_ref[0]
         mask = mask & (((kv_len - 1 - pos) < w) | (w <= 0))
@@ -115,7 +118,7 @@ def _decode_kernel(
     acc0 = jnp.zeros((group_p, hd), jnp.float32)
     m0 = jnp.full((group_p, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((group_p, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
@@ -125,7 +128,7 @@ def _round_up(x, m):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "scale", "interpret"),
+    static_argnames=("block_size", "scale", "chunk", "interpret"),
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, n_q, hd]
@@ -137,6 +140,7 @@ def paged_decode_attention(
     *,
     block_size: int,
     scale: Optional[float] = None,
+    chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-token paged attention. Returns [B, n_q, hd] in q.dtype."""
@@ -145,11 +149,20 @@ def paged_decode_attention(
     group = n_q // n_kv
     if scale is None:
         scale = 1.0 / math.sqrt(hd)
+    if chunk is None:
+        # target ~512 KV rows per flash step (fewer, larger DMA waves;
+        # VMEM cost: 2 slots × (K+V) × 512 × hd × 2B ≈ 0.5 MB at hd=128)
+        chunk = max(1, min(block_tables.shape[1], 512 // block_size))
     # pad the query group to the f32 sublane quantum
     group_p = max(8, _round_up(group, 8))
     qg = q.reshape(b, n_kv, group, hd)
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+    # table width must cover whole chunks so in-bounds reads stay valid
+    w = block_tables.shape[1]
+    wp = _round_up(w, chunk)
+    if wp != w:
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, wp - w)))
 
     window_arr = jnp.asarray(window, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -168,13 +181,15 @@ def paged_decode_attention(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, block_size, hd), k_pool.dtype),
-            pltpu.VMEM((2, block_size, hd), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, chunk * block_size, hd), k_pool.dtype),
+            pltpu.VMEM((2, chunk * block_size, hd), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, chunk)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, block_size=block_size, scale=scale),
+        functools.partial(
+            _decode_kernel, block_size=block_size, chunk=chunk, scale=scale
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv, group_p, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
