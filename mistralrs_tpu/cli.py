@@ -177,6 +177,30 @@ def cmd_quantize(args):
     return 0
 
 
+def cmd_tune(args):
+    """Quant fit/recommendation report (the analog of `mistralrs tune`)."""
+    import json as _json
+    from pathlib import Path
+
+    from .models.config import config_from_gguf, config_from_hf
+    from .tuning import V5E_HBM_BYTES, V5P_HBM_BYTES, V6E_HBM_BYTES, auto_tune
+
+    p = Path(args.model)
+    if p.is_file() and p.suffix == ".gguf":
+        from .gguf.reader import GGUFContent
+
+        cfg = config_from_gguf(GGUFContent.open(str(p)).metadata)
+    else:
+        with open(p / "config.json") as f:
+            cfg = config_from_hf(_json.load(f))
+    hbm = {"v5e": V5E_HBM_BYTES, "v5p": V5P_HBM_BYTES, "v6e": V6E_HBM_BYTES}[args.chip]
+    report = auto_tune(
+        cfg, hbm_bytes=hbm, context_len=args.context_len, batch=args.batch
+    )
+    print(_json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_doctor(args):
     """Environment health check (the analog of `mistralrs doctor`,
     mistralrs-core/src/diagnostics.rs:408)."""
@@ -236,6 +260,13 @@ def main(argv=None):
     p.add_argument("--quant", default="q4k")
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("tune", help="quantization fit/recommendation report")
+    p.add_argument("model", help="model path (.gguf or HF dir)")
+    p.add_argument("--chip", choices=["v5e", "v5p", "v6e"], default="v5e")
+    p.add_argument("--context-len", type=int, default=4096)
+    p.add_argument("--batch", type=int, default=8)
+    p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("doctor", help="environment health check")
     p.set_defaults(fn=cmd_doctor)

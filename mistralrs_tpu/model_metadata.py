@@ -1,0 +1,48 @@
+"""Supported-models/doc generation (the analog of
+`render_supported_models_markdown`, `mistralrs-core/src/model_metadata.rs:532`
+— doc-as-test: the committed docs table must match this generator's output).
+"""
+
+from __future__ import annotations
+
+from .models.config import HF_ARCH_MAP
+
+# arch tag → (display name, notes)
+_ARCH_NOTES = {
+    "llama": ("Llama 2/3/3.1/3.2", "GGUF + safetensors; RoPE scaling (llama3)"),
+    "mistral": ("Mistral 7B family", "sliding window"),
+    "mixtral": ("Mixtral 8x7B/8x22B", "MoE (softmax-then-topk routing)"),
+    "qwen2": ("Qwen 2/2.5", "attention biases"),
+    "qwen3": ("Qwen 3", "q/k RMSNorm"),
+    "qwen3moe": ("Qwen 3 MoE", "MoE + q/k norm"),
+    "gemma2": ("Gemma 2", "pre/post norms, logit softcaps, alt. sliding window"),
+    "gemma3": ("Gemma 3", "dual RoPE base, q/k norm, 5:1 sliding pattern"),
+    "phi3": ("Phi-3/3.5", "fused qkv/gate_up"),
+    "smollm3": ("SmolLM 3", "NoPE layers"),
+    "starcoder2": ("StarCoder 2", "LayerNorm + gateless MLP"),
+}
+
+_FORMATS = "GGUF (Q2_K–Q8_0 k-quants), safetensors (bf16/f16/f32), GPTQ, AWQ, UQFF-TPU"
+
+
+def render_supported_models_markdown() -> str:
+    lines = [
+        "# Supported models",
+        "",
+        "All architectures load from: " + _FORMATS + ".",
+        "ISQ (in-situ quantization) applies to any safetensors checkpoint.",
+        "",
+        "| Architecture | HF class | Notes |",
+        "|---|---|---|",
+    ]
+    by_tag = {}
+    for hf_class, tag in HF_ARCH_MAP.items():
+        by_tag.setdefault(tag, []).append(hf_class)
+    for tag, (name, notes) in _ARCH_NOTES.items():
+        classes = ", ".join(f"`{c}`" for c in sorted(by_tag.get(tag, [])))
+        lines.append(f"| {name} | {classes} | {notes} |")
+    lines.append("")
+    lines.append("Verified by exact logit parity against the HF `transformers`")
+    lines.append("reference implementations (`tests/test_arch_parity.py`).")
+    lines.append("")
+    return "\n".join(lines)

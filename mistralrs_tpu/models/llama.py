@@ -352,6 +352,7 @@ def forward_paged(
     logits_last_only: bool = True,
     compute_dtype=jnp.bfloat16,
     tp_axis: Optional[str] = None,
+    force_gather: bool = False,
 ):
     """Decoder step over the paged KV cache (decode or chunked prefill).
 
@@ -372,12 +373,19 @@ def forward_paged(
     windows = weights["layer_windows"]
     flat_slots = slot_mapping.reshape(-1)
     has_scales = cache.k_scale is not None
-    # fused Pallas decode kernel: single-token step, unquantized KV, no
-    # softcap (falls back to the gather path otherwise)
+    # Fused Pallas decode kernel: single-token step, unquantized KV, no
+    # softcap. Only when the block table is wide (XLA fuses the gather into
+    # the attention einsum, so at snug small contexts the gather path reads
+    # KV once too and avoids the per-layer kernel launch overhead; the
+    # kernel wins when the padded table width exceeds typical lengths or
+    # context is long, since its loop bound is the per-seq kv_len).
+    table_slots = jnp.shape(block_tables)[1] * block_size
     use_decode_kernel = (
         t == 1
+        and not force_gather
         and not has_scales
         and cfg.attn_logit_softcap is None
+        and table_slots >= 2048
         and (backend == "pallas" or (backend is None and jax.default_backend() == "tpu"))
     )
 

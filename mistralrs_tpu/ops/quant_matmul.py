@@ -62,13 +62,18 @@ def _matmul_xla(x: jax.Array, qt: QTensor, dequant_dtype) -> jax.Array:
 
 
 def _dequant(codes_i32, s_ref, b_ref, group_size, dequant_dtype):
-    """codes [TK, TN] + scales [gpt, TN] → dequantized weights [TK, TN]."""
-    s = jnp.repeat(s_ref[...].reshape(-1, s_ref.shape[-1]), group_size, axis=0)
-    w = codes_i32.astype(jnp.float32) * s
+    """codes [TK, TN] + scales [gpt, TN] → dequantized weights [TK, TN].
+
+    Scale expansion via a 3-D sublane broadcast ([G, 1, TN] × [G, gs, TN]) —
+    no materialized jnp.repeat of the scale plane."""
+    tk, tn = codes_i32.shape
+    g = tk // group_size
+    c3 = codes_i32.astype(jnp.float32).reshape(g, group_size, tn)
+    s3 = s_ref[...].reshape(g, 1, tn)
+    w = c3 * s3
     if b_ref is not None:
-        b = jnp.repeat(b_ref[...].reshape(-1, b_ref.shape[-1]), group_size, axis=0)
-        w = w + b
-    return w.astype(dequant_dtype)
+        w = w + b_ref[...].reshape(g, 1, tn)
+    return w.reshape(tk, tn).astype(dequant_dtype)
 
 
 _DN = (((1,), (0,)), ((), ()))  # x[TM, TK] @ w[TK, TN]

@@ -1,0 +1,153 @@
+"""Multi-host serving scaffolding — the analog of the reference's
+multi-process/multi-node TP driver (`mistralrs-core/src/distributed.rs`:
+daemon replicator loops :174-345, IPC request replication §3.4 of SURVEY.md),
+mapped onto multi-controller JAX.
+
+Model: every host runs the SAME engine loop (SPMD). Host 0 owns the public
+server; requests are broadcast to all hosts over a TCP side channel (the
+analog of `ipc_name()` local sockets), each host's scheduler makes identical
+decisions on the identical request stream, and the jitted step's collectives
+keep ranks in lockstep. Only host 0's responses reach users.
+
+On a real pod slice:
+
+    initialize_multihost(coordinator, num_hosts, host_id)
+    mesh = build_pod_mesh(tp=8, dp=num_hosts)         # model axis within a
+                                                      # host (ICI), data across
+    replicator = RequestReplicator(host_id, num_hosts, port)
+    # host 0: replicator.broadcast(request) before scheduling it
+    # hosts >0: for req in replicator.recv_loop(): engine.add_request(req)
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+
+
+def initialize_multihost(
+    coordinator_address: str, num_processes: int, process_id: int
+) -> None:
+    """jax.distributed bring-up (NCCL-id-exchange analog)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def build_pod_mesh(tp: int, dp: int):
+    """(data, model) mesh over all pod devices: model axis contiguous within
+    a host so TP collectives ride ICI, data axis spans hosts over DCN."""
+    from jax.sharding import Mesh
+    import numpy as np
+
+    devs = np.asarray(jax.devices())
+    if devs.size != tp * dp:
+        raise ValueError(f"need {tp * dp} devices, have {devs.size}")
+    return Mesh(devs.reshape(dp, tp), ("data", "model"))
+
+
+def _send_msg(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(struct.pack("<I", len(payload)) + payload)
+
+
+def _recv_msg(sock: socket.socket) -> Optional[bytes]:
+    hdr = b""
+    while len(hdr) < 4:
+        chunk = sock.recv(4 - len(hdr))
+        if not chunk:
+            return None
+        hdr += chunk
+    (n,) = struct.unpack("<I", hdr)
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+class RequestReplicator:
+    """TCP fan-out of serialized requests from host 0 to every other host
+    (the analog of `replicate_request_to_daemons`, engine/mod.rs:962)."""
+
+    def __init__(self, host_id: int, num_hosts: int, port: int = 19777,
+                 host0_address: str = "127.0.0.1"):
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.port = port
+        self.host0_address = host0_address
+        self._conns: list[socket.socket] = []
+        self._server: Optional[socket.socket] = None
+        self._client: Optional[socket.socket] = None
+        self._lock = threading.Lock()
+
+    # -- host 0 --------------------------------------------------------------
+
+    def start_server(self) -> None:
+        assert self.host_id == 0
+        self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._server.bind(("0.0.0.0", self.port))
+        self._server.listen(self.num_hosts)
+        for _ in range(self.num_hosts - 1):
+            conn, _ = self._server.accept()
+            self._conns.append(conn)
+
+    def broadcast(self, request: dict[str, Any]) -> None:
+        """Send a request to every worker host (call before scheduling it
+        locally, so all ranks observe the same order)."""
+        payload = json.dumps(request).encode()
+        with self._lock:
+            for conn in self._conns:
+                _send_msg(conn, payload)
+
+    # -- workers -------------------------------------------------------------
+
+    def connect(self, timeout: float = 60.0) -> None:
+        assert self.host_id != 0
+        self._client = socket.create_connection(
+            (self.host0_address, self.port), timeout=timeout
+        )
+
+    def recv_loop(self) -> Iterator[dict[str, Any]]:
+        """Yield replicated requests (daemon replicator loop analog)."""
+        assert self._client is not None
+        while True:
+            msg = _recv_msg(self._client)
+            if msg is None:
+                return
+            yield json.loads(msg)
+
+    def close(self) -> None:
+        for c in self._conns:
+            c.close()
+        if self._server:
+            self._server.close()
+        if self._client:
+            self._client.close()
+
+
+def run_replicated_engine(
+    replicator: RequestReplicator,
+    engine,
+    decode_request: Callable[[dict], tuple[list[int], Any]],
+) -> None:
+    """Worker-host loop: mirror every replicated request into the local
+    engine with a null responder, then step in lockstep with host 0."""
+    def feeder():
+        for req in replicator.recv_loop():
+            prompt_ids, params = decode_request(req)
+            engine.add_request(prompt_ids, params, request_id=req.get("request_id"))
+
+    threading.Thread(target=feeder, daemon=True).start()
+    while True:
+        if engine.has_work:
+            engine.step()

@@ -104,3 +104,14 @@ def test_streaming_no_reasoning():
     r3, c3 = p.flush()
     assert r1 + r2 + r3 == ""
     assert c1 + c2 + c3 == "hello world"
+
+
+def test_supported_models_doc_in_sync():
+    """Docs-as-test (Makefile docs-check analog): the committed table must
+    match the generator."""
+    from pathlib import Path
+
+    from mistralrs_tpu.model_metadata import render_supported_models_markdown
+
+    committed = Path("docs/supported_models.md").read_text()
+    assert committed == render_supported_models_markdown()
