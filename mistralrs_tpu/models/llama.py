@@ -280,21 +280,26 @@ def forward(
     compute_dtype=jnp.bfloat16,
     tp_axis: Optional[str] = None,
     return_hidden: bool = False,
+    input_embeds: Optional[jax.Array] = None,  # [B, T, H] overrides embedding
 ) -> tuple[jax.Array, KVCache]:
     """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache);
     with ``return_hidden`` the first element is the final-norm hidden states
-    [B, T, H] instead (embedding-model path).
+    [B, T, H] instead (embedding-model path). ``input_embeds`` bypasses the
+    token embedding (multimodal merged-embedding path).
 
     When ``tp_axis`` is set, this body runs inside `shard_map`: ``cfg`` must
     be the *local* config (heads/intermediate divided by TP — see
     `parallel/tp.py`) and the row-parallel layers all-reduce over the axis.
     """
     act = ACTIVATIONS[cfg.hidden_act]
-    h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
-    if cfg.arch.startswith("gemma"):
-        h = h * jnp.asarray(
-            cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype
-        )
+    if input_embeds is not None:
+        h = input_embeds.astype(compute_dtype)
+    else:
+        h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
+        if cfg.arch.startswith("gemma"):
+            h = h * jnp.asarray(
+                cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype
+            )
 
     ropes = _rope_sets(cfg, positions)
 
