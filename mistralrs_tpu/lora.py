@@ -141,10 +141,20 @@ def detach_dynamic_lora(weights: dict) -> dict:
 
 
 def apply_lora_delta(out: jax.Array, x: jax.Array, lora: Optional[dict]) -> jax.Array:
-    """out += (x @ Aᵀ) @ Bᵀ (scaling already folded into B)."""
+    """out += (x @ Aᵀ) @ Bᵀ (scaling already folded into B).
+
+    Multi-adapter (X-LoRA) entries carry a leading adapter axis plus
+    per-token mixing weights ``xlora_scalings`` [B, T, A]."""
     if lora is None:
         return out
     a, b = lora["a"], lora["b"]  # [r, K], [N, r] (layer-sliced by the scan)
+    if a.ndim == 3:  # [A, r, K] / [A, N, r]: X-LoRA mixture
+        s = lora["xlora_scalings"].astype(jnp.float32)  # [B, T, A]
+        xf = x.astype(jnp.float32)
+        down = jnp.einsum("btk,ark->btar", xf, a.astype(jnp.float32))
+        per = jnp.einsum("btar,anr->btan", down, b.astype(jnp.float32))
+        delta = jnp.einsum("btan,bta->btn", per, s)
+        return out + delta.astype(out.dtype)
     nd = x.ndim - 1
     down = jax.lax.dot_general(
         x, a.astype(x.dtype), (((nd,), (1,)), ((), ())),

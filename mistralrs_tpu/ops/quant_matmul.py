@@ -64,16 +64,15 @@ def _matmul_xla(x: jax.Array, qt: QTensor, dequant_dtype) -> jax.Array:
 def _dequant(codes_i32, s_ref, b_ref, group_size, dequant_dtype):
     """codes [TK, TN] + scales [gpt, TN] → dequantized weights [TK, TN].
 
-    Scale expansion via a 3-D sublane broadcast ([G, 1, TN] × [G, gs, TN]) —
-    no materialized jnp.repeat of the scale plane."""
-    tk, tn = codes_i32.shape
-    g = tk // group_size
-    c3 = codes_i32.astype(jnp.float32).reshape(g, group_size, tn)
-    s3 = s_ref[...].reshape(g, 1, tn)
-    w = c3 * s3
+    Scale expansion via jnp.repeat along sublanes. (A 3-D
+    reshape-and-broadcast variant compiles but stalls on hardware — Mosaic
+    handles the flat repeat far better.)"""
+    s = jnp.repeat(s_ref[...].reshape(-1, s_ref.shape[-1]), group_size, axis=0)
+    w = codes_i32.astype(jnp.float32) * s
     if b_ref is not None:
-        w = w + b_ref[...].reshape(g, 1, tn)
-    return w.reshape(tk, tn).astype(dequant_dtype)
+        b = jnp.repeat(b_ref[...].reshape(-1, b_ref.shape[-1]), group_size, axis=0)
+        w = w + b
+    return w.astype(dequant_dtype)
 
 
 _DN = (((1,), (0,)), ((), ()))  # x[TM, TK] @ w[TK, TN]
@@ -123,6 +122,12 @@ def _w8_kernel(
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+import os
+
+_TN_DEFAULT = int(os.environ.get("MRSTPU_MM_TN", "256"))
+_TK_DEFAULT = int(os.environ.get("MRSTPU_MM_TK", "512"))
+
+
 def _pick_tiles(m: int, n: int, k_store: int, group_size: int):
     """(TM, TN, TK): TK in *stored*-K units (packed bytes for w4).
 
@@ -130,8 +135,8 @@ def _pick_tiles(m: int, n: int, k_store: int, group_size: int):
     whole G dim); TK must divide the stored K.
     """
     tm = min(_round_up(m, 16), 256)
-    tn = 256 if n % 256 == 0 else 128
-    tk = 512
+    tn = _TN_DEFAULT if n % _TN_DEFAULT == 0 else (256 if n % 256 == 0 else 128)
+    tk = _TK_DEFAULT
     while tk > group_size and k_store % tk != 0:
         tk //= 2
     if k_store % tk != 0 or (tk // group_size) < 8:
