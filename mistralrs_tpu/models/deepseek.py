@@ -1,0 +1,346 @@
+"""DeepSeek V2/V3 — multi-head latent attention (MLA) + DeepSeek-MoE
+(the analog of `mistralrs-core/src/models/deepseek2.rs`/`deepseek3.rs` and
+the MLA kernels `mistralrs-core/src/mla/`).
+
+MLA: queries/keys split into a no-RoPE part (projected from a compressed
+latent) and a small RoPE part shared MQA-style across heads; KV is stored
+compressed (kv_lora_rank + rope dim) and up-projected per head.
+
+MoE: sigmoid scoring with e-score correction bias and optional group-limited
+top-k (V3), softmax scoring (V2); shared experts always active; first
+``first_k_dense_replace`` layers use a dense MLP.
+
+This implementation caches the *full* per-head K/V (correctness-first; the
+compressed-cache "absorbed" variant is the later optimization the reference
+implements in `mla/weights.rs`)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import sdpa
+from ..ops.norms import rms_norm
+from ..ops.rope import rope_frequencies
+from ..quant.linear import embedding_lookup, linear
+
+
+@dataclass
+class DeepseekConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    moe_intermediate_size: int
+    num_layers: int
+    num_heads: int
+    q_lora_rank: Optional[int]
+    kv_lora_rank: int
+    qk_rope_head_dim: int
+    qk_nope_head_dim: int
+    v_head_dim: int
+    n_routed_experts: int
+    num_experts_per_tok: int
+    n_shared_experts: int
+    first_k_dense_replace: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    routed_scaling_factor: float = 1.0
+    scoring_func: str = "sigmoid"  # v3; "softmax" for v2
+    norm_topk_prob: bool = True
+    n_group: int = 1
+    topk_group: int = 1
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    eos_token_ids: tuple = ()
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_rope_head_dim + self.qk_nope_head_dim
+
+    @classmethod
+    def from_hf(cls, d: Mapping[str, Any]) -> "DeepseekConfig":
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            moe_intermediate_size=d.get("moe_intermediate_size", d["intermediate_size"]),
+            num_layers=d["num_hidden_layers"],
+            num_heads=d["num_attention_heads"],
+            q_lora_rank=d.get("q_lora_rank"),
+            kv_lora_rank=d["kv_lora_rank"],
+            qk_rope_head_dim=d["qk_rope_head_dim"],
+            qk_nope_head_dim=d["qk_nope_head_dim"],
+            v_head_dim=d["v_head_dim"],
+            n_routed_experts=d.get("n_routed_experts", 0) or 0,
+            num_experts_per_tok=d.get("num_experts_per_tok", 0) or 0,
+            n_shared_experts=d.get("n_shared_experts", 0) or 0,
+            first_k_dense_replace=d.get("first_k_dense_replace", 0),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 10000.0),
+            routed_scaling_factor=d.get("routed_scaling_factor", 1.0),
+            scoring_func=d.get("scoring_func", "sigmoid"),
+            norm_topk_prob=d.get("norm_topk_prob", True),
+            n_group=d.get("n_group", 1) or 1,
+            topk_group=d.get("topk_group", 1) or 1,
+            max_position_embeddings=d.get("max_position_embeddings", 4096),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+        )
+
+
+def _interleaved_rope(x, cos, sin):
+    """DeepSeek applies rotate-half AFTER de-interleaving pairs: the HF impl
+    views [.., d] as [.., d/2, 2] → transpose → rotate_half."""
+    b, t, h, d = x.shape
+    x = x.reshape(b, t, h, d // 2, 2)
+    x = jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)  # de-interleave
+    half = d // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    return jnp.concatenate([out1, out2], axis=-1)
+
+
+def _mla_attention(cfg, lw, h, cos, sin, k_cache, v_cache, positions, kv_start, backend):
+    b, t, _ = h.shape
+    nh = cfg.num_heads
+    if cfg.q_lora_rank:
+        q = linear(h, lw["q_a"], backend=backend)
+        q = rms_norm(q, lw["q_a_norm"], cfg.rms_norm_eps)
+        q = linear(q, lw["q_b"], backend=backend)
+    else:
+        q = linear(h, lw["q"], backend=backend)
+    q = q.reshape(b, t, nh, cfg.qk_head_dim)
+    q_nope, q_pe = q[..., : cfg.qk_nope_head_dim], q[..., cfg.qk_nope_head_dim :]
+
+    ckv = linear(h, lw["kv_a"], backend=backend)  # [B,T, rank + rope_dim]
+    compressed, k_pe = (
+        ckv[..., : cfg.kv_lora_rank],
+        ckv[..., cfg.kv_lora_rank :],
+    )
+    compressed = rms_norm(compressed, lw["kv_a_norm"], cfg.rms_norm_eps)
+    kv = linear(compressed, lw["kv_b"], backend=backend).reshape(
+        b, t, nh, cfg.qk_nope_head_dim + cfg.v_head_dim
+    )
+    k_nope = kv[..., : cfg.qk_nope_head_dim]
+    v = kv[..., cfg.qk_nope_head_dim :]
+
+    q_pe = _interleaved_rope(q_pe, cos, sin)
+    k_pe = _interleaved_rope(k_pe[:, :, None, :], cos, sin)  # MQA: one head
+    k_pe = jnp.broadcast_to(k_pe, (b, t, nh, cfg.qk_rope_head_dim))
+
+    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
+    # pad V to qk_head_dim so one cache/sdpa call serves both (cropped after)
+    v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, cfg.qk_head_dim - cfg.v_head_dim)))
+
+    def write(cache, new):
+        def one(row, new_row, start):
+            return jax.lax.dynamic_update_slice(row, new_row, (start, 0, 0))
+        return jax.vmap(one)(cache, new.astype(cache.dtype), kv_start)
+
+    k_cache = write(k_cache, k_full)
+    v_cache = write(v_cache, v_pad)
+    kv_len = kv_start + t
+    scale = cfg.qk_head_dim ** -0.5
+    attn = sdpa(
+        q_full, k_cache, v_cache, q_positions=positions, kv_len=kv_len, scale=scale
+    )[..., : cfg.v_head_dim]
+    attn = attn.reshape(b, t, nh * cfg.v_head_dim)
+    return linear(attn, lw["o"], backend=backend), k_cache, v_cache
+
+
+def _dense_mlp(h, lw, backend):
+    return linear(
+        jax.nn.silu(linear(h, lw["gate"], backend=backend))
+        * linear(h, lw["up"], backend=backend),
+        lw["down"], backend=backend,
+    )
+
+
+def _moe(cfg, lw, h, backend):
+    b, t, _ = h.shape
+    logits = linear(h.astype(jnp.float32), lw["router"], backend=backend)
+    if cfg.scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+    biased = scores + lw.get("router_bias", jnp.zeros_like(scores[..., 0, None]))
+    if cfg.n_group > 1 and cfg.n_routed_experts % cfg.n_group == 0:
+        # group-limited routing: keep only the top groups' experts
+        gsz = cfg.n_routed_experts // cfg.n_group
+        gs = biased.reshape(b, t, cfg.n_group, gsz)
+        group_scores = jnp.sum(
+            jax.lax.top_k(gs, min(2, gsz))[0], axis=-1
+        )  # [B,T,G]
+        _, top_groups = jax.lax.top_k(group_scores, cfg.topk_group)
+        gmask = jnp.zeros((b, t, cfg.n_group), bool).at[
+            jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], top_groups
+        ].set(True)
+        biased = jnp.where(
+            jnp.repeat(gmask, gsz, axis=-1), biased, -jnp.inf
+        )
+    _, topi = jax.lax.top_k(biased, cfg.num_experts_per_tok)
+    topw = jnp.take_along_axis(scores, topi, axis=-1)  # weights use raw scores
+    if cfg.norm_topk_prob:
+        topw = topw / jnp.maximum(jnp.sum(topw, axis=-1, keepdims=True), 1e-20)
+    topw = topw * cfg.routed_scaling_factor
+    full_w = (
+        jnp.zeros((b, t, cfg.n_routed_experts), jnp.float32)
+        .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], topi]
+        .add(topw)
+    )
+
+    def expert(carry, xs):
+        acc, idx = carry
+        y = _dense_mlp(h, xs, backend)
+        acc = acc + y * full_w[..., idx][..., None].astype(y.dtype)
+        return (acc, idx + 1), None
+
+    (out, _), _ = jax.lax.scan(expert, (jnp.zeros_like(h), jnp.int32(0)), lw["experts"])
+    if "shared" in lw:
+        out = out + _dense_mlp(h, lw["shared"], backend)
+    return out
+
+
+def deepseek_forward(
+    weights: dict,
+    cfg: DeepseekConfig,
+    input_ids: jax.Array,
+    positions: jax.Array,
+    cache,  # dict {dense: (k, v), moe: (k, v)} each [Lseg, B, S, nh, qk_dim]
+    kv_start: jax.Array,
+    *,
+    backend=None,
+    compute_dtype=jnp.float32,
+    logits_last_only: bool = False,
+):
+    h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
+    inv = rope_frequencies(cfg.qk_rope_head_dim, cfg.rope_theta)
+    angles = positions.astype(jnp.float32)[..., None] * inv
+    cos, sin = jnp.cos(angles).astype(compute_dtype), jnp.sin(angles).astype(compute_dtype)
+
+    new_cache = {}
+    for seg in ("dense", "moe"):
+        if seg not in weights["segments"]:
+            continue
+        seg_w = weights["segments"][seg]
+        k_c, v_c = cache[seg]
+
+        def body(hh, xs):
+            lw, kc, vc = xs
+            x = rms_norm(hh, lw["attn_norm"], cfg.rms_norm_eps)
+            attn, kc, vc = _mla_attention(
+                cfg, lw, x, cos, sin, kc, vc, positions, kv_start, backend
+            )
+            hh = hh + attn
+            x = rms_norm(hh, lw["ffn_norm"], cfg.rms_norm_eps)
+            if seg == "moe":
+                hh = hh + _moe(cfg, lw, x, backend)
+            else:
+                hh = hh + _dense_mlp(x, lw, backend)
+            return hh, (kc, vc)
+
+        h, (k_c, v_c) = jax.lax.scan(body, h, (seg_w, k_c, v_c))
+        new_cache[seg] = (k_c, v_c)
+
+    h = rms_norm(h, weights["final_norm"], cfg.rms_norm_eps)
+    if logits_last_only:
+        h = h[:, -1:, :]
+    head = weights.get("lm_head")
+    if head is None:
+        head = weights["embed"]
+    logits = linear(h, head, backend=backend).astype(jnp.float32)
+    return logits, new_cache
+
+
+def make_cache(cfg: DeepseekConfig, batch: int, capacity: int, dtype=jnp.float32):
+    def seg(n_layers):
+        shape = (n_layers, batch, capacity, cfg.num_heads, cfg.qk_head_dim)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    k = cfg.first_k_dense_replace
+    out = {}
+    if k > 0:
+        out["dense"] = seg(k)
+    if cfg.num_layers - k > 0:
+        out["moe"] = seg(cfg.num_layers - k)
+    return out
+
+
+def deepseek_weights_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: DeepseekConfig, dtype=jnp.float32
+) -> dict:
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def g(name):
+        return jnp.asarray(np.asarray(sd[pre + name], np.float32), dtype)
+
+    def layer_weights(i: int, moe: bool) -> dict:
+        p = f"layers.{i}."
+        lw = {
+            "attn_norm": g(p + "input_layernorm.weight"),
+            "ffn_norm": g(p + "post_attention_layernorm.weight"),
+            "kv_a": g(p + "self_attn.kv_a_proj_with_mqa.weight"),
+            "kv_a_norm": g(p + "self_attn.kv_a_layernorm.weight"),
+            "kv_b": g(p + "self_attn.kv_b_proj.weight"),
+            "o": g(p + "self_attn.o_proj.weight"),
+        }
+        if cfg.q_lora_rank:
+            lw["q_a"] = g(p + "self_attn.q_a_proj.weight")
+            lw["q_a_norm"] = g(p + "self_attn.q_a_layernorm.weight")
+            lw["q_b"] = g(p + "self_attn.q_b_proj.weight")
+        else:
+            lw["q"] = g(p + "self_attn.q_proj.weight")
+        if moe:
+            lw["router"] = g(p + "mlp.gate.weight")
+            if pre + p + "mlp.gate.e_score_correction_bias" in sd:
+                lw["router_bias"] = g(p + "mlp.gate.e_score_correction_bias")
+            experts = []
+            for e in range(cfg.n_routed_experts):
+                ep = p + f"mlp.experts.{e}."
+                experts.append(
+                    {
+                        "gate": g(ep + "gate_proj.weight"),
+                        "up": g(ep + "up_proj.weight"),
+                        "down": g(ep + "down_proj.weight"),
+                    }
+                )
+            lw["experts"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *experts)
+            if cfg.n_shared_experts:
+                spp = p + "mlp.shared_experts."
+                lw["shared"] = {
+                    "gate": g(spp + "gate_proj.weight"),
+                    "up": g(spp + "up_proj.weight"),
+                    "down": g(spp + "down_proj.weight"),
+                }
+        else:
+            lw["gate"] = g(p + "mlp.gate_proj.weight")
+            lw["up"] = g(p + "mlp.up_proj.weight")
+            lw["down"] = g(p + "mlp.down_proj.weight")
+        return lw
+
+    k = cfg.first_k_dense_replace
+    segments = {}
+    if k > 0:
+        dense = [layer_weights(i, False) for i in range(k)]
+        segments["dense"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dense)
+    if cfg.num_layers > k:
+        moe = [layer_weights(i, True) for i in range(k, cfg.num_layers)]
+        segments["moe"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *moe)
+
+    return {
+        "embed": g("embed_tokens.weight"),
+        "segments": segments,
+        "final_norm": g("norm.weight"),
+        "lm_head": (
+            jnp.asarray(np.asarray(sd["lm_head.weight"], np.float32), dtype)
+            if "lm_head.weight" in sd
+            else None
+        ),
+    }
