@@ -101,3 +101,28 @@ def engine_chat_fn(instance, sampling_params=None) -> ChatFn:
         return instance.tokenizer.decode(seq.generated_ids)
 
     return chat
+
+
+# -- session serialization (the analog of SerializedSession export/import,
+# mistralrs-pyo3/src/lib.rs:2095-2114) -------------------------------------
+
+
+def export_session(result_or_messages, path: str, metadata: Optional[dict] = None):
+    """Save an agent conversation (AgentResult or message list) to JSON."""
+    messages = (
+        result_or_messages.messages
+        if isinstance(result_or_messages, AgentResult)
+        else list(result_or_messages)
+    )
+    payload = {"version": 1, "messages": messages, "metadata": metadata or {}}
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+def import_session(path: str) -> tuple[list[dict], dict]:
+    """Load a saved session → (messages, metadata)."""
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("version", 1) > 1:
+        raise ValueError("session version newer than supported")
+    return payload["messages"], payload.get("metadata", {})

@@ -10,7 +10,10 @@ import time
 
 
 def _add_model_args(p: argparse.ArgumentParser):
-    p.add_argument("model", help="path to a .gguf file or HF model directory")
+    p.add_argument("model", nargs="?", default=None,
+                   help="path to a .gguf/.uqff file or HF model directory")
+    p.add_argument("-c", "--config", default=None,
+                   help="TOML config file (CLI flags override it)")
     p.add_argument("--isq", default=None, help="in-situ quantization (q4k, q8_0, ...)")
     p.add_argument("--max-seq-len", type=int, default=None)
     p.add_argument("--kv-quant", choices=["int8", "fp8"], default=None)
@@ -20,11 +23,61 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--chat-template", default=None, help="jinja template override file")
 
 
+def _apply_toml_config(args):
+    """Config-first TOML (the analog of mistralrs-cli's cli-toml-config):
+    [model] path/isq/chat_template, [engine] max_batch/block_size/..., and
+    per-command sections ([serve] host/port, [run] temperature, ...)."""
+    if not getattr(args, "config", None):
+        return args
+    import tomllib
+
+    with open(args.config, "rb") as f:
+        cfg = tomllib.load(f)
+    model = cfg.get("model", {})
+    if args.model is None:
+        args.model = model.get("path")
+    if args.isq is None:
+        args.isq = model.get("isq")
+    if args.chat_template is None and model.get("chat_template"):
+        args.chat_template = model["chat_template"]
+    eng = cfg.get("engine", {})
+    for key, attr in (
+        ("max_batch", "max_batch"), ("block_size", "block_size"),
+        ("num_kv_blocks", "num_kv_blocks"), ("max_seq_len", "max_seq_len"),
+        ("kv_quant", "kv_quant"),
+    ):
+        if key in eng and parser_default(args, attr):
+            setattr(args, attr, eng[key])
+    for section in ("serve", "run", "bench"):
+        for key, val in cfg.get(section, {}).items():
+            if hasattr(args, key) and parser_default(args, key):
+                setattr(args, key, val)
+    return args
+
+
+_ARG_DEFAULTS = {
+    "max_batch": 8, "block_size": 16, "num_kv_blocks": None, "max_seq_len": None,
+    "kv_quant": None, "host": "0.0.0.0", "port": 8080, "temperature": 0.7,
+    "max_tokens": 512,
+}
+
+
+def parser_default(args, attr) -> bool:
+    """True if the user left the flag at its parser default."""
+    return getattr(args, attr, None) == _ARG_DEFAULTS.get(attr, None)
+
+
 def _build_engine(args):
     import jax.numpy as jnp
 
     from .engine.engine import Engine
     from .pipeline import load_pipeline
+
+    _apply_toml_config(args)
+    if not args.model:
+        print("error: no model path (argument or [model].path in --config)",
+              file=sys.stderr)
+        raise SystemExit(2)
 
     override = None
     if args.chat_template:
@@ -177,6 +230,20 @@ def cmd_quantize(args):
     return 0
 
 
+def cmd_mcp_serve(args):
+    from .chat_template import resolve_chat_template
+    from .serving.mcp_server import McpModelServer
+    from .serving.registry import ModelInstance
+
+    pipe, eng = _build_engine(args)
+    inst = ModelInstance(
+        model_id=pipe.model_id, engine=eng, tokenizer=pipe.tokenizer,
+        chat_template=pipe.chat_template,
+    )
+    McpModelServer(inst, name=pipe.model_id).serve_stdio()
+    return 0
+
+
 def cmd_tune(args):
     """Quant fit/recommendation report (the analog of `mistralrs tune`)."""
     import json as _json
@@ -260,6 +327,10 @@ def main(argv=None):
     p.add_argument("--quant", default="q4k")
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("mcp-serve", help="expose the model as an MCP tool server (stdio)")
+    _add_model_args(p)
+    p.set_defaults(fn=cmd_mcp_serve)
 
     p = sub.add_parser("tune", help="quantization fit/recommendation report")
     p.add_argument("model", help="model path (.gguf or HF dir)")

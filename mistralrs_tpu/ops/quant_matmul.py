@@ -124,8 +124,10 @@ def _w8_kernel(
 
 import os
 
-_TN_DEFAULT = int(os.environ.get("MRSTPU_MM_TN", "256"))
-_TK_DEFAULT = int(os.environ.get("MRSTPU_MM_TK", "512"))
+# Tuned on v5e: (512, 1024) reaches ~776 GB/s weight streaming (95% of the
+# 819 GB/s HBM roofline) on 4096x4096 Q4_K vs 327 GB/s at (256, 512).
+_TN_DEFAULT = int(os.environ.get("MRSTPU_MM_TN", "512"))
+_TK_DEFAULT = int(os.environ.get("MRSTPU_MM_TK", "1024"))
 
 
 def _pick_tiles(m: int, n: int, k_store: int, group_size: int):
