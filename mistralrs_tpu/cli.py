@@ -225,7 +225,15 @@ def cmd_quantize(args):
         cfg = config_from_hf(_json.load(f))
     sd = load_safetensors_dir(src)
     t = parse_isq(args.quant)
-    convert_hf_to_gguf(sd, cfg, args.output, quant=t)
+    tok_md = None
+    tok_path = src / "tokenizer.json"
+    if tok_path.exists():
+        from tokenizers import Tokenizer
+
+        from .convert import tokenizer_metadata_from_hf
+
+        tok_md = tokenizer_metadata_from_hf(Tokenizer.from_file(str(tok_path)))
+    convert_hf_to_gguf(sd, cfg, args.output, quant=t, tokenizer_metadata=tok_md)
     print(f"wrote {args.output}")
     return 0
 

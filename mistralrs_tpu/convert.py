@@ -20,6 +20,32 @@ from .models.config import ModelConfig
 _PERMUTED_QK_ARCHS = {"llama", "mistral", "granite"}
 
 
+def tokenizer_metadata_from_hf(tokenizer) -> dict[str, Any]:
+    """Extract `tokenizer.ggml.*` metadata from a tokenizers.Tokenizer so
+    converted GGUF files are self-contained (byte-BPE models)."""
+    import json as _json
+
+    data = _json.loads(tokenizer.to_str())
+    model = data.get("model", {})
+    if model.get("type") != "BPE":
+        return {}
+    vocab = model["vocab"]
+    tokens = [None] * len(vocab)
+    for t, i in vocab.items():
+        tokens[i] = t
+    for added in data.get("added_tokens", []):
+        i = added["id"]
+        if i >= len(tokens):
+            tokens.extend([None] * (i + 1 - len(tokens)))
+        tokens[i] = added["content"]
+    merges = [m if isinstance(m, str) else " ".join(m) for m in model.get("merges", [])]
+    return {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": [t if t is not None else f"<unused{i}>" for i, t in enumerate(tokens)],
+        "tokenizer.ggml.merges": merges,
+    }
+
+
 def _permute_rows(w: np.ndarray, n_heads: int) -> np.ndarray:
     """llama.cpp `permute()`: HF rotate-half rows → GGUF interleaved rows."""
     n = w.shape[0]

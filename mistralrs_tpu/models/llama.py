@@ -365,7 +365,7 @@ def forward_paged(
     plug in behind the same interface. Returns (logits, updated cache).
     """
     from ..kv.paged import PagedKVCache, gather_kv, write_kv
-    from ..ops.paged_attention import paged_decode_attention
+    from ..ops.paged_attention import paged_decode_attention_fused
 
     act = ACTIVATIONS[cfg.hidden_act]
     b, t = input_ids.shape
@@ -428,18 +428,22 @@ def forward_paged(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_c, v_c, k_s, v_s = write_kv(
-            k_c, v_c,
-            k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
-            v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
-            flat_slots, k_s, v_s,
-        )
         if use_decode_kernel:
-            attn = paged_decode_attention(
-                q[:, 0], k_c, v_c, block_tables, kv_lens, win,
+            # fused reshape_and_cache + flash decode: pools aliased through
+            # the kernel, KV written and read exactly once
+            attn, k_c, v_c = paged_decode_attention_fused(
+                q[:, 0], k_c, v_c, k[:, 0], v[:, 0], flat_slots,
+                block_tables, kv_lens, win,
                 block_size=block_size, scale=cfg.attn_scale,
-            )[:, None]
+            )
+            attn = attn[:, None]
         else:
+            k_c, v_c, k_s, v_s = write_kv(
+                k_c, v_c,
+                k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
+                v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
+                flat_slots, k_s, v_s,
+            )
             kk, vv = gather_kv(
                 k_c, v_c, block_tables, block_size, k_s, v_s, dtype=compute_dtype
             )

@@ -35,16 +35,22 @@ def _decode_kernel(
     block_tables_ref,  # [B, W] int32 (SMEM)
     kv_lens_ref,  # [B] int32 (SMEM)
     window_ref,  # [1] int32 (SMEM): 0 → full attention
+    slots_ref,  # [B] int32: write slot for this step's KV (< 0 → trash)
     # inputs
     q_ref,  # [1, 1, group_p, hd] VMEM block for (b, h)
-    k_pool_ref,  # [n_kv, S_total, hd] in ANY/HBM
+    k_new_ref,  # [1, 1, hd] this step's K row for (b, h)
+    v_new_ref,
+    k_pool_ref,  # [n_kv, S_total, hd] in ANY/HBM (aliased through)
     v_pool_ref,
     # outputs
     o_ref,  # [1, 1, group_p, hd]
+    k_pool_out,  # aliased views of the pools
+    v_pool_out,
     # scratch
     k_buf,  # [2, chunk*bs, hd] VMEM
     v_buf,
     sem,  # DMA semaphores (2, 2, chunk)
+    wsem,  # write semaphores (2,)
     *,
     block_size: int,
     chunk: int,  # blocks fetched/processed per flash step
@@ -53,6 +59,23 @@ def _decode_kernel(
     b = pl.program_id(0)
     h = pl.program_id(1)
     kv_len = kv_lens_ref[b]
+
+    # reshape_and_cache fused in: write this step's KV row into the pool
+    # BEFORE any block of this sequence is read (the row at kv_len-1 must be
+    # visible to its own query). Slot < 0 routes to the trash row.
+    s_total = k_pool_out.shape[1]
+    wslot = slots_ref[b]
+    wslot = jnp.where(wslot < 0, s_total - 1, wslot)
+    kw = pltpu.make_async_copy(
+        k_new_ref.at[0], k_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[0]
+    )
+    vw = pltpu.make_async_copy(
+        v_new_ref.at[0], v_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[1]
+    )
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
     n_chunks = pl.cdiv(kv_len, block_size * chunk)
     group_p, hd = q_ref.shape[2], q_ref.shape[3]
     span = block_size * chunk
@@ -61,7 +84,7 @@ def _decode_kernel(
 
     def dma(ci, j, slot, which):
         """Async copy of block j of chunk ci into buffer row-range j."""
-        pool = k_pool_ref if which == 0 else v_pool_ref
+        pool = k_pool_out if which == 0 else v_pool_out
         buf = k_buf if which == 0 else v_buf
         blk = block_tables_ref[b, ci * chunk + j]
         return pltpu.make_async_copy(
@@ -130,20 +153,26 @@ def _round_up(x, m):
     jax.jit,
     static_argnames=("block_size", "scale", "chunk", "interpret"),
 )
-def paged_decode_attention(
+def paged_decode_attention_fused(
     q: jax.Array,  # [B, n_q, hd]
-    k_pool: jax.Array,  # [n_kv, S_total, hd]
+    k_pool: jax.Array,  # [n_kv, S_total, hd] (donated; updated in place)
     v_pool: jax.Array,
+    k_new: jax.Array,  # [B, n_kv, hd] this step's KV rows
+    v_new: jax.Array,
+    slots: jax.Array,  # [B] int32 write slots (< 0 → dropped)
     block_tables: jax.Array,  # [B, W] int32
-    kv_lens: jax.Array,  # [B] int32
+    kv_lens: jax.Array,  # [B] int32 (length AFTER this step's write)
     window: jax.Array | int = 0,  # scalar; 0 → full attention
     *,
     block_size: int,
     scale: Optional[float] = None,
     chunk: Optional[int] = None,
     interpret: bool = False,
-) -> jax.Array:
-    """Single-token paged attention. Returns [B, n_q, hd] in q.dtype."""
+):
+    """Fused reshape_and_cache + paged flash decode. The pools pass through
+    with input/output aliasing — KV is written and read exactly once, with
+    no XLA scatter (whose aliasing conflicts force pool copies under scan).
+    Returns (out [B, n_q, hd], k_pool, v_pool)."""
     b, n_q, hd = q.shape
     n_kv = k_pool.shape[0]
     group = n_q // n_kv
@@ -166,35 +195,70 @@ def paged_decode_attention(
 
     window_arr = jnp.asarray(window, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, n_kv),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, group_p, hd), lambda i, j, *_: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, 1, hd), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hd), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group_p, hd), lambda i, j, *_: (i, j, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, group_p, hd), lambda i, j, *_: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk * block_size, hd), k_pool.dtype),
             pltpu.VMEM((2, chunk * block_size, hd), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2, 2, chunk)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    out, k_pool, v_pool = pl.pallas_call(
         functools.partial(
             _decode_kernel, block_size=block_size, chunk=chunk, scale=scale
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_kv, group_p, hd), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_kv, group_p, hd), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        # args: 4 scalar-prefetch + q, k_new, v_new, k_pool(7), v_pool(8)
+        input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_tables, kv_lens, window_arr, qg, k_pool, v_pool)
-    return out[:, :, :group].reshape(b, n_q, hd)
+    )(block_tables, kv_lens, window_arr,
+      jnp.asarray(slots, jnp.int32), qg,
+      k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype), k_pool, v_pool)
+    return out[:, :, :group].reshape(b, n_q, hd), k_pool, v_pool
+
+
+def paged_decode_attention(
+    q, k_pool, v_pool, block_tables, kv_lens, window=0, *,
+    block_size, scale=None, chunk=None, interpret=False
+):
+    """Read-only variant (testing): no KV write, pools unchanged."""
+    out, _, _ = paged_decode_attention_fused(
+        q, k_pool, v_pool,
+        jnp.zeros((q.shape[0], k_pool.shape[0], q.shape[2]), k_pool.dtype),
+        jnp.zeros((q.shape[0], v_pool.shape[0], q.shape[2]), v_pool.dtype),
+        jnp.full((q.shape[0],), -1, jnp.int32),
+        block_tables, kv_lens, window,
+        block_size=block_size, scale=scale, chunk=chunk, interpret=interpret,
+    )
+    return out

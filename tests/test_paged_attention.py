@@ -57,3 +57,45 @@ def test_mha_group1():
         np.asarray(out, np.float32), np.asarray(ref[:, 0], np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_fused_write_matches_separate():
+    """Fused reshape_and_cache+attend == write_kv then read-only attention."""
+    import jax
+
+    from mistralrs_tpu.kv.paged import write_kv
+    from mistralrs_tpu.ops.paged_attention import paged_decode_attention_fused
+
+    rng = np.random.default_rng(3)
+    B, n_kv, group, hd, bs, W = 2, 2, 4, 64, 16, 4
+    n_q = n_kv * group
+    S_total = 9 * bs  # 8 blocks + trash
+    kp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.bfloat16)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    # seq 0 writes at logical pos 20 (block 1, offset 4 → slot 1*16+4);
+    # seq 1 dropped write (slot −1, e.g. bootstrap step)
+    slots = jnp.asarray([1 * bs + 4, -1], jnp.int32)
+    kv_lens = jnp.asarray([21, 33], jnp.int32)
+
+    out_f, kp_f, vp_f = paged_decode_attention_fused(
+        q, kp, vp, k_new, v_new, slots, bt, kv_lens, 0,
+        block_size=bs, interpret=True,
+    )
+    kp2, vp2, _, _ = write_kv(kp, vp, k_new, v_new, slots)
+    from mistralrs_tpu.ops.paged_attention import paged_decode_attention
+
+    out_r = paged_decode_attention(
+        q, kp2, vp2, bt, kv_lens, 0, block_size=bs, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f, np.float32), np.asarray(out_r, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # pool contents match outside the trash row
+    np.testing.assert_array_equal(
+        np.asarray(kp_f[:, :-1], np.float32), np.asarray(kp2[:, :-1], np.float32)
+    )
