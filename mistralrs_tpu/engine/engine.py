@@ -67,8 +67,8 @@ def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
         slot_map[:, None], kv_lens, block_size=block_size, backend=backend,
         logits_last_only=True, compute_dtype=compute_dtype,
     )
-    new_tokens, logprobs, samp_state = sample(logits[:, -1], samp_state, key)
-    return new_tokens, logprobs, cache, samp_state
+    new_tokens, logprobs, tops, samp_state = sample(logits[:, -1], samp_state, key)
+    return new_tokens, logprobs, tops, cache, samp_state
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -340,7 +340,7 @@ class Engine:
             bt[s, : len(table)] = table
 
         self._key, sub = jax.random.split(self._key)
-        new_tokens, logprobs, self.cache, self.samp_state = _decode_fn(
+        new_tokens, logprobs, tops, self.cache, self.samp_state = _decode_fn(
             self.weights, self._fcfg, jnp.asarray(tokens), jnp.asarray(positions),
             self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
             jnp.asarray(kv_lens), self.samp_state, sub,
@@ -348,6 +348,7 @@ class Engine:
         )
         new_tokens = np.asarray(new_tokens)
         logprobs = np.asarray(logprobs)
+        top_vals, top_ids = (np.asarray(tops[0]), np.asarray(tops[1]))
 
         finished: list[Sequence] = []
         for seq in seqs:
@@ -382,6 +383,12 @@ class Engine:
             tok = int(new_tokens[s])
             seq.output_ids.append(tok)
             seq.output_logprobs.append(float(logprobs[s]))
+            if seq.params.n_logprobs > 0:
+                k = min(seq.params.n_logprobs, top_ids.shape[1])
+                seq.output_top_logprobs.append(
+                    {int(i): float(v) for i, v in
+                     zip(top_ids[s, :k], top_vals[s, :k])}
+                )
             self.stats["generated_tokens"] += 1
             self.kv.extend_hashes(seq.request_id, seq.all_ids)
             self.kv.publish_full_blocks(seq.request_id, seq.total_len)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e30
+TOP_LOGPROBS = 8  # top-k logprobs returned per step (OpenAI top_logprobs)
 
 
 @dataclass
@@ -108,8 +109,9 @@ def sample(
     logits: jax.Array,  # [B, V] f32
     state: BatchSamplingState,
     key: jax.Array,
-) -> tuple[jax.Array, jax.Array, BatchSamplingState]:
-    """One sampling step. Returns (tokens [B], logprobs [B], updated state)."""
+):
+    """One sampling step. Returns (tokens [B], logprobs [B],
+    (top_logprob_vals [B, k], top_ids [B, k]), updated state)."""
     b, v = logits.shape
     logits = logits.astype(jnp.float32) + state.logit_bias + state.constraint_bias
 
@@ -159,6 +161,7 @@ def sample(
 
     logprobs_all = jax.nn.log_softmax(logits, axis=-1)
     logprobs = jnp.take_along_axis(logprobs_all, tokens[:, None], axis=-1)[:, 0]
+    top_vals, top_ids = jax.lax.top_k(logprobs_all, TOP_LOGPROBS)
 
     counts = state.counts.at[jnp.arange(b), tokens].add(1)
     new_state = BatchSamplingState(
@@ -173,4 +176,4 @@ def sample(
         logit_bias=state.logit_bias,
         constraint_bias=state.constraint_bias,
     )
-    return tokens, logprobs, new_state
+    return tokens, logprobs, (top_vals, top_ids), new_state

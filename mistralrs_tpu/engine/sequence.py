@@ -36,6 +36,7 @@ class Sequence:
     state: SequenceState = SequenceState.WAITING
     output_ids: list[int] = field(default_factory=list)
     output_logprobs: list[float] = field(default_factory=list)
+    output_top_logprobs: list[dict] = field(default_factory=list)
     num_computed_tokens: int = 0  # prompt tokens already prefilled into KV
     stop_reason: StopReason = StopReason.NOT_DONE
     slot: Optional[int] = None  # engine batch slot while RUNNING

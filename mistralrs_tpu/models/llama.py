@@ -384,13 +384,16 @@ def forward_paged(
     # KV once too and avoids the per-layer kernel launch overhead; the
     # kernel wins when the padded table width exceeds typical lengths or
     # context is long, since its loop bound is the per-seq kv_len).
+    import os as _os
+
     table_slots = jnp.shape(block_tables)[1] * block_size
+    _kernel_min_slots = int(_os.environ.get("MRSTPU_PA_KERNEL_MIN_SLOTS", "2048"))
     use_decode_kernel = (
         t == 1
         and not force_gather
         and not has_scales
         and cfg.attn_logit_softcap is None
-        and table_slots >= 2048
+        and table_slots >= _kernel_min_slots
         and (backend == "pallas" or (backend is None and jax.default_backend() == "tpu"))
     )
 

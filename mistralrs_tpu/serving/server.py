@@ -344,6 +344,24 @@ def build_app(state: ServerState) -> web.Application:
             )
         reasoning, content = split_reasoning(text)
         finish = _FINISH_MAP.get(seq.stop_reason, "stop")
+        logprobs_out = None
+        if req.logprobs and seq.output_top_logprobs:
+            logprobs_out = {
+                "content": [
+                    {
+                        "token": state.tokenizer.decode([t]),
+                        "logprob": lp,
+                        "top_logprobs": [
+                            {"token": state.tokenizer.decode([i]), "logprob": v}
+                            for i, v in tops.items()
+                        ],
+                    }
+                    for t, lp, tops in zip(
+                        seq.generated_ids, seq.output_logprobs,
+                        seq.output_top_logprobs,
+                    )
+                ]
+            }
         tool_calls = None
         if req.tools and (req.tool_choice or "auto") != "none":
             matcher = ToolCallingMatcher(family=state.engine.cfg.arch
@@ -355,7 +373,9 @@ def build_app(state: ServerState) -> web.Application:
                 tool_calls = [c.to_openai() for c in calls]
                 finish = "tool_calls"
                 content = ""
-        resp = P.chat_completion_response(state.model_id, content, finish, usage)
+        resp = P.chat_completion_response(
+            state.model_id, content, finish, usage, logprobs=logprobs_out
+        )
         if reasoning:
             resp["choices"][0]["message"]["reasoning_content"] = reasoning
         if tool_calls:

@@ -192,3 +192,17 @@ async def test_model_management_routes(client, server_state):
     assert ids == ["tiny-test"]
     r = await client.get("/v1/system/info")
     assert (await r.json())["backend"] == "cpu"
+
+
+async def test_logprobs(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={"messages": [{"role": "user", "content": "hi"}],
+              "max_tokens": 3, "temperature": 0.0,
+              "logprobs": True, "top_logprobs": 3},
+    )
+    data = await r.json()
+    content = data["choices"][0]["logprobs"]["content"]
+    assert len(content) == 3
+    assert len(content[0]["top_logprobs"]) == 3
+    assert content[0]["logprob"] <= 0
