@@ -546,6 +546,79 @@ def build_app(state: ServerState) -> web.Application:
             }
         )
 
+    # -- /v1/responses (OpenAI Responses API subset; cached_responses.rs
+    # analog: responses persist in-memory for later GET/DELETE) -------------
+
+    _responses_store: dict[str, dict] = {}
+
+    @routes.post("/v1/responses")
+    async def responses_create(request: web.Request):
+        body = await request.json()
+        inp = body.get("input", "")
+        if isinstance(inp, str):
+            msgs = [{"role": "user", "content": inp}]
+        else:
+            msgs = [
+                {"role": m.get("role", "user"),
+                 "content": m.get("content", "") if isinstance(m.get("content"), str)
+                 else "".join(p.get("text", "") for p in m.get("content", []))}
+                for m in inp
+            ]
+        if body.get("instructions"):
+            msgs = [{"role": "system", "content": body["instructions"]}] + msgs
+        prompt = state.chat_template.render(msgs, add_generation_prompt=True)
+        prompt_ids = state.tokenizer.encode(prompt)
+        params = SamplingParams(
+            temperature=body.get("temperature", 1.0),
+            top_p=body.get("top_p", 1.0),
+            max_tokens=body.get("max_output_tokens", 512),
+        )
+        toks, seq = await _generate_blocking(prompt_ids, params)
+        text = state.tokenizer.decode(seq.generated_ids)
+        rid = P.gen_id("resp")
+        resp = {
+            "id": rid,
+            "object": "response",
+            "created_at": P.now(),
+            "model": state.model_id,
+            "status": "completed",
+            "output": [
+                {
+                    "type": "message",
+                    "id": P.gen_id("msg"),
+                    "role": "assistant",
+                    "content": [{"type": "output_text", "text": text}],
+                }
+            ],
+            "usage": {
+                "input_tokens": len(prompt_ids),
+                "output_tokens": len(seq.generated_ids),
+                "total_tokens": len(prompt_ids) + len(seq.generated_ids),
+            },
+        }
+        if body.get("store", True):
+            _responses_store[rid] = resp
+        return web.json_response(resp)
+
+    @routes.get("/v1/responses/{rid}")
+    async def responses_get(request: web.Request):
+        rid = request.match_info["rid"]
+        resp = _responses_store.get(rid)
+        if resp is None:
+            return web.json_response(
+                {"error": {"message": "response not found"}}, status=404
+            )
+        return web.json_response(resp)
+
+    @routes.delete("/v1/responses/{rid}")
+    async def responses_delete(request: web.Request):
+        rid = request.match_info["rid"]
+        if _responses_store.pop(rid, None) is None:
+            return web.json_response(
+                {"error": {"message": "response not found"}}, status=404
+            )
+        return web.json_response({"id": rid, "deleted": True})
+
     @routes.post("/v1/messages/count_tokens")
     async def count_tokens(request: web.Request):
         body = await request.json()

@@ -129,3 +129,15 @@ def test_streaming_callback():
     assert len(got) == 5
     assert got[-1][1] is True
     assert [t for ts, _ in got for t in ts] == _ref_tokens([9, 8, 7], 5)
+
+
+def test_kv_quant_int8_decoding_close():
+    """INT8 KV cache: outputs stay close to the bf16-cache reference
+    (PagedCacheType analog)."""
+    eng = _engine(kv_quant="int8")
+    prompt = [1, 5, 9, 200, 7]
+    seq = eng.add_request(prompt, SamplingParams(temperature=0.0, max_tokens=8))
+    eng.run_to_completion()
+    ref = _ref_tokens(prompt, 8)
+    agree = sum(a == b for a, b in zip(seq.output_ids, ref))
+    assert agree >= 6, (seq.output_ids, ref)  # small quantization divergence ok

@@ -206,3 +206,21 @@ async def test_logprobs(client):
     assert len(content) == 3
     assert len(content[0]["top_logprobs"]) == 3
     assert content[0]["logprob"] <= 0
+
+
+async def test_responses_api(client):
+    r = await client.post(
+        "/v1/responses",
+        json={"input": "hi", "max_output_tokens": 4, "temperature": 0.0},
+    )
+    assert r.status == 200
+    data = await r.json()
+    rid = data["id"]
+    assert data["status"] == "completed"
+    assert data["output"][0]["content"][0]["type"] == "output_text"
+    r = await client.get(f"/v1/responses/{rid}")
+    assert r.status == 200
+    r = await client.delete(f"/v1/responses/{rid}")
+    assert r.status == 200
+    r = await client.get(f"/v1/responses/{rid}")
+    assert r.status == 404
