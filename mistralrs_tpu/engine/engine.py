@@ -49,11 +49,11 @@ def _bucket(n: int, buckets=_PREFILL_BUCKETS) -> int:
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
 def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
-                kv_lens, block_size, backend, compute_dtype):
+                kv_lens, block_size, backend, compute_dtype, input_embeds=None):
     return forward_paged(
         weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
         block_size=block_size, backend=backend, logits_last_only=True,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, input_embeds=input_embeds,
     )
 
 
@@ -166,6 +166,7 @@ class Engine:
         request_id: Optional[str] = None,
         on_tokens=None,
         priority: int = 0,
+        prompt_embeds=None,  # [T, H]: precomputed merged embeddings (VLM)
     ) -> Sequence:
         params = params or SamplingParams()
         if len(prompt_ids) >= self.max_model_len:
@@ -179,6 +180,8 @@ class Engine:
             on_tokens=on_tokens,
             priority=priority,
         )
+        if prompt_embeds is not None:
+            seq.prompt_embeds = prompt_embeds  # type: ignore[attr-defined]
         self.scheduler.add(seq)
         return seq
 
@@ -256,10 +259,19 @@ class Engine:
         # logits_last_only takes index −1, so place the chunk at the END pad?
         # Simpler: take full logits and index. Use logits_last_only=False for
         # the final chunk only when padded.
+        embeds = None
+        pe = getattr(seq, "prompt_embeds", None)
+        if pe is not None:
+            h = pe.shape[-1]
+            embeds = jnp.zeros((1, t, h), pe.dtype)
+            embeds = embeds.at[0, : sp.length].set(
+                pe[sp.start : sp.start + sp.length]
+            )
         logits, self.cache = _prefill_fn(
             self.weights, self._fcfg, jnp.asarray(ids_arr), jnp.asarray(positions),
             self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
             jnp.asarray(kv_lens), self.block_size, self.backend, self.compute_dtype,
+            input_embeds=embeds,
         )
         self.stats["prompt_tokens"] += sp.length
         self.stats["prefix_cache_hit_tokens"] += sp.cached

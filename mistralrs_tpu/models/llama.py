@@ -358,6 +358,7 @@ def forward_paged(
     compute_dtype=jnp.bfloat16,
     tp_axis: Optional[str] = None,
     force_gather: bool = False,
+    input_embeds: Optional[jax.Array] = None,  # [B, T, H] (multimodal merge)
 ):
     """Decoder step over the paged KV cache (decode or chunked prefill).
 
@@ -370,9 +371,14 @@ def forward_paged(
     act = ACTIVATIONS[cfg.hidden_act]
     b, t = input_ids.shape
     gemma = cfg.arch.startswith("gemma")
-    h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
-    if gemma:
-        h = h * jnp.asarray(cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype)
+    if input_embeds is not None:
+        h = input_embeds.astype(compute_dtype)
+    else:
+        h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
+        if gemma:
+            h = h * jnp.asarray(
+                cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype
+            )
 
     cos_g, sin_g, cos_lo, sin_lo = _rope_sets(cfg, positions)
     windows = weights["layer_windows"]

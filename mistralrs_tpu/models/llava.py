@@ -163,3 +163,57 @@ def load_llava_model(path: str, dtype=jnp.bfloat16, isq=None):
     sd = load_safetensors_dir(path)
     weights = llava_weights_from_state_dict(sd, cfg, dtype=dtype, isq=isq)
     return cfg, weights, hf_cfg
+
+
+class EncoderCache:
+    """Vision-encoder output cache keyed by media hash (the analog of
+    `mistralrs-core/src/paged_attention/encoder_cache.rs`)."""
+
+    def __init__(self, max_entries: int = 64):
+        from collections import OrderedDict
+
+        self._cache = OrderedDict()
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def media_hash(pixel_values) -> str:
+        import hashlib
+
+        arr = np.ascontiguousarray(np.asarray(pixel_values, np.float32))
+        return hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest()
+
+    def get_or_encode(self, weights, cfg: LlavaConfig, pixel_values):
+        key = self.media_hash(pixel_values)
+        if key in self._cache:
+            self.hits += 1
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        self.misses += 1
+        feats = encode_images(weights, cfg, jnp.asarray(pixel_values))
+        self._cache[key] = feats
+        while len(self._cache) > self.max_entries:
+            self._cache.popitem(last=False)
+        return feats
+
+
+def prepare_multimodal_prompt(
+    weights: dict,
+    cfg: LlavaConfig,
+    prompt_ids: list[int],
+    pixel_values,
+    encoder_cache: Optional[EncoderCache] = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """→ (prompt_ids, prompt_embeds [T, H]) for Engine.add_request: vision
+    features merged into the token embeddings at placeholder positions."""
+    ids = jnp.asarray([prompt_ids], jnp.int32)
+    embeds = embedding_lookup(ids, weights["text"]["embed"], dtype=compute_dtype)
+    if pixel_values is not None:
+        if encoder_cache is not None:
+            feats = encoder_cache.get_or_encode(weights, cfg, pixel_values)
+        else:
+            feats = encode_images(weights, cfg, jnp.asarray(pixel_values))
+        embeds = merge_image_embeddings(embeds, ids, feats, cfg.image_token_id)
+    return prompt_ids, embeds[0]
