@@ -38,7 +38,7 @@ def _decode_kernel(
     slots_ref,  # [B] int32: write slot for this step's KV (< 0 → trash)
     # inputs
     q_ref,  # [1, 1, group_p, hd] VMEM block for (b, h)
-    k_new_ref,  # [1, 1, 1, hd] this step's K row for (b, h)
+    k_new_ref,  # [B, n_kv, hd] in ANY/HBM: this step's KV rows
     v_new_ref,
     k_pool_ref,  # [n_kv, S_total, hd] in ANY/HBM (aliased through)
     v_pool_ref,
@@ -67,10 +67,10 @@ def _decode_kernel(
     wslot = slots_ref[b]
     wslot = jnp.where(wslot < 0, s_total - 1, wslot)
     kw = pltpu.make_async_copy(
-        k_new_ref.at[0, 0], k_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[0]
+        k_new_ref.at[b, pl.ds(h, 1)], k_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[0]
     )
     vw = pltpu.make_async_copy(
-        v_new_ref.at[0, 0], v_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[1]
+        v_new_ref.at[b, pl.ds(h, 1)], v_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[1]
     )
     kw.start()
     vw.start()
@@ -202,14 +202,8 @@ def paged_decode_attention_fused(
                 (1, 1, group_p, hd), lambda i, j, *_: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -246,8 +240,7 @@ def paged_decode_attention_fused(
         interpret=interpret,
     )(block_tables, kv_lens, window_arr,
       jnp.asarray(slots, jnp.int32), qg,
-      k_new.astype(k_pool.dtype)[:, :, None], v_new.astype(v_pool.dtype)[:, :, None],
-      k_pool, v_pool)
+      k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype), k_pool, v_pool)
     return out[:, :, :group].reshape(b, n_q, hd), k_pool, v_pool
 
 
