@@ -192,8 +192,28 @@ _PLANARIZERS = {
 PLANAR_TYPES = frozenset(_PLANARIZERS)
 
 
+_NATIVE_META = {
+    GGMLType.Q4_K: (32, 4, False),
+    GGMLType.Q5_K: (32, 5, False),
+    GGMLType.Q6_K: (16, 7, True),
+    GGMLType.Q8_0: (32, 8, True),
+    GGMLType.Q4_0: (32, 4, False),
+}
+
+
 def to_planar(raw: np.ndarray, t: GGMLType) -> PlanarQuant:
-    """Decompose raw GGUF tensor bytes into the flat planar representation."""
+    """Decompose raw GGUF tensor bytes into the flat planar representation.
+
+    Uses the multithreaded native decoder (csrc/planar.cpp) when available;
+    falls back to the vectorized numpy reference."""
+    if t in _NATIVE_META:
+        from . import native
+
+        out = native.decode(t.name, raw)
+        if out is not None:
+            q, scale, bias = out
+            gs, bits, signed = _NATIVE_META[t]
+            return PlanarQuant(q, scale, bias, gs, bits, signed)
     fn = _PLANARIZERS.get(t)
     if fn is None:
         raise NotImplementedError(f"no planar decomposition for {t!r}")
