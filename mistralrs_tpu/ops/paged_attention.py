@@ -38,7 +38,7 @@ def _decode_kernel(
     slots_ref,  # [B] int32: write slot for this step's KV (< 0 → trash)
     # inputs
     q_ref,  # [1, 1, group_p, hd] VMEM block for (b, h)
-    k_new_ref,  # [B, n_kv, hd] in ANY/HBM: this step's KV rows
+    k_new_ref,  # [1, n_kv, hd] VMEM: this step's KV rows for seq b
     v_new_ref,
     k_pool_ref,  # [n_kv, S_total, hd] in ANY/HBM (aliased through)
     v_pool_ref,
@@ -49,6 +49,8 @@ def _decode_kernel(
     # scratch
     k_buf,  # [2, chunk*bs, hd] VMEM
     v_buf,
+    wk_buf,  # [8, hd] VMEM: aligned read-modify-write window (K)
+    wv_buf,
     sem,  # DMA semaphores (2, 2, chunk)
     wsem,  # write semaphores (2,)
     *,
@@ -62,20 +64,37 @@ def _decode_kernel(
 
     # reshape_and_cache fused in: write this step's KV row into the pool
     # BEFORE any block of this sequence is read (the row at kv_len-1 must be
-    # visible to its own query). Slot < 0 routes to the trash row.
+    # visible to its own query). Slot < 0 routes to the trash row. DMA slices
+    # must be 8-row aligned, so we read-modify-write the aligned 8-row window
+    # containing the slot (windows never span pool blocks since block_size is
+    # a multiple of 8, so no cross-sequence interference).
     s_total = k_pool_out.shape[1]
     wslot = slots_ref[b]
     wslot = jnp.where(wslot < 0, s_total - 1, wslot)
-    kw = pltpu.make_async_copy(
-        k_new_ref.at[b, pl.ds(h, 1)], k_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[0]
+    win = (wslot // 8) * 8
+    row = wslot % 8
+    kin = pltpu.make_async_copy(
+        k_pool_out.at[h, pl.ds(win, 8)], wk_buf, wsem.at[0]
     )
-    vw = pltpu.make_async_copy(
-        v_new_ref.at[b, pl.ds(h, 1)], v_pool_out.at[h, pl.ds(wslot, 1)], wsem.at[1]
+    vin = pltpu.make_async_copy(
+        v_pool_out.at[h, pl.ds(win, 8)], wv_buf, wsem.at[1]
     )
-    kw.start()
-    vw.start()
-    kw.wait()
-    vw.wait()
+    kin.start()
+    vin.start()
+    kin.wait()
+    vin.wait()
+    wk_buf[pl.ds(row, 1)] = k_new_ref[0, pl.ds(h, 1)]
+    wv_buf[pl.ds(row, 1)] = v_new_ref[0, pl.ds(h, 1)]
+    kout = pltpu.make_async_copy(
+        wk_buf, k_pool_out.at[h, pl.ds(win, 8)], wsem.at[0]
+    )
+    vout = pltpu.make_async_copy(
+        wv_buf, v_pool_out.at[h, pl.ds(win, 8)], wsem.at[1]
+    )
+    kout.start()
+    vout.start()
+    kout.wait()
+    vout.wait()
     n_chunks = pl.cdiv(kv_len, block_size * chunk)
     group_p, hd = q_ref.shape[2], q_ref.shape[3]
     span = block_size * chunk
@@ -202,8 +221,14 @@ def paged_decode_attention_fused(
                 (1, 1, group_p, hd), lambda i, j, *_: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, n_kv, hd), lambda i, j, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_kv, hd), lambda i, j, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -218,6 +243,8 @@ def paged_decode_attention_fused(
         scratch_shapes=[
             pltpu.VMEM((2, chunk * block_size, hd), k_pool.dtype),
             pltpu.VMEM((2, chunk * block_size, hd), v_pool.dtype),
+            pltpu.VMEM((8, hd), k_pool.dtype),
+            pltpu.VMEM((8, hd), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2, 2, chunk)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
