@@ -46,3 +46,28 @@ def render_supported_models_markdown() -> str:
     lines.append("reference implementations (`tests/test_arch_parity.py`).")
     lines.append("")
     return "\n".join(lines)
+
+
+def render_cli_reference_markdown() -> str:
+    """Generate the CLI reference from the argparse tree (docs-as-test, the
+    analog of the reference's generated CLI docs)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from . import cli
+
+    lines = ["# CLI reference", ""]
+    for cmd in ("run", "serve", "bench", "quantize", "mcp-serve", "tune", "doctor"):
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf):
+                cli.main([cmd, "--help"])
+        except SystemExit:
+            pass
+        lines.append(f"## `{cmd}`")
+        lines.append("")
+        lines.append("```")
+        lines.append(buf.getvalue().strip())
+        lines.append("```")
+        lines.append("")
+    return "\n".join(lines)
