@@ -132,3 +132,17 @@ def test_smollm3_nope_layers():
     torch.manual_seed(7)
     model = transformers.SmolLM3ForCausalLM(hf_cfg).eval()
     _compare(hf_cfg, model, "SmolLM3ForCausalLM")
+
+
+def test_qwen3moe():
+    hf_cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, norm_topk_prob=True,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+    )
+    torch.manual_seed(8)
+    model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Qwen3MoeForCausalLM")
