@@ -71,7 +71,7 @@ def _decode_kernel(
     s_total = k_pool_out.shape[1]
     wslot = slots_ref[b]
     wslot = jnp.where(wslot < 0, s_total - 1, wslot)
-    win = (wslot // 8) * 8
+    win = pl.multiple_of((wslot // 8) * 8, 8)
     row = wslot % 8
     kin = pltpu.make_async_copy(
         k_pool_out.at[h, pl.ds(win, 8)], wk_buf, wsem.at[0]
