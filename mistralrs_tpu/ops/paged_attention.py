@@ -62,39 +62,46 @@ def _decode_kernel(
     h = pl.program_id(1)
     kv_len = kv_lens_ref[b]
 
-    # reshape_and_cache fused in: write this step's KV row into the pool
-    # BEFORE any block of this sequence is read (the row at kv_len-1 must be
-    # visible to its own query). Slot < 0 routes to the trash row. DMA slices
-    # must be 8-row aligned, so we read-modify-write the aligned 8-row window
-    # containing the slot (windows never span pool blocks since block_size is
-    # a multiple of 8, so no cross-sequence interference).
+    # reshape_and_cache fused in: the h==0 program of each sequence writes
+    # ALL heads' KV rows (static head indices keep every slice provably
+    # aligned) BEFORE any head program of this sequence reads its blocks —
+    # the h grid dimension is "arbitrary" (sequential), so (b, 0) always
+    # precedes (b, h>0). Slot < 0 routes to the trash row. DMA row slices
+    # must be 8-aligned, so each write is a read-modify-write of the aligned
+    # 8-row window containing the slot (windows never span pool blocks since
+    # block_size is a multiple of 8 — no cross-sequence interference).
+    n_kv_heads = k_pool_out.shape[0]
     s_total = k_pool_out.shape[1]
     wslot = slots_ref[b]
     wslot = jnp.where(wslot < 0, s_total - 1, wslot)
     win = pl.multiple_of((wslot // 8) * 8, 8)
     row = wslot % 8
-    kin = pltpu.make_async_copy(
-        k_pool_out.at[h, pl.ds(win, 8)], wk_buf, wsem.at[0]
-    )
-    vin = pltpu.make_async_copy(
-        v_pool_out.at[h, pl.ds(win, 8)], wv_buf, wsem.at[1]
-    )
-    kin.start()
-    vin.start()
-    kin.wait()
-    vin.wait()
-    wk_buf[pl.ds(row, 1)] = k_new_ref[0, pl.ds(h, 1)]
-    wv_buf[pl.ds(row, 1)] = v_new_ref[0, pl.ds(h, 1)]
-    kout = pltpu.make_async_copy(
-        wk_buf, k_pool_out.at[h, pl.ds(win, 8)], wsem.at[0]
-    )
-    vout = pltpu.make_async_copy(
-        wv_buf, v_pool_out.at[h, pl.ds(win, 8)], wsem.at[1]
-    )
-    kout.start()
-    vout.start()
-    kout.wait()
-    vout.wait()
+
+    @pl.when(h == 0)
+    def _write_all_heads():
+        for hh in range(n_kv_heads):
+            kin = pltpu.make_async_copy(
+                k_pool_out.at[hh, pl.ds(win, 8)], wk_buf, wsem.at[0]
+            )
+            vin = pltpu.make_async_copy(
+                v_pool_out.at[hh, pl.ds(win, 8)], wv_buf, wsem.at[1]
+            )
+            kin.start()
+            vin.start()
+            kin.wait()
+            vin.wait()
+            wk_buf[pl.ds(row, 1)] = k_new_ref[0, hh][None]
+            wv_buf[pl.ds(row, 1)] = v_new_ref[0, hh][None]
+            kout = pltpu.make_async_copy(
+                wk_buf, k_pool_out.at[hh, pl.ds(win, 8)], wsem.at[0]
+            )
+            vout = pltpu.make_async_copy(
+                wv_buf, v_pool_out.at[hh, pl.ds(win, 8)], wsem.at[1]
+            )
+            kout.start()
+            vout.start()
+            kout.wait()
+            vout.wait()
     n_chunks = pl.cdiv(kv_len, block_size * chunk)
     group_p, hd = q_ref.shape[2], q_ref.shape[3]
     span = block_size * chunk
