@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from mistralrs_tpu.models.config import ModelConfig
-from mistralrs_tpu.models.llama import forward_paged
+from mistralrs_tpu.models.llama import forward_paged, fuse_projections
 from mistralrs_tpu.kv.paged import PagedKVCache
 from mistralrs_tpu.quant.qtensor import QTensor
 from mistralrs_tpu.generate import _freeze
@@ -103,6 +103,7 @@ def main():
     BS = 16 if smoke else 64
     num_blocks = B * CTX // BS
     weights, weight_bytes = build_weights(cfg)
+    weights = fuse_projections(weights, cfg)  # merged QKV / gate+up
     cache = PagedKVCache.create(cfg, num_blocks, BS)
     # per-seq contiguous block ranges; context pre-"filled" (garbage KV is fine
     # for throughput: same bandwidth/compute)

@@ -84,6 +84,9 @@ def _build_engine(args):
         with open(args.chat_template) as f:
             override = f.read()
     pipe = load_pipeline(args.model, isq=args.isq, chat_template_override=override)
+    from .models.llama import fuse_projections
+
+    pipe.weights = fuse_projections(pipe.weights, pipe.cfg)
     max_len = args.max_seq_len or min(pipe.cfg.max_position_embeddings, 8192)
     num_blocks = args.num_kv_blocks or (
         (max_len // args.block_size) * max(2, args.max_batch // 2)

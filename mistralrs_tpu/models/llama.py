@@ -117,11 +117,16 @@ def _maybe_norm(x, w, eps, gemma: bool, bias=None, norm_type="rmsnorm"):
 
 
 def _mlp(x, lw: dict, act, backend, tp_axis=None):
-    up = _proj(x, lw, "up", backend)
-    if "gate" in lw:  # gated (SwiGLU-family)
-        hidden = act(_proj(x, lw, "gate", backend)) * up
-    else:  # plain 2-layer MLP (starcoder2)
-        hidden = act(up)
+    if "wgateup" in lw:  # fused gate+up (new_merged analog)
+        gu = linear(x, lw["wgateup"], backend=backend)
+        half = gu.shape[-1] // 2
+        hidden = act(gu[..., :half]) * gu[..., half:]
+    else:
+        up = _proj(x, lw, "up", backend)
+        if "gate" in lw:  # gated (SwiGLU-family)
+            hidden = act(_proj(x, lw, "gate", backend)) * up
+        else:  # plain 2-layer MLP (starcoder2)
+            hidden = act(up)
     return _row_linear(
         hidden, lw["down"], lw.get("down_bias"), tp_axis, backend,
         lora=lw.get("down_lora"),
@@ -207,9 +212,15 @@ def _layer_step(
         lw.get("attn_norm_bias"), cfg.norm_type,
     )
 
-    q = _proj(x, lw, "wq", backend)
-    k = _proj(x, lw, "wk", backend)
-    v = _proj(x, lw, "wv", backend)
+    if "wqkv" in lw:
+        qkv = linear(x, lw["wqkv"], backend=backend)
+        q = qkv[..., : cfg.q_dim]
+        k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim :]
+    else:
+        q = _proj(x, lw, "wq", backend)
+        k = _proj(x, lw, "wk", backend)
+        v = _proj(x, lw, "wv", backend)
     q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -417,9 +428,15 @@ def forward_paged(
             hh, lw["attn_norm"], cfg.rms_norm_eps, gemma,
             lw.get("attn_norm_bias"), cfg.norm_type,
         )
-        q = _proj(x, lw, "wq", backend)
-        k = _proj(x, lw, "wk", backend)
-        v = _proj(x, lw, "wv", backend)
+        if "wqkv" in lw:
+            qkv = linear(x, lw["wqkv"], backend=backend)
+            q = qkv[..., : cfg.q_dim]
+            k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
+            v = qkv[..., cfg.q_dim + cfg.kv_dim :]
+        else:
+            q = _proj(x, lw, "wq", backend)
+            k = _proj(x, lw, "wk", backend)
+            v = _proj(x, lw, "wv", backend)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -519,6 +536,63 @@ def forward_paged(
 # ---------------------------------------------------------------------------
 # weight construction helpers
 # ---------------------------------------------------------------------------
+
+
+def _concat_weights_n(ws):
+    """Concat weights along out-features. Dense leaves are [L, N, K]
+    (concat axis 1); QTensor leaves are K-major (concat last axis)."""
+    if isinstance(ws[0], QTensor):
+        if not all(
+            isinstance(w, QTensor)
+            and w.packed == ws[0].packed
+            and w.group_size == ws[0].group_size
+            and w.code_bits == ws[0].code_bits
+            and (w.bias is None) == (ws[0].bias is None)
+            and w.chunks == ws[0].chunks
+            for w in ws
+        ):
+            return None
+        return _dc_replace(
+            ws[0],
+            data=jnp.concatenate([w.data for w in ws], axis=-1),
+            scale=jnp.concatenate([w.scale for w in ws], axis=-1),
+            bias=(
+                None if ws[0].bias is None
+                else jnp.concatenate([w.bias for w in ws], axis=-1)
+            ),
+        )
+    if any(isinstance(w, QTensor) for w in ws):
+        return None
+    return jnp.concatenate(ws, axis=1)
+
+
+def fuse_projections(weights: dict, cfg: ModelConfig) -> dict:
+    """Merge per-layer QKV and gate+up into single fused matmuls (the analog
+    of ColumnParallelLayer::new_merged, distributed/layers.rs:437) — fewer
+    kernel launches on the decode path. Skipped when dtypes/quant params
+    differ or adapters are attached."""
+    layers = dict(weights["layers"])
+    if any(k.endswith("_lora") or k.endswith("_xlora") for k in layers):
+        return weights
+    if all(k in layers for k in ("wq", "wk", "wv")):
+        fused = _concat_weights_n([layers["wq"], layers["wk"], layers["wv"]])
+        if fused is not None and not any(
+            f"{k}_bias" in layers for k in ("wq", "wk", "wv")
+        ):
+            layers["wqkv"] = fused
+            for k in ("wq", "wk", "wv"):
+                del layers[k]
+    if "gate" in layers and "up" in layers:
+        fused = _concat_weights_n([layers["gate"], layers["up"]])
+        if fused is not None and not any(
+            f"{k}_bias" in layers for k in ("gate", "up")
+        ):
+            layers["wgateup"] = fused
+            del layers["gate"]
+            del layers["up"]
+    out = dict(weights)
+    out["layers"] = layers
+    return out
 
 
 def layer_rope_flags(cfg: ModelConfig) -> np.ndarray:

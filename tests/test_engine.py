@@ -141,3 +141,34 @@ def test_kv_quant_int8_decoding_close():
     ref = _ref_tokens(prompt, 8)
     agree = sum(a == b for a, b in zip(seq.output_ids, ref))
     assert agree >= 6, (seq.output_ids, ref)  # small quantization divergence ok
+
+
+def test_fused_projections_match():
+    """fuse_projections (merged QKV / gate+up) is numerically identical."""
+    from mistralrs_tpu.models.llama import KVCache, forward, fuse_projections
+
+    fused = fuse_projections(WEIGHTS, CFG)
+    assert "wqkv" in fused["layers"] and "wgateup" in fused["layers"]
+    ids = np.array([[1, 5, 9, 20]], np.int32)
+    pos = jnp.arange(4)[None].astype(jnp.int32)
+
+    def run(w):
+        cache = KVCache.create(CFG, 1, 8, dtype=jnp.float32)
+        lg, _ = forward(w, CFG, jnp.asarray(ids), pos, cache,
+                        jnp.zeros((1,), jnp.int32), backend="xla",
+                        compute_dtype=jnp.float32)
+        return np.asarray(lg)
+
+    np.testing.assert_allclose(run(fused), run(WEIGHTS), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_with_fused_projections():
+    from mistralrs_tpu.models.llama import fuse_projections
+
+    fused = fuse_projections(WEIGHTS, CFG)
+    eng = Engine(CFG, fused, num_blocks=64, block_size=16, max_batch=4,
+                 backend="xla", compute_dtype=jnp.float32)
+    prompt = [1, 5, 9, 200, 7]
+    seq = eng.add_request(prompt, SamplingParams(temperature=0.0, max_tokens=6))
+    eng.run_to_completion()
+    assert seq.output_ids == _ref_tokens(prompt, 6)

@@ -108,3 +108,27 @@ def test_isq_roundtrip_quality():
         deq = np.asarray(qt.dequantize())
         rel = np.abs(deq - w).mean() / np.abs(w).mean()
         assert rel < max_rel, (t, rel)
+
+
+def test_fused_projection_concat_quantized():
+    """Quantized QKV concat (merged projections) stays exact."""
+    from dataclasses import replace
+
+    from mistralrs_tpu.models.llama import _concat_weights_n
+
+    rng = np.random.default_rng(9)
+    k = 512
+    parts = []
+    refs = []
+    for n in (256, 128, 128):
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        qt = QTensor.quantize(w, GGMLType.Q4_K)
+        parts.append(replace(qt, data=qt.data[None], scale=qt.scale[None],
+                             bias=None if qt.bias is None else qt.bias[None]))
+        refs.append(np.asarray(qt.dequantize()))
+    fused = _concat_weights_n(parts)
+    import jax
+
+    f0 = jax.tree_util.tree_map(lambda x: x[0], fused)
+    got = np.asarray(f0.dequantize())
+    np.testing.assert_array_equal(got, np.concatenate(refs, axis=0))
