@@ -90,8 +90,18 @@ def _decode_kernel(
             vin.start()
             kin.wait()
             vin.wait()
-            wk_buf[pl.ds(row, 1)] = k_new_ref[0, hh][None]
-            wv_buf[pl.ds(row, 1)] = v_new_ref[0, hh][None]
+            # place the row via a masked select (dynamic sublane stores are
+            # not expressible in Mosaic)
+            rows = jax.lax.broadcasted_iota(jnp.int32, wk_buf.shape, 0)
+            sel = rows == row
+            wk_buf[...] = jnp.where(
+                sel, jnp.broadcast_to(k_new_ref[0, hh][None], wk_buf.shape),
+                wk_buf[...],
+            )
+            wv_buf[...] = jnp.where(
+                sel, jnp.broadcast_to(v_new_ref[0, hh][None], wv_buf.shape),
+                wv_buf[...],
+            )
             kout = pltpu.make_async_copy(
                 wk_buf, k_pool_out.at[hh, pl.ds(win, 8)], wsem.at[0]
             )
