@@ -49,7 +49,7 @@ def _decode_kernel(
     # scratch
     k_buf,  # [2, chunk*bs, hd] VMEM
     v_buf,
-    wk_buf,  # [8, hd] VMEM: aligned read-modify-write window (K)
+    wk_buf,  # [n_kv, 8, hd] VMEM: aligned read-modify-write window (K)
     wv_buf,
     sem,  # DMA semaphores (2, 2, chunk)
     wsem,  # write semaphores (2,)
@@ -79,39 +79,38 @@ def _decode_kernel(
 
     @pl.when(h == 0)
     def _write_all_heads():
-        for hh in range(n_kv_heads):
-            kin = pltpu.make_async_copy(
-                k_pool_out.at[hh, pl.ds(win, 8)], wk_buf, wsem.at[0]
-            )
-            vin = pltpu.make_async_copy(
-                v_pool_out.at[hh, pl.ds(win, 8)], wv_buf, wsem.at[1]
-            )
-            kin.start()
-            vin.start()
-            kin.wait()
-            vin.wait()
-            # place the row via a masked select (dynamic sublane stores are
-            # not expressible in Mosaic)
-            rows = jax.lax.broadcasted_iota(jnp.int32, wk_buf.shape, 0)
-            sel = rows == row
-            wk_buf[...] = jnp.where(
-                sel, jnp.broadcast_to(k_new_ref[0, hh][None], wk_buf.shape),
-                wk_buf[...],
-            )
-            wv_buf[...] = jnp.where(
-                sel, jnp.broadcast_to(v_new_ref[0, hh][None], wv_buf.shape),
-                wv_buf[...],
-            )
-            kout = pltpu.make_async_copy(
-                wk_buf, k_pool_out.at[hh, pl.ds(win, 8)], wsem.at[0]
-            )
-            vout = pltpu.make_async_copy(
-                wv_buf, v_pool_out.at[hh, pl.ds(win, 8)], wsem.at[1]
-            )
-            kout.start()
-            vout.start()
-            kout.wait()
-            vout.wait()
+        kin = pltpu.make_async_copy(
+            k_pool_out.at[:, pl.ds(win, 8)], wk_buf, wsem.at[0]
+        )
+        vin = pltpu.make_async_copy(
+            v_pool_out.at[:, pl.ds(win, 8)], wv_buf, wsem.at[1]
+        )
+        kin.start()
+        vin.start()
+        kin.wait()
+        vin.wait()
+        # place the rows via a masked select (dynamic sublane stores are not
+        # expressible in Mosaic)
+        rows = jax.lax.broadcasted_iota(jnp.int32, wk_buf.shape, 1)
+        sel = rows == row
+        wk_buf[...] = jnp.where(
+            sel, jnp.broadcast_to(k_new_ref[0][:, None, :], wk_buf.shape),
+            wk_buf[...],
+        )
+        wv_buf[...] = jnp.where(
+            sel, jnp.broadcast_to(v_new_ref[0][:, None, :], wv_buf.shape),
+            wv_buf[...],
+        )
+        kout = pltpu.make_async_copy(
+            wk_buf, k_pool_out.at[:, pl.ds(win, 8)], wsem.at[0]
+        )
+        vout = pltpu.make_async_copy(
+            wv_buf, v_pool_out.at[:, pl.ds(win, 8)], wsem.at[1]
+        )
+        kout.start()
+        vout.start()
+        kout.wait()
+        vout.wait()
     n_chunks = pl.cdiv(kv_len, block_size * chunk)
     group_p, hd = q_ref.shape[2], q_ref.shape[3]
     span = block_size * chunk
@@ -260,8 +259,8 @@ def paged_decode_attention_fused(
         scratch_shapes=[
             pltpu.VMEM((2, chunk * block_size, hd), k_pool.dtype),
             pltpu.VMEM((2, chunk * block_size, hd), v_pool.dtype),
-            pltpu.VMEM((8, hd), k_pool.dtype),
-            pltpu.VMEM((8, hd), v_pool.dtype),
+            pltpu.VMEM((n_kv, 8, hd), k_pool.dtype),
+            pltpu.VMEM((n_kv, 8, hd), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2, 2, chunk)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
