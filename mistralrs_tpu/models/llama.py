@@ -418,12 +418,14 @@ def forward_paged(
     if rope_flags is None:
         rope_flags = jnp.ones_like(windows)
 
-    def body(hh, xs):
+    def body(carry, xs):
         if has_scales:
-            lw, k_c, v_c, k_s, v_s, win, ur = xs
+            hh, kp, vp, ksp, vsp = carry
+            lw, win, ur, li = xs
         else:
-            lw, k_c, v_c, win, ur = xs
-            k_s = v_s = None
+            hh, kp, vp = carry
+            ksp = vsp = None
+            lw, win, ur, li = xs
         x = _maybe_norm(
             hh, lw["attn_norm"], cfg.rms_norm_eps, gemma,
             lw.get("attn_norm_bias"), cfg.norm_type,
@@ -455,21 +457,37 @@ def forward_paged(
         k = apply_rope(k, cos, sin)
 
         if use_decode_kernel:
-            # fused reshape_and_cache + flash decode: pools aliased through
-            # the kernel, KV written and read exactly once
-            attn, k_c, v_c = paged_decode_attention_fused(
-                q[:, 0], k_c, v_c, k[:, 0], v[:, 0], flat_slots,
-                block_tables, kv_lens, win,
+            # fused reshape_and_cache + flash decode: the FULL pools are
+            # aliased through the kernel (layer plane selected inside) — no
+            # per-layer slice/stack traffic in the scan
+            attn, kp, vp = paged_decode_attention_fused(
+                q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
+                block_tables, kv_lens, win, li,
                 block_size=block_size, scale=cfg.attn_scale,
             )
             attn = attn[:, None]
         else:
+            k_c = jax.lax.dynamic_index_in_dim(kp, li, 0, keepdims=False)
+            v_c = jax.lax.dynamic_index_in_dim(vp, li, 0, keepdims=False)
+            k_s = (
+                jax.lax.dynamic_index_in_dim(ksp, li, 0, keepdims=False)
+                if has_scales else None
+            )
+            v_s = (
+                jax.lax.dynamic_index_in_dim(vsp, li, 0, keepdims=False)
+                if has_scales else None
+            )
             k_c, v_c, k_s, v_s = write_kv(
                 k_c, v_c,
                 k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
                 v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
                 flat_slots, k_s, v_s,
             )
+            kp = jax.lax.dynamic_update_index_in_dim(kp, k_c, li, 0)
+            vp = jax.lax.dynamic_update_index_in_dim(vp, v_c, li, 0)
+            if has_scales:
+                ksp = jax.lax.dynamic_update_index_in_dim(ksp, k_s, li, 0)
+                vsp = jax.lax.dynamic_update_index_in_dim(vsp, v_s, li, 0)
             kk, vv = gather_kv(
                 k_c, v_c, block_tables, block_size, k_s, v_s, dtype=compute_dtype
             )
@@ -501,19 +519,19 @@ def forward_paged(
             mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
         hh = hh + mlp_out
         if has_scales:
-            return hh, (k_c, v_c, k_s, v_s)
-        return hh, (k_c, v_c)
+            return (hh, kp, vp, ksp, vsp), None
+        return (hh, kp, vp), None
 
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    xs = (weights["layers"], windows, rope_flags, layer_ids)
     if has_scales:
-        xs = (weights["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale,
-              windows, rope_flags)
+        carry0 = (h, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        (h, kp, vp, ksp, vsp), _ = jax.lax.scan(body, carry0, xs)
+        new_cache = PagedKVCache(kp, vp, ksp, vsp)
     else:
-        xs = (weights["layers"], cache.k, cache.v, windows, rope_flags)
-    h, outs = jax.lax.scan(body, h, xs)
-    if has_scales:
-        new_cache = PagedKVCache(*outs)
-    else:
-        new_cache = PagedKVCache(outs[0], outs[1])
+        carry0 = (h, cache.k, cache.v)
+        (h, kp, vp), _ = jax.lax.scan(body, carry0, xs)
+        new_cache = PagedKVCache(kp, vp)
 
     h = _maybe_norm(
         h, weights["final_norm"], cfg.rms_norm_eps, gemma,

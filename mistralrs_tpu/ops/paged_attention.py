@@ -36,11 +36,12 @@ def _decode_kernel(
     kv_lens_ref,  # [B] int32 (SMEM)
     window_ref,  # [1] int32 (SMEM): 0 → full attention
     slots_ref,  # [B] int32: write slot for this step's KV (< 0 → trash)
+    layer_ref,  # [1] int32: which layer's pool plane to use
     # inputs
     q_ref,  # [1, 1, group_p, hd] VMEM block for (b, h)
     k_new_ref,  # [1, n_kv, hd] VMEM: this step's KV rows for seq b
     v_new_ref,
-    k_pool_ref,  # [n_kv, S_total, hd] in ANY/HBM (aliased through)
+    k_pool_ref,  # [L, n_kv, S_total, hd] in ANY/HBM (aliased through)
     v_pool_ref,
     # outputs
     o_ref,  # [1, 1, group_p, hd]
@@ -60,6 +61,7 @@ def _decode_kernel(
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
+    li = layer_ref[0]
     kv_len = kv_lens_ref[b]
 
     # reshape_and_cache fused in: the h==0 program of each sequence writes
@@ -70,8 +72,8 @@ def _decode_kernel(
     # must be 8-aligned, so each write is a read-modify-write of the aligned
     # 8-row window containing the slot (windows never span pool blocks since
     # block_size is a multiple of 8 — no cross-sequence interference).
-    n_kv_heads = k_pool_out.shape[0]
-    s_total = k_pool_out.shape[1]
+    n_kv_heads = k_pool_out.shape[1]
+    s_total = k_pool_out.shape[2]
     wslot = slots_ref[b]
     wslot = jnp.where(wslot < 0, s_total - 1, wslot)
     win = pl.multiple_of((wslot // 8) * 8, 8)
@@ -80,10 +82,10 @@ def _decode_kernel(
     @pl.when(h == 0)
     def _write_all_heads():
         kin = pltpu.make_async_copy(
-            k_pool_out.at[:, pl.ds(win, 8)], wk_buf, wsem.at[0]
+            k_pool_out.at[li, :, pl.ds(win, 8)], wk_buf, wsem.at[0]
         )
         vin = pltpu.make_async_copy(
-            v_pool_out.at[:, pl.ds(win, 8)], wv_buf, wsem.at[1]
+            v_pool_out.at[li, :, pl.ds(win, 8)], wv_buf, wsem.at[1]
         )
         kin.start()
         vin.start()
@@ -102,10 +104,10 @@ def _decode_kernel(
             wv_buf[...],
         )
         kout = pltpu.make_async_copy(
-            wk_buf, k_pool_out.at[:, pl.ds(win, 8)], wsem.at[0]
+            wk_buf, k_pool_out.at[li, :, pl.ds(win, 8)], wsem.at[0]
         )
         vout = pltpu.make_async_copy(
-            wv_buf, v_pool_out.at[:, pl.ds(win, 8)], wsem.at[1]
+            wv_buf, v_pool_out.at[li, :, pl.ds(win, 8)], wsem.at[1]
         )
         kout.start()
         vout.start()
@@ -123,7 +125,7 @@ def _decode_kernel(
         buf = k_buf if which == 0 else v_buf
         blk = block_tables_ref[b, ci * chunk + j]
         return pltpu.make_async_copy(
-            pool.at[h, pl.ds(blk * block_size, block_size)],
+            pool.at[li, h, pl.ds(blk * block_size, block_size)],
             buf.at[slot, pl.ds(j * block_size, block_size)],
             sem.at[slot, which, j],
         )
@@ -190,7 +192,7 @@ def _round_up(x, m):
 )
 def paged_decode_attention_fused(
     q: jax.Array,  # [B, n_q, hd]
-    k_pool: jax.Array,  # [n_kv, S_total, hd] (donated; updated in place)
+    k_pool: jax.Array,  # [L, n_kv, S_total, hd] or [n_kv, S_total, hd]
     v_pool: jax.Array,
     k_new: jax.Array,  # [B, n_kv, hd] this step's KV rows
     v_new: jax.Array,
@@ -198,18 +200,24 @@ def paged_decode_attention_fused(
     block_tables: jax.Array,  # [B, W] int32
     kv_lens: jax.Array,  # [B] int32 (length AFTER this step's write)
     window: jax.Array | int = 0,  # scalar; 0 → full attention
+    layer: jax.Array | int = 0,  # which layer plane of a 4-D pool
     *,
     block_size: int,
     scale: Optional[float] = None,
     chunk: Optional[int] = None,
     interpret: bool = False,
 ):
-    """Fused reshape_and_cache + paged flash decode. The pools pass through
-    with input/output aliasing — KV is written and read exactly once, with
-    no XLA scatter (whose aliasing conflicts force pool copies under scan).
+    """Fused reshape_and_cache + paged flash decode. The FULL multi-layer
+    pools pass through with input/output aliasing and only the selected
+    layer plane is touched — KV is written and read exactly once, with no
+    XLA slicing/stacking of pool planes under the layer scan.
     Returns (out [B, n_q, hd], k_pool, v_pool)."""
     b, n_q, hd = q.shape
-    n_kv = k_pool.shape[0]
+    squeeze = k_pool.ndim == 3
+    if squeeze:
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+    n_kv = k_pool.shape[1]
     group = n_q // n_kv
     if scale is None:
         scale = 1.0 / math.sqrt(hd)
@@ -229,8 +237,9 @@ def paged_decode_attention_fused(
         block_tables = jnp.pad(block_tables, ((0, 0), (0, wp - w)))
 
     window_arr = jnp.asarray(window, jnp.int32).reshape(1)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b, n_kv),
         in_specs=[
             pl.BlockSpec(
@@ -265,7 +274,7 @@ def paged_decode_attention_fused(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out, k_pool, v_pool = pl.pallas_call(
+    out4, k_pool, v_pool = pl.pallas_call(
         functools.partial(
             _decode_kernel, block_size=block_size, chunk=chunk, scale=scale
         ),
@@ -275,16 +284,19 @@ def paged_decode_attention_fused(
             jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
             jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
         ),
-        # args: 4 scalar-prefetch + q, k_new, v_new, k_pool(7), v_pool(8)
-        input_output_aliases={7: 1, 8: 2},
+        # args: 5 scalar-prefetch + q, k_new, v_new, k_pool(8), v_pool(9)
+        input_output_aliases={8: 1, 9: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(block_tables, kv_lens, window_arr,
-      jnp.asarray(slots, jnp.int32), qg,
+      jnp.asarray(slots, jnp.int32), layer_arr, qg,
       k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype), k_pool, v_pool)
-    return out[:, :, :group].reshape(b, n_q, hd), k_pool, v_pool
+    if squeeze:
+        k_pool = k_pool[0]
+        v_pool = v_pool[0]
+    return out4[:, :, :group].reshape(b, n_q, hd), k_pool, v_pool
 
 
 def paged_decode_attention(
