@@ -12,7 +12,13 @@ _ARCH_NOTES = {
     "llama": ("Llama 2/3/3.1/3.2", "GGUF + safetensors; RoPE scaling (llama3)"),
     "mistral": ("Mistral 7B family", "sliding window"),
     "mixtral": ("Mixtral 8x7B/8x22B", "MoE (softmax-then-topk routing)"),
+    "gemma": ("Gemma 1", "gelu-tanh MLP, sqrt(hidden) embed scale, +1 norms"),
+    "phi2": ("Phi-2", "parallel attn+MLP residual, partial rotary, LN biases"),
+    "glm": ("GLM-4 (9B)", "interleaved partial rotary"),
+    "glm4": ("GLM-4 0414", "interleaved partial rotary, sandwich norms"),
+    "granite": ("Granite 3.x", "embedding/residual/attention/logits multipliers"),
     "qwen2": ("Qwen 2/2.5", "attention biases"),
+    "qwen2moe": ("Qwen 1.5/2 MoE", "shared expert with sigmoid gate"),
     "qwen3": ("Qwen 3", "q/k RMSNorm"),
     "qwen3moe": ("Qwen 3 MoE", "MoE + q/k norm"),
     "gemma2": ("Gemma 2", "pre/post norms, logit softcaps, alt. sliding window"),

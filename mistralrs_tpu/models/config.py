@@ -50,6 +50,17 @@ class ModelConfig:
     norm_topk_prob: bool = False
     # smollm3: per-layer rope toggle (1 = apply RoPE, 0 = NoPE layer)
     no_rope_layers: Optional[list[int]] = None
+    # phi2/glm: rotate only head_dim * factor leading dims
+    partial_rotary_factor: float = 1.0
+    # glm family: GPT-J pairing (2j, 2j+1) instead of rotate-half
+    rope_interleaved: bool = False
+    # phi2: attn and MLP both read the same normed input, one residual add
+    parallel_residual: bool = False
+    # granite scalar multipliers (None → 1.0)
+    residual_multiplier: Optional[float] = None
+    logits_scaling: Optional[float] = None
+    # qwen2moe: always-on shared expert with sigmoid gate
+    shared_expert_intermediate_size: Optional[int] = None
     # bookkeeping
     bos_token_id: Optional[int] = None
     eos_token_ids: tuple[int, ...] = ()
@@ -68,6 +79,12 @@ class ModelConfig:
 # NormalLoaderType registry, normal_loaders.rs:207-231; grows with models/).
 HF_ARCH_MAP = {
     "LlamaForCausalLM": "llama",
+    "GemmaForCausalLM": "gemma",
+    "PhiForCausalLM": "phi2",
+    "GlmForCausalLM": "glm",
+    "Glm4ForCausalLM": "glm4",
+    "GraniteForCausalLM": "granite",
+    "Qwen2MoeForCausalLM": "qwen2moe",
     "MistralForCausalLM": "mistral",
     "MixtralForCausalLM": "mixtral",
     "Qwen2ForCausalLM": "qwen2",
@@ -90,6 +107,12 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         arch = model_type if model_type else "llama"
     n_heads = cfg["num_attention_heads"]
     head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
+    if arch == "qwen2moe" and (
+        cfg.get("mlp_only_layers") or cfg.get("decoder_sparse_step", 1) != 1
+    ):
+        raise NotImplementedError(
+            "qwen2moe: mixed dense/sparse layer stacks not supported yet"
+        )
     eos = cfg.get("eos_token_id")
     if eos is None:
         eos_ids: tuple[int, ...] = ()
@@ -114,7 +137,7 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         attention_bias=cfg.get("attention_bias", False),
         mlp_bias=cfg.get("mlp_bias", False),
         hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
-        norm_type="layernorm" if arch == "starcoder2" else "rmsnorm",
+        norm_type="layernorm" if arch in ("starcoder2", "phi2") else "rmsnorm",
         sliding_window=cfg.get("sliding_window"),
         layer_types=cfg.get("layer_types"),
         logit_softcap=cfg.get("final_logit_softcapping"),
@@ -122,8 +145,15 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         attn_scale=(
             cfg["query_pre_attn_scalar"] ** -0.5
             if cfg.get("query_pre_attn_scalar")
-            else None
+            else cfg.get("attention_multiplier")  # granite
         ),
+        embedding_multiplier=cfg.get("embedding_multiplier"),
+        residual_multiplier=cfg.get("residual_multiplier"),
+        logits_scaling=cfg.get("logits_scaling"),
+        partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
+        rope_interleaved=arch in ("glm", "glm4"),
+        parallel_residual=arch == "phi2",
+        shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size"),
         rope_local_theta=cfg.get("rope_local_base_freq"),
         qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
         num_experts=cfg.get("num_local_experts", cfg.get("num_experts", 0)) or 0,

@@ -73,6 +73,18 @@ _HF_LAYER_MAP = {
     "post_feedforward_layernorm.weight": "post_ffn_norm",
     "block_sparse_moe.gate.weight": "router",  # mixtral
     "mlp.gate.weight": "router",  # qwen-moe
+    "post_self_attn_layernorm.weight": "post_attn_norm",  # glm4 sandwich
+    "post_mlp_layernorm.weight": "post_ffn_norm",
+    "self_attn.dense.weight": "wo",  # phi2
+    "self_attn.dense.bias": "wo_bias",
+    "mlp.fc1.weight": "up",  # phi2 gateless MLP
+    "mlp.fc1.bias": "up_bias",
+    "mlp.fc2.weight": "down",
+    "mlp.fc2.bias": "down_bias",
+    "mlp.shared_expert_gate.weight": "shared_expert_gate",  # qwen2moe
+    "mlp.shared_expert.gate_proj.weight": "se_gate",
+    "mlp.shared_expert.up_proj.weight": "se_up",
+    "mlp.shared_expert.down_proj.weight": "se_down",
 }
 # gemma2/3 use post_attention_layernorm as the *post* norm and
 # pre_feedforward_layernorm as the pre-FFN norm; remap per-arch below.
@@ -86,7 +98,7 @@ _PHI3_FUSED = {
 }
 
 
-_ROW_PARALLEL_KEYS = {"wo", "down", "exp_down"}
+_ROW_PARALLEL_KEYS = {"wo", "down", "exp_down", "se_down"}
 
 
 def _quantize_tensor(w: np.ndarray, t: GGMLType, chunks: int = 1) -> QTensor:
@@ -140,7 +152,10 @@ def weights_from_state_dict(
     """
     plan = isq_plan or default_isq_plan(isq)
     prefix = "model." if any(k.startswith("model.") for k in sd) else ""
-    layer_map = _GEMMA_LAYER_MAP if cfg.arch.startswith("gemma") else _HF_LAYER_MAP
+    # gemma1 keeps the standard pre-FFN placement; only 2/3 remap it
+    layer_map = (
+        _GEMMA_LAYER_MAP if cfg.arch in ("gemma2", "gemma3") else _HF_LAYER_MAP
+    )
     quant_method = (quant_config or {}).get("quant_method")
     q_bits = int((quant_config or {}).get("bits", 4))
     # GPTQ checkpoints are "v1" (zero+1) unless checkpoint_format says v2
@@ -262,6 +277,13 @@ def weights_from_state_dict(
             raise ValueError(f"{key}: missing layers {missing}")
         layers[key] = build_stacked(key, tensors)
 
+    if "se_gate" in layers:  # qwen2moe always-on shared expert
+        layers["shared_expert"] = {
+            "gate": layers.pop("se_gate"),
+            "up": layers.pop("se_up"),
+            "down": layers.pop("se_down"),
+        }
+
     if "exp_gate" in per_layer:
         import jax
 
@@ -277,6 +299,13 @@ def weights_from_state_dict(
 
     embed = get("embed_tokens.weight")
     lm_head = sd.get("lm_head.weight")
+    lm_head_bias = sd.get("lm_head.bias")  # phi2
+    final_norm = get("norm.weight")
+    if final_norm is None:
+        final_norm = get("final_layernorm.weight")  # phi2
+    final_norm_bias = get("norm.bias")
+    if final_norm_bias is None:
+        final_norm_bias = get("final_layernorm.bias")
 
     def maybe_quant(name: str, arr):
         if arr is None:
@@ -288,14 +317,19 @@ def weights_from_state_dict(
             return jnp.asarray(arr, dtype)
         return _quantize_tensor(arr, t)
 
-    return {
+    out = {
         "embed": maybe_quant("embed_tokens", embed),
         "layers": layers,
-        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+        "final_norm": jnp.asarray(final_norm, dtype),
         "lm_head": maybe_quant("lm_head", lm_head),
         "layer_windows": jnp.asarray(layer_windows(cfg)),
         "layer_use_rope": jnp.asarray(layer_rope_flags(cfg)),
     }
+    if final_norm_bias is not None:
+        out["final_norm_bias"] = jnp.asarray(final_norm_bias, dtype)
+    if lm_head_bias is not None:
+        out["lm_head_bias"] = jnp.asarray(lm_head_bias, dtype)
+    return out
 
 
 def load_hf_model(

@@ -142,10 +142,13 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
     """
     b, t, _ = x.shape
     router_logits = linear(x, lw["router"], backend=backend).astype(jnp.float32)
-    if cfg.arch == "mixtral":
+    if cfg.arch in ("mixtral", "qwen2moe"):
+        # softmax over ALL experts, then top-k (qwen2moe normalizes only
+        # when norm_topk_prob; mixtral always)
         probs = jax.nn.softmax(router_logits, axis=-1)
         topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
-        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+        if cfg.arch == "mixtral" or cfg.norm_topk_prob:
+            topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     else:
         topw, topi = jax.lax.top_k(router_logits, cfg.num_experts_per_tok)
         topw = jax.nn.softmax(topw, axis=-1)
@@ -176,7 +179,13 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
         expert, (jnp.zeros_like(x), jnp.int32(0)), experts
     )
     if "shared_expert" in lw:
-        out = out + _mlp(x, lw["shared_expert"], act, backend, tp_axis=None)
+        shared = _mlp(x, lw["shared_expert"], act, backend, tp_axis=None)
+        if "shared_expert_gate" in lw:  # qwen2moe: per-token sigmoid gate
+            g = jax.nn.sigmoid(
+                linear(x, lw["shared_expert_gate"], backend=None).astype(jnp.float32)
+            )
+            shared = shared * g.astype(shared.dtype)
+        out = out + shared
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
     return out
@@ -229,8 +238,8 @@ def _layer_step(
         q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps) if not gemma else rms_norm_gemma(q, lw["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps) if not gemma else rms_norm_gemma(k, lw["k_norm"], cfg.rms_norm_eps)
 
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q = apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
+    k = apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
 
     k_cache = _write_kv(k_cache, k, kv_start)
     v_cache = _write_kv(v_cache, v, kv_start)
@@ -248,9 +257,13 @@ def _layer_step(
     attn_out = _row_linear(
         attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend, lora=lw.get("wo_lora")
     )
-    if "post_attn_norm" in lw:  # gemma2/3 post-attention scaling norm
+    if cfg.parallel_residual:  # phi2: attn + MLP both read x, one residual
+        mlp_out = _mlp(x, lw, act, backend, tp_axis)
+        return h + attn_out + mlp_out, k_cache, v_cache
+    if "post_attn_norm" in lw:  # gemma2/3 + glm4 post-attention scaling norm
         attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
-    h = h + attn_out
+    rm = cfg.residual_multiplier  # granite
+    h = h + (attn_out * rm if rm else attn_out)
 
     x = _maybe_norm(
         h, lw["ffn_norm"], cfg.rms_norm_eps, gemma,
@@ -262,18 +275,19 @@ def _layer_step(
         mlp_out = _mlp(x, lw, act, backend, tp_axis)
     if "post_ffn_norm" in lw:
         mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
-    h = h + mlp_out
+    h = h + (mlp_out * rm if rm else mlp_out)
     return h, k_cache, v_cache
 
 
 def _rope_sets(cfg: ModelConfig, positions: jax.Array):
     """(cos, sin, cos_local, sin_local): global-rope and (gemma3) local-rope
     angle tables; identical objects when there is no local base."""
-    inv = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    rot_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
+    inv = rope_frequencies(rot_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv)
     if cfg.rope_local_theta is None:
         return cos, sin, cos, sin
-    inv_l = rope_frequencies(cfg.head_dim, cfg.rope_local_theta, None)
+    inv_l = rope_frequencies(rot_dim, cfg.rope_local_theta, None)
     cos_l, sin_l = rope_cos_sin(positions, inv_l)
     return cos, sin, cos_l, sin_l
 
@@ -311,6 +325,8 @@ def forward(
             h = h * jnp.asarray(
                 cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype
             )
+        elif cfg.embedding_multiplier:  # granite
+            h = h * jnp.asarray(cfg.embedding_multiplier, h.dtype)
 
     ropes = _rope_sets(cfg, positions)
 
@@ -348,6 +364,10 @@ def forward(
     if tp_axis is not None and not tied:
         # lm_head is vocab-sharded (column-parallel): gather the full vocab
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    if weights.get("lm_head_bias") is not None:  # phi2
+        logits = logits + weights["lm_head_bias"].astype(jnp.float32)
+    if cfg.logits_scaling:  # granite
+        logits = logits / cfg.logits_scaling
     if cfg.logit_softcap:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     return logits, KVCache(new_k, new_v)
@@ -390,6 +410,8 @@ def forward_paged(
             h = h * jnp.asarray(
                 cfg.embedding_multiplier or cfg.hidden_size**0.5, h.dtype
             )
+        elif cfg.embedding_multiplier:  # granite
+            h = h * jnp.asarray(cfg.embedding_multiplier, h.dtype)
 
     cos_g, sin_g, cos_lo, sin_lo = _rope_sets(cfg, positions)
     windows = weights["layer_windows"]
@@ -453,8 +475,8 @@ def forward_paged(
             cos, sin = cos_g, sin_g
         cos = jnp.where(ur > 0, cos, jnp.ones_like(cos))
         sin = jnp.where(ur > 0, sin, jnp.zeros_like(sin))
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
+        k = apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
 
         if use_decode_kernel:
             # fused reshape_and_cache + flash decode: the FULL pools are
@@ -504,9 +526,16 @@ def forward_paged(
             attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend,
             lora=lw.get("wo_lora"),
         )
+        if cfg.parallel_residual:  # phi2
+            mlp_out = _mlp(x, lw, act, backend, tp_axis)
+            hh = hh + attn_out + mlp_out
+            if has_scales:
+                return (hh, kp, vp, ksp, vsp), None
+            return (hh, kp, vp), None
         if "post_attn_norm" in lw:
             attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
-        hh = hh + attn_out
+        rm = cfg.residual_multiplier  # granite
+        hh = hh + (attn_out * rm if rm else attn_out)
         x = _maybe_norm(
             hh, lw["ffn_norm"], cfg.rms_norm_eps, gemma,
             lw.get("ffn_norm_bias"), cfg.norm_type,
@@ -517,7 +546,7 @@ def forward_paged(
             mlp_out = _mlp(x, lw, act, backend, tp_axis)
         if "post_ffn_norm" in lw:
             mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
-        hh = hh + mlp_out
+        hh = hh + (mlp_out * rm if rm else mlp_out)
         if has_scales:
             return (hh, kp, vp, ksp, vsp), None
         return (hh, kp, vp), None
@@ -546,6 +575,10 @@ def forward_paged(
     logits = linear(h, lm_head, backend=backend).astype(jnp.float32)
     if tp_axis is not None and not tied:
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    if weights.get("lm_head_bias") is not None:  # phi2
+        logits = logits + weights["lm_head_bias"].astype(jnp.float32)
+    if cfg.logits_scaling:  # granite
+        logits = logits / cfg.logits_scaling
     if cfg.logit_softcap:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     return logits, new_cache

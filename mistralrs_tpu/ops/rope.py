@@ -105,19 +105,35 @@ def rope_cos_sin(
 
 
 def apply_rope(
-    x: jax.Array, cos: jax.Array, sin: jax.Array
+    x: jax.Array, cos: jax.Array, sin: jax.Array, *, interleaved: bool = False
 ) -> jax.Array:
-    """Apply rotate-half RoPE.
+    """Apply RoPE over the leading ``2 * cos.shape[-1]`` dims of the head.
 
-    x: [..., n_heads, head_dim]; cos/sin: broadcastable to [..., 1, head_dim//2]
+    x: [..., n_heads, head_dim]; cos/sin: broadcastable to [..., 1, rot//2]
     (i.e. computed from positions of shape x.shape[:-2]).
+
+    ``interleaved`` selects the GLM/GPT-J pairing — pair j is dims
+    ``(2j, 2j+1)`` — instead of the default HF rotate-half pairing
+    ``(j, j + rot/2)``. Trailing dims past the rotary width pass through
+    (partial rotary: phi2/GLM ``partial_rotary_factor``).
     """
-    half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
+    rot = cos.shape[-1] * 2
+    x_rot, x_pass = x[..., :rot], x[..., rot:]
     cos = cos[..., None, :]
     sin = sin[..., None, :]
     dtype = x.dtype
-    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    out1 = x1f * cos - x2f * sin
-    out2 = x2f * cos + x1f * sin
-    return jnp.concatenate([out1, out2], axis=-1).astype(dtype)
+    if interleaved:
+        x1 = x_rot[..., 0::2].astype(jnp.float32)
+        x2 = x_rot[..., 1::2].astype(jnp.float32)
+        out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        out = out.reshape(x_rot.shape).astype(dtype)
+    else:
+        half = rot // 2
+        x1 = x_rot[..., :half].astype(jnp.float32)
+        x2 = x_rot[..., half:].astype(jnp.float32)
+        out = jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        ).astype(dtype)
+    if x_pass.shape[-1] == 0:
+        return out
+    return jnp.concatenate([out, x_pass], axis=-1)

@@ -146,3 +146,82 @@ def test_qwen3moe():
     torch.manual_seed(8)
     model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
     _compare(hf_cfg, model, "Qwen3MoeForCausalLM")
+
+
+def test_gemma1():
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+    )
+    torch.manual_seed(9)
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "GemmaForCausalLM")
+
+
+def test_phi2():
+    """phi2: parallel attn+MLP residual, partial rotary, LayerNorm biases,
+    lm_head bias (reference: `mistralrs-core/src/models/phi2.rs`)."""
+    hf_cfg = transformers.PhiConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(10)
+    model = transformers.PhiForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "PhiForCausalLM")
+
+
+def test_glm4():
+    """glm4: interleaved partial rotary, sandwich norms, fused gate_up
+    (reference: `mistralrs-core/src/models/glm4.rs`)."""
+    hf_cfg = transformers.Glm4Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, pad_token_id=0,
+        attention_bias=True,
+    )
+    torch.manual_seed(11)
+    model = transformers.Glm4ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Glm4ForCausalLM")
+
+
+def test_glm():
+    hf_cfg = transformers.GlmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, pad_token_id=0,
+    )
+    torch.manual_seed(12)
+    model = transformers.GlmForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "GlmForCausalLM")
+
+
+def test_granite():
+    """granite: embedding/residual/attention multipliers + logits scaling."""
+    hf_cfg = transformers.GraniteConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        logits_scaling=3.0, attention_multiplier=0.1,
+    )
+    torch.manual_seed(13)
+    model = transformers.GraniteForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "GraniteForCausalLM")
+
+
+def test_qwen2moe():
+    """qwen2moe: softmax-then-topk routing + sigmoid-gated shared expert."""
+    hf_cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=64, decoder_sparse_step=1,
+        mlp_only_layers=[], norm_topk_prob=False,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(14)
+    model = transformers.Qwen2MoeForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Qwen2MoeForCausalLM")
