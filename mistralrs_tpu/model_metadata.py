@@ -19,6 +19,10 @@ _ARCH_NOTES = {
     "granite": ("Granite 3.x", "embedding/residual/attention/logits multipliers"),
     "qwen2": ("Qwen 2/2.5", "attention biases"),
     "qwen2moe": ("Qwen 1.5/2 MoE", "shared expert with sigmoid gate"),
+    "glm4moe": ("GLM-4.5/4.6 MoE", "noaux-tc sigmoid routing, dense prefix"),
+    "gpt_oss": ("gpt-oss 20B/120B", "attention sinks, clamped-swiglu MoE, YaRN"),
+    "hunyuan": ("HunYuan dense", "post-rotary q/k norm"),
+    "hunyuan_moe": ("HunYuan MoE", "shared MLP + softmax-topk routing"),
     "qwen3": ("Qwen 3", "q/k RMSNorm"),
     "qwen3moe": ("Qwen 3 MoE", "MoE + q/k norm"),
     "gemma2": ("Gemma 2", "pre/post norms, logit softcaps, alt. sliding window"),

@@ -43,11 +43,18 @@ class ModelConfig:
     rope_local_theta: Optional[float] = None  # gemma3: sliding layers' theta
     embedding_multiplier: Optional[float] = None  # gemma: sqrt(hidden)
     qk_norm: bool = False  # qwen3/gemma3: per-head RMSNorm on q/k
+    qk_norm_after_rope: bool = False  # hunyuan: q/k norm applied post-rotary
     # MoE (mixtral/qwen-moe): 0 experts → dense
     num_experts: int = 0
     num_experts_per_tok: int = 0
     moe_intermediate_size: Optional[int] = None
     norm_topk_prob: bool = False
+    # deepseek-v3-style noaux-tc routing (glm4moe): dense first-k layers,
+    # sigmoid scores + correction bias, group-limited top-k, scaled weights
+    first_k_dense: int = 0
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
     # smollm3: per-layer rope toggle (1 = apply RoPE, 0 = NoPE layer)
     no_rope_layers: Optional[list[int]] = None
     # phi2/glm: rotate only head_dim * factor leading dims
@@ -85,6 +92,10 @@ HF_ARCH_MAP = {
     "Glm4ForCausalLM": "glm4",
     "GraniteForCausalLM": "granite",
     "Qwen2MoeForCausalLM": "qwen2moe",
+    "GptOssForCausalLM": "gpt_oss",
+    "HunYuanDenseV1ForCausalLM": "hunyuan",
+    "HunYuanMoEV1ForCausalLM": "hunyuan_moe",
+    "Glm4MoeForCausalLM": "glm4moe",
     "MistralForCausalLM": "mistral",
     "MixtralForCausalLM": "mixtral",
     "Qwen2ForCausalLM": "qwen2",
@@ -151,13 +162,27 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         residual_multiplier=cfg.get("residual_multiplier"),
         logits_scaling=cfg.get("logits_scaling"),
         partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
+        # glm4moe dropped the interleaved pairing (plain partial rotate-half)
         rope_interleaved=arch in ("glm", "glm4"),
         parallel_residual=arch == "phi2",
         shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size"),
         rope_local_theta=cfg.get("rope_local_base_freq"),
-        qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
-        num_experts=cfg.get("num_local_experts", cfg.get("num_experts", 0)) or 0,
-        num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
+        qk_norm=(
+            arch in ("qwen3", "qwen3moe", "gemma3", "hunyuan", "hunyuan_moe")
+            or bool(cfg.get("use_qk_norm"))  # glm4moe
+        ),
+        qk_norm_after_rope=arch in ("hunyuan", "hunyuan_moe"),
+        num_experts=cfg.get(
+            "num_local_experts",
+            cfg.get("num_experts", cfg.get("n_routed_experts", 0)),
+        ) or 0,
+        first_k_dense=cfg.get("first_k_dense_replace", 0) or 0,
+        n_group=cfg.get("n_group", 1) or 1,
+        topk_group=cfg.get("topk_group", 1) or 1,
+        routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0) or 1.0,
+        num_experts_per_tok=cfg.get(
+            "num_experts_per_tok", cfg.get("moe_topk", 0)  # hunyuan_moe
+        ) or 0,
         moe_intermediate_size=cfg.get("moe_intermediate_size"),
         norm_topk_prob=cfg.get("norm_topk_prob", False),
         no_rope_layers=cfg.get("no_rope_layers"),
@@ -195,7 +220,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         num_experts=g("expert_count", 0) or 0,
         num_experts_per_tok=g("expert_used_count", 0) or 0,
         moe_intermediate_size=g("expert_feed_forward_length"),
-        qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
+        qk_norm=arch in ("qwen3", "qwen3moe", "gemma3") or arch.startswith("hunyuan"),
+        qk_norm_after_rope=arch.startswith("hunyuan"),
         bos_token_id=md.get("tokenizer.ggml.bos_token_id"),
         eos_token_ids=(eos,) if eos is not None else (),
     )

@@ -59,6 +59,8 @@ _HF_LAYER_MAP = {
     "self_attn.o_proj.bias": "wo_bias",
     "self_attn.q_norm.weight": "q_norm",
     "self_attn.k_norm.weight": "k_norm",
+    "self_attn.query_layernorm.weight": "q_norm",  # hunyuan (post-rope)
+    "self_attn.key_layernorm.weight": "k_norm",
     "post_attention_layernorm.weight": "ffn_norm",
     "mlp.gate_proj.weight": "gate",
     "mlp.up_proj.weight": "up",
@@ -85,6 +87,21 @@ _HF_LAYER_MAP = {
     "mlp.shared_expert.gate_proj.weight": "se_gate",
     "mlp.shared_expert.up_proj.weight": "se_up",
     "mlp.shared_expert.down_proj.weight": "se_down",
+    "mlp.shared_experts.gate_proj.weight": "se_gate",  # glm4moe / deepseek
+    "mlp.shared_experts.up_proj.weight": "se_up",
+    "mlp.shared_experts.down_proj.weight": "se_down",
+    "mlp.gate.wg.weight": "router",  # hunyuan_moe
+    "mlp.shared_mlp.gate_proj.weight": "se_gate",  # hunyuan_moe
+    "mlp.shared_mlp.up_proj.weight": "se_up",
+    "mlp.shared_mlp.down_proj.weight": "se_down",
+    "mlp.gate.e_score_correction_bias": "router_correction_bias",
+    "self_attn.sinks": "sinks",  # gpt_oss
+    "mlp.router.weight": "router",
+    "mlp.router.bias": "router_bias",
+    "mlp.experts.gate_up_proj": "oss_gate_up",  # [E, H, 2I], interleaved
+    "mlp.experts.gate_up_proj_bias": "oss_gate_up_bias",
+    "mlp.experts.down_proj": "oss_down",  # [E, I, H]
+    "mlp.experts.down_proj_bias": "oss_down_bias",
 }
 # gemma2/3 use post_attention_layernorm as the *post* norm and
 # pre_feedforward_layernorm as the pre-FFN norm; remap per-arch below.
@@ -268,34 +285,65 @@ def weights_from_state_dict(
             ]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
 
-    layers: dict[str, Any] = {}
-    for key, tensors in per_layer.items():
-        if key.startswith("exp_"):
-            continue
-        if any(x is None for x in tensors):
-            missing = [i for i, x in enumerate(tensors) if x is None]
-            raise ValueError(f"{key}: missing layers {missing}")
-        layers[key] = build_stacked(key, tensors)
+    def assemble(lo: int, hi: int) -> dict:
+        """Stack layers [lo, hi) into one uniform pytree segment."""
+        seg: dict[str, Any] = {}
+        for key, tensors in per_layer.items():
+            if key.startswith("exp_"):
+                continue
+            sub = tensors[lo:hi]
+            if all(x is None for x in sub):
+                continue
+            if any(x is None for x in sub):
+                missing = [i + lo for i, x in enumerate(sub) if x is None]
+                raise ValueError(f"{key}: missing layers {missing}")
+            seg[key] = build_stacked(key, sub)
 
-    if "se_gate" in layers:  # qwen2moe always-on shared expert
-        layers["shared_expert"] = {
-            "gate": layers.pop("se_gate"),
-            "up": layers.pop("se_up"),
-            "down": layers.pop("se_down"),
-        }
+        if "se_gate" in seg:  # qwen2moe/glm4moe always-on shared expert
+            seg["shared_expert"] = {
+                "gate": seg.pop("se_gate"),
+                "up": seg.pop("se_up"),
+                "down": seg.pop("se_down"),
+            }
+        if "oss_gate_up" in seg:  # gpt_oss pre-stacked expert banks
+            # scan iterates leading (expert) axis: [L, E, ...] → xs [E, ...]
+            seg["experts"] = {
+                "gate_up": seg.pop("oss_gate_up"),
+                "gate_up_bias": seg.pop("oss_gate_up_bias"),
+                "down": seg.pop("oss_down"),
+                "down_bias": seg.pop("oss_down_bias"),
+            }
+        if "exp_gate" in per_layer:
+            import jax
 
-    if "exp_gate" in per_layer:
-        import jax
+            E = cfg.num_experts
+            sub = per_layer["exp_gate"][lo * E : hi * E]
+            if not all(x is None for x in sub):
+                experts: dict[str, Any] = {}
+                for key, out_key in (
+                    ("exp_gate", "gate"), ("exp_up", "up"), ("exp_down", "down")
+                ):
+                    tensors = per_layer[key][lo * E : hi * E]
+                    per_l = [
+                        build_stacked(key, tensors[l * E : (l + 1) * E])
+                        for l in range(hi - lo)
+                    ]
+                    experts[out_key] = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *per_l
+                    )
+                seg["experts"] = experts
+        return seg
 
-        experts: dict[str, Any] = {}
-        for key, out_key in (("exp_gate", "gate"), ("exp_up", "up"), ("exp_down", "down")):
-            tensors = per_layer[key]
-            per_l = [
-                build_stacked(key, tensors[l * cfg.num_experts : (l + 1) * cfg.num_experts])
-                for l in range(cfg.num_layers)
-            ]
-            experts[out_key] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_l)
-        layers["experts"] = experts
+    # dense-prefix MoE (glm4moe/deepseek-style first_k_dense_replace): the
+    # prefix and MoE layers have different structures → two stacked segments
+    k0 = cfg.first_k_dense if (cfg.num_experts and cfg.first_k_dense) else 0
+    k0 = min(k0, cfg.num_layers)
+    if 0 < k0 < cfg.num_layers:
+        layers = assemble(0, k0)
+        layers_moe: Optional[dict] = assemble(k0, cfg.num_layers)
+    else:
+        layers = assemble(0, cfg.num_layers)
+        layers_moe = None
 
     embed = get("embed_tokens.weight")
     lm_head = sd.get("lm_head.weight")
@@ -325,6 +373,8 @@ def weights_from_state_dict(
         "layer_windows": jnp.asarray(layer_windows(cfg)),
         "layer_use_rope": jnp.asarray(layer_rope_flags(cfg)),
     }
+    if layers_moe is not None:
+        out["layers_moe"] = layers_moe
     if final_norm_bias is not None:
         out["final_norm_bias"] = jnp.asarray(final_norm_bias, dtype)
     if lm_head_bias is not None:

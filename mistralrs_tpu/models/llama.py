@@ -29,7 +29,12 @@ from dataclasses import replace as _dc_replace
 
 from ..ops.attention import sdpa
 from ..ops.norms import layer_norm, rms_norm, rms_norm_gemma
-from ..ops.rope import apply_rope, rope_cos_sin, rope_frequencies
+from ..ops.rope import (
+    apply_rope,
+    rope_cos_sin,
+    rope_frequencies,
+    yarn_attention_factor,
+)
 from ..lora import apply_lora_delta
 from ..quant.linear import Weight, embedding_lookup, linear
 from ..quant.qtensor import QTensor
@@ -142,12 +147,43 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
     """
     b, t, _ = x.shape
     router_logits = linear(x, lw["router"], backend=backend).astype(jnp.float32)
-    if cfg.arch in ("mixtral", "qwen2moe"):
+    if "router_bias" in lw:  # gpt_oss
+        router_logits = router_logits + lw["router_bias"].astype(jnp.float32)
+    if cfg.arch == "gpt_oss":
+        return _gpt_oss_experts(x, lw, cfg, router_logits, tp_axis)
+    if cfg.arch == "glm4moe":
+        # deepseek-v3 noaux-tc: sigmoid scores; selection uses scores +
+        # correction bias (group-limited when n_group > 1); combine weights
+        # use the UN-biased scores, optionally normalized, then scaled
+        scores = jax.nn.sigmoid(router_logits)
+        biased = scores
+        if "router_correction_bias" in lw:
+            biased = biased + lw["router_correction_bias"].astype(jnp.float32)
+        if cfg.n_group > 1 and cfg.num_experts % cfg.n_group == 0:
+            gsz = cfg.num_experts // cfg.n_group
+            gs = biased.reshape(b, t, cfg.n_group, gsz)
+            group_scores = jnp.sum(jax.lax.top_k(gs, 2)[0], axis=-1)
+            _, top_groups = jax.lax.top_k(group_scores, cfg.topk_group)
+            gmask = (
+                jnp.zeros((b, t, cfg.n_group), bool)
+                .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None],
+                    top_groups]
+                .set(True)
+            )
+            biased = jnp.where(
+                jnp.repeat(gmask, gsz, axis=-1), biased, 0.0
+            )
+        _, topi = jax.lax.top_k(biased, cfg.num_experts_per_tok)
+        topw = jnp.take_along_axis(scores, topi, axis=-1)
+        if cfg.norm_topk_prob:
+            topw = topw / (jnp.sum(topw, axis=-1, keepdims=True) + 1e-20)
+        topw = topw * cfg.routed_scaling_factor
+    elif cfg.arch in ("mixtral", "qwen2moe", "hunyuan_moe"):
         # softmax over ALL experts, then top-k (qwen2moe normalizes only
-        # when norm_topk_prob; mixtral always)
+        # when norm_topk_prob; mixtral/hunyuan always)
         probs = jax.nn.softmax(router_logits, axis=-1)
         topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
-        if cfg.arch == "mixtral" or cfg.norm_topk_prob:
+        if cfg.arch in ("mixtral", "hunyuan_moe") or cfg.norm_topk_prob:
             topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     else:
         topw, topi = jax.lax.top_k(router_logits, cfg.num_experts_per_tok)
@@ -188,6 +224,40 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
         out = out + shared
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
+    return out
+
+
+def _gpt_oss_experts(x, lw, cfg: ModelConfig, router_logits, tp_axis):
+    """gpt-oss MoE: top-k-then-softmax routing (no renorm), per-expert fused
+    interleaved gate_up with biases, clamped swiglu ``(up+1)*gate*σ(1.702g)``
+    (reference: `mistralrs-core/src/models/gpt_oss.rs` expert MLP)."""
+    b, t, _ = x.shape
+    topw, topi = jax.lax.top_k(router_logits, cfg.num_experts_per_tok)
+    topw = jax.nn.softmax(topw, axis=-1)
+    full_w = (
+        jnp.zeros((b, t, cfg.num_experts), jnp.float32)
+        .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], topi]
+        .add(topw)
+    )
+    experts = lw["experts"]
+    limit = 7.0
+    alpha = 1.702
+
+    def expert(carry, ew):
+        acc, idx = carry
+        gu = jnp.einsum("bth,hi->bti", x, ew["gate_up"].astype(x.dtype))
+        gu = gu + ew["gate_up_bias"].astype(gu.dtype)
+        gate, up = gu[..., 0::2], gu[..., 1::2]
+        gate = jnp.minimum(gate, limit)
+        up = jnp.clip(up, -limit, limit)
+        glu = gate * jax.nn.sigmoid(gate * alpha)
+        y = jnp.einsum("bti,ih->bth", (up + 1.0) * glu, ew["down"].astype(x.dtype))
+        y = y + ew["down_bias"].astype(y.dtype)
+        acc = acc + y * full_w[..., idx][..., None].astype(y.dtype)
+        return (acc, idx + 1), None
+
+    (out, _), _ = jax.lax.scan(expert, (jnp.zeros_like(x), jnp.int32(0)), experts)
+    # expert banks are replicated under TP (see parallel/tp.py) → no psum
     return out
 
 
@@ -234,12 +304,16 @@ def _layer_step(
     k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
 
-    if cfg.qk_norm:
-        q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps) if not gemma else rms_norm_gemma(q, lw["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps) if not gemma else rms_norm_gemma(k, lw["k_norm"], cfg.rms_norm_eps)
+    qn = rms_norm_gemma if gemma else rms_norm
+    if cfg.qk_norm and not cfg.qk_norm_after_rope:
+        q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
+        k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
 
     q = apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
     k = apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
+    if cfg.qk_norm and cfg.qk_norm_after_rope:  # hunyuan
+        q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
+        k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
 
     k_cache = _write_kv(k_cache, k, kv_start)
     v_cache = _write_kv(v_cache, v, kv_start)
@@ -252,6 +326,7 @@ def _layer_step(
         scale=cfg.attn_scale,
         logit_softcap=cfg.attn_logit_softcap,
         sliding_window=window,  # 0 → full attention (handled in sdpa)
+        sinks=lw.get("sinks"),  # gpt_oss
     )
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
     attn_out = _row_linear(
@@ -285,6 +360,9 @@ def _rope_sets(cfg: ModelConfig, positions: jax.Array):
     rot_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
     inv = rope_frequencies(rot_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv)
+    mscale = yarn_attention_factor(cfg.rope_scaling)
+    if mscale != 1.0:  # HF convention: YaRN mscale folded into cos/sin
+        cos, sin = cos * mscale, sin * mscale
     if cfg.rope_local_theta is None:
         return cos, sin, cos, sin
     inv_l = rope_frequencies(rot_dim, cfg.rope_local_theta, None)
@@ -344,9 +422,25 @@ def forward(
         )
         return h, (k_c, v_c)
 
-    h, (new_k, new_v) = jax.lax.scan(
-        body, h, (weights["layers"], cache.k, cache.v, windows, rope_flags)
-    )
+    # dense-prefix MoE models (glm4moe) carry a second stacked segment with a
+    # different per-layer structure; each segment is its own uniform scan
+    segments = [weights["layers"]]
+    if "layers_moe" in weights:
+        segments.append(weights["layers_moe"])
+    new_ks, new_vs = [], []
+    off = 0
+    for seg in segments:
+        n_seg = jax.tree_util.tree_leaves(seg)[0].shape[0]
+        h, (nk, nv) = jax.lax.scan(
+            body, h,
+            (seg, cache.k[off : off + n_seg], cache.v[off : off + n_seg],
+             windows[off : off + n_seg], rope_flags[off : off + n_seg]),
+        )
+        new_ks.append(nk)
+        new_vs.append(nv)
+        off += n_seg
+    new_k = new_ks[0] if len(new_ks) == 1 else jnp.concatenate(new_ks)
+    new_v = new_vs[0] if len(new_vs) == 1 else jnp.concatenate(new_vs)
 
     h = _maybe_norm(
         h, weights["final_norm"], cfg.rms_norm_eps, cfg.arch.startswith("gemma"),
@@ -432,6 +526,7 @@ def forward_paged(
         and not force_gather
         and not has_scales
         and cfg.attn_logit_softcap is None
+        and "sinks" not in weights["layers"]  # gpt_oss: XLA path handles sinks
         and table_slots >= _kernel_min_slots
         and (backend == "pallas" or (backend is None and jax.default_backend() == "tpu"))
     )
@@ -464,8 +559,8 @@ def forward_paged(
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:
-            qn = rms_norm_gemma if gemma else rms_norm
+        qn = rms_norm_gemma if gemma else rms_norm
+        if cfg.qk_norm and not cfg.qk_norm_after_rope:
             q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
             k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
         if cos_lo is not cos_g:
@@ -477,6 +572,9 @@ def forward_paged(
         sin = jnp.where(ur > 0, sin, jnp.zeros_like(sin))
         q = apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
         k = apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
+        if cfg.qk_norm and cfg.qk_norm_after_rope:  # hunyuan
+            q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
 
         if use_decode_kernel:
             # fused reshape_and_cache + flash decode: the FULL pools are
@@ -520,6 +618,7 @@ def forward_paged(
                 scale=cfg.attn_scale,
                 logit_softcap=cfg.attn_logit_softcap,
                 sliding_window=win,
+                sinks=lw.get("sinks"),  # gpt_oss
             )
         attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
         attn_out = _row_linear(
@@ -552,14 +651,25 @@ def forward_paged(
         return (hh, kp, vp), None
 
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-    xs = (weights["layers"], windows, rope_flags, layer_ids)
+    segments = [weights["layers"]]
+    if "layers_moe" in weights:  # dense-prefix MoE (glm4moe)
+        segments.append(weights["layers_moe"])
     if has_scales:
-        carry0 = (h, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        (h, kp, vp, ksp, vsp), _ = jax.lax.scan(body, carry0, xs)
+        carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale)
+    else:
+        carry = (h, cache.k, cache.v)
+    off = 0
+    for seg in segments:
+        n_seg = jax.tree_util.tree_leaves(seg)[0].shape[0]
+        xs = (seg, windows[off : off + n_seg], rope_flags[off : off + n_seg],
+              layer_ids[off : off + n_seg])
+        carry, _ = jax.lax.scan(body, carry, xs)
+        off += n_seg
+    if has_scales:
+        h, kp, vp, ksp, vsp = carry
         new_cache = PagedKVCache(kp, vp, ksp, vsp)
     else:
-        carry0 = (h, cache.k, cache.v)
-        (h, kp, vp), _ = jax.lax.scan(body, carry0, xs)
+        h, kp, vp = carry
         new_cache = PagedKVCache(kp, vp)
 
     h = _maybe_norm(

@@ -73,13 +73,16 @@ def rope_frequencies(
                 2 * math.log(theta)
             )
 
-        low = math.floor(correction_dim(beta_fast))
-        high = math.ceil(correction_dim(beta_slow))
+        low = correction_dim(beta_fast)
+        high = correction_dim(beta_slow)
+        if scaling.get("truncate", True):
+            low, high = math.floor(low), math.ceil(high)
         low, high = max(low, 0), min(high, head_dim - 1)
         dims = jnp.arange(head_dim // 2, dtype=jnp.float32)
+        # ramp 0 → high-frequency dim (extrapolate, unscaled);
+        # ramp 1 → low-frequency dim (interpolate, /factor)
         ramp = jnp.clip((dims - low) / max(high - low, 1e-3), 0.0, 1.0)
-        mask = 1.0 - ramp  # 1 → interpolate (low freq), 0 → extrapolate
-        return inv_freq / factor * mask + inv_freq * (1.0 - mask)
+        return inv_freq / factor * ramp + inv_freq * (1.0 - ramp)
     raise NotImplementedError(f"rope scaling type {kind!r}")
 
 

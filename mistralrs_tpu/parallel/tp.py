@@ -120,17 +120,28 @@ def _entry_spec(key: str, w, lead: int):
     return _dense_specs(w, kind, lead)
 
 
-def weight_pspecs(weights: dict) -> dict:
-    """PartitionSpec pytree matching the model weights pytree."""
-    layers_in = weights["layers"]
+def _layer_specs(layers_in: dict) -> dict:
     layers: dict[str, Any] = {}
     for key, w in layers_in.items():
         if key == "experts":
-            layers[key] = {
-                ek: _entry_spec(ek, ew, lead=2) for ek, ew in w.items()
-            }
+            if "gate_up" in w:
+                # gpt_oss bank layout [L, E, in, out] — replicate (its
+                # interleaved gate/up pairs don't split on the TP axis)
+                layers[key] = {ek: P() for ek in w}
+            else:
+                layers[key] = {
+                    ek: _entry_spec(ek, ew, lead=2) for ek, ew in w.items()
+                }
+        elif isinstance(w, dict):  # shared_expert etc: per-layer sub-MLP
+            layers[key] = {ek: _entry_spec(ek, ew, lead=1) for ek, ew in w.items()}
         else:
             layers[key] = _entry_spec(key, w, lead=1)
+    return layers
+
+
+def weight_pspecs(weights: dict) -> dict:
+    """PartitionSpec pytree matching the model weights pytree."""
+    layers = _layer_specs(weights["layers"])
 
     lm_head = weights.get("lm_head")
     if lm_head is None:
@@ -150,6 +161,8 @@ def weight_pspecs(weights: dict) -> dict:
         "lm_head": head_spec,
         "layer_windows": P(),
     }
+    if "layers_moe" in weights:  # dense-prefix MoE models (glm4moe)
+        specs["layers_moe"] = _layer_specs(weights["layers_moe"])
     # replicate any other top-level entries (rope flags, extra norms, ...)
     for key in weights:
         if key not in specs:

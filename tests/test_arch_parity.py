@@ -225,3 +225,67 @@ def test_qwen2moe():
     torch.manual_seed(14)
     model = transformers.Qwen2MoeForCausalLM(hf_cfg).eval()
     _compare(hf_cfg, model, "Qwen2MoeForCausalLM")
+
+
+def test_gpt_oss():
+    """gpt_oss: attention sinks, alternating sliding window, YaRN mscale,
+    clamped-swiglu MoE with fused interleaved gate_up + biases."""
+    hf_cfg = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=4, max_position_embeddings=128,
+        pad_token_id=0, tie_word_embeddings=False,
+        layer_types=["sliding_attention", "full_attention"],
+        rope_scaling={"rope_type": "yarn", "factor": 8.0, "beta_fast": 32.0,
+                      "beta_slow": 1.0, "truncate": False,
+                      "original_max_position_embeddings": 64},
+    )
+    torch.manual_seed(15)
+    model = transformers.GptOssForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "GptOssForCausalLM")
+
+
+def test_hunyuan_dense():
+    """hunyuan: per-head q/k RMSNorm applied AFTER rotary."""
+    hf_cfg = transformers.HunYuanDenseV1Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(16)
+    model = transformers.HunYuanDenseV1ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "HunYuanDenseV1ForCausalLM")
+
+
+def test_glm4moe():
+    """glm4moe: glm attention + deepseek-v3 noaux-tc routing, dense-prefix
+    layer segment, shared experts, group-limited top-k."""
+    hf_cfg = transformers.Glm4MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, pad_token_id=0,
+        n_routed_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, norm_topk_prob=True, use_qk_norm=True,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(17)
+    model = transformers.Glm4MoeForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "Glm4MoeForCausalLM")
+
+
+def test_hunyuan_moe():
+    """hunyuan_moe: post-rope q/k norm + mixtral-style routing +
+    unconditional shared MLP."""
+    hf_cfg = transformers.HunYuanMoEV1Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, tie_word_embeddings=False,
+        num_experts=4, moe_topk=2, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(18)
+    model = transformers.HunYuanMoEV1ForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "HunYuanMoEV1ForCausalLM")
