@@ -31,7 +31,7 @@ from ..kv.manager import KVCacheManager
 from ..kv.paged import PagedKVCache
 from ..models.config import ModelConfig
 from ..models.llama import forward_paged
-from .sampler import BatchSamplingState, SamplingParams, sample
+from .sampler import BatchSamplingState, SamplingParams, dry_penalty_row, sample
 from .scheduler import Scheduler, SchedulerOutput
 from .sequence import Sequence, SequenceState, StopReason
 
@@ -299,6 +299,10 @@ class Engine:
                 cbias = np.where(allow, 0.0, -1e30).astype(np.float32)
             else:
                 self._slot_constraint[slot] = None
+            if p.dry_multiplier > 0.0:
+                dry = dry_penalty_row(list(seq.prompt_ids), p, self.cfg.vocab_size)
+                if dry is not None:
+                    cbias = cbias + dry
             scalars = tuple(
                 jnp.asarray(v, jnp.float32 if i != 1 else jnp.int32)
                 for i, v in enumerate(
@@ -367,27 +371,37 @@ class Engine:
             s = seq.slot
             # advance grammar constraints with the committed token
             slot_cons = self._slot_constraint[s]
+            gram_row: Optional[np.ndarray] = None
+            gram_set = False
             if slot_cons is not None:
                 cons, st = slot_cons
                 builder = self._get_mask_builder()
                 st = builder.advance_with_token(cons, st, int(new_tokens[s]))
+                gram_set = True
                 if st is None or cons.is_complete(st):
                     # dead or complete → stop constraining (EOS-only mask when
                     # complete is handled by the stop check below)
                     self._slot_constraint[s] = None
-                    self.samp_state = _set_constraint_bias(
-                        self.samp_state, s,
-                        jnp.zeros((self.cfg.vocab_size,), jnp.float32),
-                    )
                     if st is not None and cons.is_complete(st):
                         seq._constraint_done = True  # type: ignore[attr-defined]
                 else:
                     self._slot_constraint[s] = (cons, st)
                     allow = builder.mask(cons, st, self.cfg.eos_token_ids)
-                    self.samp_state = _set_constraint_bias(
-                        self.samp_state, s,
-                        jnp.asarray(np.where(allow, 0.0, -1e30), jnp.float32),
+                    gram_row = np.where(allow, 0.0, -1e30).astype(np.float32)
+            if gram_set or seq.params.dry_multiplier > 0.0:
+                row = gram_row
+                if seq.params.dry_multiplier > 0.0:
+                    dry = dry_penalty_row(
+                        seq.all_ids + [int(new_tokens[s])], seq.params,
+                        self.cfg.vocab_size,
                     )
+                    if dry is not None:
+                        row = dry if row is None else row + dry
+                if row is None:
+                    row = np.zeros((self.cfg.vocab_size,), np.float32)
+                self.samp_state = _set_constraint_bias(
+                    self.samp_state, s, jnp.asarray(row)
+                )
             if getattr(seq, "_needs_bootstrap", False):
                 seq._needs_bootstrap = False  # type: ignore[attr-defined]
                 if seq.first_token_time is None:
@@ -418,10 +432,12 @@ class Engine:
         if c is None:
             return None
         if isinstance(c, str):
-            from ..grammar import JsonConstraint
+            from ..grammar import JsonConstraint, RegexConstraint
 
             if c in ("json_object", "json"):
                 return JsonConstraint(root="object" if c == "json_object" else "any")
+            if c.startswith("regex:"):
+                return RegexConstraint(c[len("regex:"):])
             raise ValueError(f"unknown constraint {c!r}")
         return c
 

@@ -43,10 +43,67 @@ class SamplingParams:
     stop_token_ids: tuple[int, ...] = ()
     stop_strings: tuple[str, ...] = ()
     n_logprobs: int = 0
+    # DRY repetition penalty (reference: `mistralrs-core/src/dry.rs` /
+    # sampler DrySamplingParams): penalize tokens that would extend a
+    # sequence already seen in the context
+    dry_multiplier: float = 0.0  # 0 → disabled
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
+    dry_sequence_breaker_ids: tuple[int, ...] = ()
 
     @property
     def is_greedy(self) -> bool:
         return self.temperature <= 0.0
+
+
+_DRY_MAX_NGRAM = 50
+
+
+def dry_penalty_row(
+    ctx, params: "SamplingParams", vocab_size: int
+) -> Optional[np.ndarray]:
+    """Negative logit adjustments [V] for the DRY repetition penalty, or None
+    when nothing matches. ``ctx`` is the full token context (prompt + output).
+
+    For every earlier occurrence of the current last token, the token that
+    followed it is penalized by ``multiplier * base^(match_len -
+    allowed_length)`` where ``match_len`` is the length of the repeated
+    suffix (reference semantics: `mistralrs-core/src/dry.rs`)."""
+    n = len(ctx)
+    if params.dry_multiplier <= 0.0 or n < 2:
+        return None
+    breakers = set(params.dry_sequence_breaker_ids)
+    last = ctx[-1]
+    if last in breakers:
+        return None
+    pen: dict[int, float] = {}
+    for i in range(n - 1):
+        if ctx[i] != last:
+            continue
+        length = 1
+        while (
+            length < _DRY_MAX_NGRAM
+            and length <= i
+            and n - 1 - length >= 0
+            and ctx[i - length] == ctx[n - 1 - length]
+            and ctx[i - length] not in breakers
+        ):
+            length += 1
+        cand = ctx[i + 1]
+        if cand in breakers or not 0 <= cand < vocab_size:
+            continue
+        if length >= params.dry_allowed_length:
+            v = params.dry_multiplier * (
+                params.dry_base ** (length - params.dry_allowed_length)
+            )
+            if v > pen.get(cand, 0.0):
+                pen[cand] = v
+    if not pen:
+        return None
+    row = np.zeros((vocab_size,), np.float32)
+    for t, v in pen.items():
+        row[t] = -v
+    return row
 
 
 @dataclass(frozen=True)

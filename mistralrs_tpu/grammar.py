@@ -241,6 +241,292 @@ class ChoiceConstraint:
         return None
 
 
+# --- regex constraints ------------------------------------------------------
+
+
+class _NfaNode:
+    __slots__ = ("edges", "eps", "accept")
+
+    def __init__(self):
+        self.edges: list[tuple[frozenset, "_NfaNode"]] = []  # (byte set, target)
+        self.eps: list["_NfaNode"] = []
+        self.accept = False
+
+
+_ALL_BYTES = frozenset(range(256))
+_DIGITS = frozenset(range(ord("0"), ord("9") + 1))
+_WORD = frozenset(
+    set(range(ord("a"), ord("z") + 1))
+    | set(range(ord("A"), ord("Z") + 1))
+    | set(range(ord("0"), ord("9") + 1))
+    | {ord("_")}
+)
+_SPACE = frozenset(map(ord, " \t\n\r\f\v"))
+_ESCAPES = {
+    "d": _DIGITS, "D": _ALL_BYTES - _DIGITS,
+    "w": _WORD, "W": _ALL_BYTES - _WORD,
+    "s": _SPACE, "S": _ALL_BYTES - _SPACE,
+    "n": frozenset({10}), "t": frozenset({9}), "r": frozenset({13}),
+}
+_MAX_REPEAT = 256
+
+
+class _RegexParser:
+    """Recursive-descent regex → Thompson NFA fragments (start, out-node).
+
+    Supported subset (the practical constrained-decoding core, byte-level
+    over UTF-8): literals, ``.``, ``[...]`` classes with ranges and negation,
+    ``\\d \\w \\s`` (+ negations), groups, ``|``, ``* + ?``, ``{m}``,
+    ``{m,}``, ``{m,n}``. Anchors the whole pattern (fullmatch semantics, like
+    the reference's llguidance regex constraint).
+    """
+
+    def __init__(self, pattern: str):
+        self.p = pattern
+        self.i = 0
+
+    def _peek(self):
+        return self.p[self.i] if self.i < len(self.p) else None
+
+    def _take(self):
+        c = self.p[self.i]
+        self.i += 1
+        return c
+
+    def parse(self) -> tuple[_NfaNode, _NfaNode]:
+        frag = self._alt()
+        if self.i != len(self.p):
+            raise ValueError(f"regex: unexpected {self.p[self.i]!r} at {self.i}")
+        return frag
+
+    def _alt(self):
+        frags = [self._concat()]
+        while self._peek() == "|":
+            self._take()
+            frags.append(self._concat())
+        if len(frags) == 1:
+            return frags[0]
+        s, o = _NfaNode(), _NfaNode()
+        for fs, fo in frags:
+            s.eps.append(fs)
+            fo.eps.append(o)
+        return s, o
+
+    def _concat(self):
+        frags = []
+        while self._peek() not in (None, "|", ")"):
+            frags.append(self._repeat())
+        if not frags:
+            n = _NfaNode()
+            return n, n
+        s, o = frags[0]
+        for fs, fo in frags[1:]:
+            o.eps.append(fs)
+            o = fo
+        return s, o
+
+    def _repeat(self):
+        frag = self._atom()
+        while True:
+            c = self._peek()
+            if c == "*":
+                self._take()
+                frag = self._star(frag)
+            elif c == "+":
+                self._take()
+                s2, o2 = self._star(self._clone(frag))
+                fs, fo = frag
+                fo.eps.append(s2)
+                frag = (fs, o2)
+            elif c == "?":
+                self._take()
+                fs, fo = frag
+                s, o = _NfaNode(), _NfaNode()
+                s.eps.extend([fs, o])
+                fo.eps.append(o)
+                frag = (s, o)
+            elif c == "{":
+                frag = self._bounded(frag)
+            else:
+                return frag
+
+    def _star(self, frag):
+        fs, fo = frag
+        s, o = _NfaNode(), _NfaNode()
+        s.eps.extend([fs, o])
+        fo.eps.extend([fs, o])
+        return s, o
+
+    def _bounded(self, frag):
+        self._take()  # {
+        spec = ""
+        while self._peek() not in (None, "}"):
+            spec += self._take()
+        if self._peek() != "}":
+            raise ValueError("regex: unterminated {}")
+        self._take()
+        if "," in spec:
+            lo_s, hi_s = spec.split(",", 1)
+            lo = int(lo_s or 0)
+            hi = int(hi_s) if hi_s else None
+        else:
+            lo = hi = int(spec)
+        if hi is not None and (hi < lo or hi > _MAX_REPEAT):
+            raise ValueError(f"regex: bad repeat {{{spec}}}")
+        parts = [self._clone(frag) for _ in range(max(lo, 1) if lo else 0)]
+        s = o = None
+        for fs, fo in parts:
+            if s is None:
+                s, o = fs, fo
+            else:
+                o.eps.append(fs)
+                o = fo
+        if s is None:
+            s = o = _NfaNode()
+        if hi is None:  # {m,} → m copies + star
+            ss, so = self._star(self._clone(frag))
+            o.eps.append(ss)
+            o = so
+        else:
+            for _ in range(hi - lo):
+                fs, fo = self._clone(frag)
+                opt_o = _NfaNode()
+                o.eps.extend([fs, opt_o])
+                fo.eps.append(opt_o)
+                o = opt_o
+        return s, o
+
+    def _clone(self, frag):
+        """Deep-copy an NFA fragment (for bounded repetition)."""
+        fs, fo = frag
+        mapping: dict[int, _NfaNode] = {}
+
+        def copy(n: _NfaNode) -> _NfaNode:
+            if id(n) in mapping:
+                return mapping[id(n)]
+            m = _NfaNode()
+            mapping[id(n)] = m
+            m.accept = n.accept
+            for pred, tgt in n.edges:
+                m.edges.append((pred, copy(tgt)))
+            m.eps.extend(copy(t) for t in n.eps)
+            return m
+
+        return copy(fs), mapping[id(fo)] if id(fo) in mapping else copy(fo)
+
+    def _atom(self):
+        c = self._take()
+        if c == "(":
+            if self.p[self.i : self.i + 2] == "?:":
+                self.i += 2  # non-capturing — groups never capture here
+            frag = self._alt()
+            if self._peek() != ")":
+                raise ValueError("regex: unterminated group")
+            self._take()
+            return frag
+        if c == "[":
+            return self._char_class()
+        if c == ".":
+            return self._edge(_ALL_BYTES - frozenset({10}))
+        if c == "\\":
+            e = self._take()
+            if e in _ESCAPES:
+                return self._edge(_ESCAPES[e])
+            return self._literal(e)
+        if c in ")|*+?{":
+            raise ValueError(f"regex: unexpected {c!r}")
+        return self._literal(c)
+
+    def _literal(self, ch: str):
+        bts = ch.encode("utf-8")
+        s = _NfaNode()
+        node = s
+        for by in bts:
+            nxt = _NfaNode()
+            node.edges.append((frozenset({by}), nxt))
+            node = nxt
+        return s, node
+
+    def _edge(self, byte_set: frozenset):
+        s, o = _NfaNode(), _NfaNode()
+        s.edges.append((byte_set, o))
+        return s, o
+
+    def _char_class(self):
+        negate = False
+        if self._peek() == "^":
+            self._take()
+            negate = True
+        members: set[int] = set()
+        first = True
+        while True:
+            c = self._peek()
+            if c is None:
+                raise ValueError("regex: unterminated [")
+            if c == "]" and not first:
+                self._take()
+                break
+            first = False
+            c = self._take()
+            if c == "\\":
+                e = self._take()
+                if e in _ESCAPES:
+                    members |= _ESCAPES[e]
+                    continue
+                c = e
+            if self._peek() == "-" and self.p[self.i + 1 : self.i + 2] not in ("]", ""):
+                self._take()
+                hi = self._take()
+                if hi == "\\":
+                    hi = self._take()
+                members |= set(range(ord(c), ord(hi) + 1))
+            else:
+                members |= set(c.encode("utf-8"))
+        out = frozenset(members) if not negate else _ALL_BYTES - frozenset(members)
+        return self._edge(out)
+
+
+class RegexConstraint:
+    """Output must full-match the regex (byte-level Thompson NFA run as a
+    lazily-determinized subset automaton — the analog of the reference's
+    llguidance regex grammars, `mistralrs-core/src/sampler.rs` custom-grammar
+    constraints)."""
+
+    name = "regex"
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+        start, out = _RegexParser(pattern).parse()
+        out.accept = True
+        self._start = start
+
+    @staticmethod
+    def _closure(nodes) -> frozenset:
+        out = []
+        stack = list(nodes)
+        visited = set()
+        while stack:
+            n = stack.pop()
+            if id(n) in visited:
+                continue
+            visited.add(id(n))
+            out.append(n)
+            stack.extend(n.eps)
+        return frozenset(out)
+
+    def initial(self):
+        return self._closure([self._start])
+
+    def is_complete(self, st) -> bool:
+        return any(n.accept for n in st)
+
+    def advance(self, st, byte: int):
+        nxt = [t for n in st for pred, t in n.edges if byte in pred]
+        if not nxt:
+            return None
+        return self._closure(nxt)
+
+
 # --- token-level masking ----------------------------------------------------
 
 

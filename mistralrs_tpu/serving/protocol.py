@@ -52,6 +52,14 @@ class ChatCompletionRequest(BaseModel):
     tools: Optional[list[dict[str, Any]]] = None
     tool_choice: Optional[Union[str, dict[str, Any]]] = None
     response_format: Optional[dict[str, Any]] = None
+    # reference extension (`mistralrs-server-core` Grammar): constrained
+    # decoding — {"type": "regex"|"json_schema"|"choice", "value": ...}
+    grammar: Optional[dict[str, Any]] = None
+    # DRY repetition penalty (reference sampler extension)
+    dry_multiplier: Optional[float] = None
+    dry_base: Optional[float] = None
+    dry_allowed_length: Optional[int] = None
+    dry_sequence_breakers: Optional[list[int]] = None
     user: Optional[str] = None
 
 

@@ -154,6 +154,21 @@ def _sampling_from_chat(req: P.ChatCompletionRequest, tok: TokenizerWrapper) -> 
             bias[int(k)] = float(v)
         except ValueError:
             continue
+    constraint = None
+    rf = req.response_format or {}
+    if rf.get("type") in ("json_object", "json_schema"):
+        # json_schema constrains to valid JSON (schema-shape enforcement is
+        # a planned llguidance-equivalent refinement)
+        constraint = "json_object"
+    g = req.grammar or {}
+    if g.get("type") == "regex" and g.get("value"):
+        constraint = "regex:" + str(g["value"])
+    elif g.get("type") == "choice" and g.get("value"):
+        from ..grammar import ChoiceConstraint
+
+        constraint = ChoiceConstraint([str(c) for c in g["value"]])
+    elif g.get("type") == "json_schema":
+        constraint = "json_object"
     return SamplingParams(
         temperature=req.temperature if req.temperature is not None else 0.7,
         top_p=req.top_p if req.top_p is not None else 1.0,
@@ -167,6 +182,13 @@ def _sampling_from_chat(req: P.ChatCompletionRequest, tok: TokenizerWrapper) -> 
         logit_bias=bias,
         stop_strings=tuple(stops),
         n_logprobs=(req.top_logprobs or 0) if req.logprobs else 0,
+        constraint=constraint,
+        dry_multiplier=req.dry_multiplier or 0.0,
+        dry_base=req.dry_base if req.dry_base is not None else 1.75,
+        dry_allowed_length=(
+            req.dry_allowed_length if req.dry_allowed_length is not None else 2
+        ),
+        dry_sequence_breaker_ids=tuple(req.dry_sequence_breakers or ()),
     )
 
 

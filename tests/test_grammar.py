@@ -70,3 +70,92 @@ def test_choice_constraint_forces_output():
     eng.run_to_completion()
     text = eng.tokenizer.decode(seq.generated_ids)
     assert text in ("yes", "no"), text
+
+
+def test_regex_constraint_unit():
+    from mistralrs_tpu.grammar import RegexConstraint
+
+    def fullmatch(pattern: str, text: str) -> bool:
+        c = RegexConstraint(pattern)
+        st = c.initial()
+        for by in text.encode():
+            st = c.advance(st, by)
+            if st is None:
+                return False
+        return c.is_complete(st)
+
+    import re
+    cases = [
+        (r"abc", ["abc", "ab", "abcd", ""]),
+        (r"a*b+c?", ["b", "aaabbc", "ac", "abbbb", "c"]),
+        (r"(ab|cd)+", ["ab", "abcd", "cdab", "a", "abc"]),
+        (r"[a-c0-9]{2,4}", ["a1", "abc9", "a", "abcde", "z1"]),
+        (r"\d+\.\d{2}", ["3.14", "42.00", "3.1", ".99", "12."]),
+        (r"[^x]*x", ["aaax", "x", "axa"]),
+        (r"yes|no|maybe", ["yes", "no", "maybe", "nope", ""]),
+        (r"a{3}", ["aaa", "aa", "aaaa"]),
+        (r"a{2,}", ["aa", "aaaaa", "a"]),
+        (r"(?:ha)+!", ["ha!", "hahaha!", "h!", "!"]),
+        (r"\w+@\w+\.(com|org)", ["a_1@b.com", "x@y.org", "x@y.net", "@y.com"]),
+    ]
+    for pattern, texts in cases:
+        for t in texts:
+            assert fullmatch(pattern, t) == bool(re.fullmatch(pattern, t)), (
+                pattern, t,
+            )
+
+
+def test_regex_constraint_engine():
+    eng = _engine()
+    seq = eng.add_request(
+        [5, 6, 7],
+        SamplingParams(temperature=1.0, seed=3, max_tokens=16,
+                       constraint="regex:[ab]{3}[0-9]"),
+    )
+    eng.run_to_completion()
+    import re
+    text = eng.tokenizer.decode(seq.generated_ids)
+    assert re.fullmatch(r"[ab]{3}[0-9]", text), text
+
+
+def test_dry_penalty_row_semantics():
+    from mistralrs_tpu.engine.sampler import dry_penalty_row
+
+    p = SamplingParams(dry_multiplier=1.0, dry_base=2.0, dry_allowed_length=2)
+    # context: ... 7 8 9 | 7 8 9 → next token extending the repeat is the
+    # token that followed the earlier occurrence of the suffix (9 → 7? no:
+    # after earlier "9" came "7"); suffix 7 8 9 matched with len 3
+    ctx = [1, 7, 8, 9, 5, 7, 8, 9]
+    row = dry_penalty_row(ctx, p, 16)
+    assert row is not None
+    # earlier "9" at index 3 is followed by token 5; match length 3 ≥ 2 →
+    # penalty multiplier * base^(3-2) = 2.0
+    assert row[5] == -2.0
+    # unrelated tokens unpenalized
+    assert row[1] == 0.0 and row[9] == 0.0
+    # below allowed_length → no row
+    assert dry_penalty_row([1, 2, 3], p, 16) is None
+    # breakers cut the match
+    p2 = SamplingParams(dry_multiplier=1.0, dry_base=2.0, dry_allowed_length=3,
+                        dry_sequence_breaker_ids=(8,))
+    assert dry_penalty_row(ctx, p2, 16) is None
+
+
+def test_dry_engine_reduces_repetition():
+    eng = _engine()
+    seq = eng.add_request(
+        [5, 6, 7],
+        SamplingParams(temperature=0.0, max_tokens=24,
+                       dry_multiplier=4.0, dry_allowed_length=2),
+    )
+    eng.run_to_completion()
+    toks = seq.generated_ids
+    # greedy decoding with a random tiny model loops hard; DRY must prevent
+    # any long exact n-gram repeat from dominating the tail
+    tail = tuple(toks[-8:])
+    assert len(toks) == 24
+    joined = tuple(toks)
+    # no 4-gram occurs 4+ times
+    from collections import Counter
+    grams = Counter(joined[i:i+4] for i in range(len(joined) - 3))
+    assert max(grams.values()) < 4, grams.most_common(3)
