@@ -52,8 +52,23 @@ def render_supported_models_markdown() -> str:
         classes = ", ".join(f"`{c}`" for c in sorted(by_tag.get(tag, [])))
         lines.append(f"| {name} | {classes} | {notes} |")
     lines.append("")
+    lines.append("Standalone modules (non-uniform layer stacks):")
+    lines.append("")
+    lines.append("| Architecture | HF class | Notes |")
+    lines.append("|---|---|---|")
+    lines.append("| DeepSeek V2/V3 | `DeepseekV2ForCausalLM`, `DeepseekV3ForCausalLM`"
+                 " | MLA attention, noaux-tc MoE (`models/deepseek.py`) |")
+    lines.append("| LFM2 | `Lfm2ForCausalLM` | hybrid short-conv/attention,"
+                 " conv-state cache (`models/lfm2.py`) |")
+    lines.append("| Qwen3-Next | `Qwen3NextForCausalLM` | gated DeltaNet (GDN)"
+                 " linear attention + gated attention + MoE (`models/qwen3next.py`) |")
+    lines.append("| LLaVA | `LlavaForConditionalGeneration` | CLIP/SigLIP tower"
+                 " + projector (`models/llava.py`) |")
+    lines.append("")
     lines.append("Verified by exact logit parity against the HF `transformers`")
-    lines.append("reference implementations (`tests/test_arch_parity.py`).")
+    lines.append("reference implementations (`tests/test_arch_parity.py`,")
+    lines.append("`tests/test_lfm2.py`, `tests/test_qwen3next.py`,")
+    lines.append("`tests/test_deepseek.py`).")
     lines.append("")
     return "\n".join(lines)
 

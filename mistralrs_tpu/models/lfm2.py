@@ -1,0 +1,294 @@
+"""LFM2 (Liquid) hybrid conv/attention causal LM — the analog of the
+reference's LFM2 support (`mistralrs-core/src/models/lfm2.rs`, hybrid
+cache `kv_cache/` HybridCache).
+
+Architecture (verified against HF `Lfm2ForCausalLM`, tests/test_lfm2.py):
+- interleaved layer types: gated short-conv layers and GQA attention layers
+  (``layer_types`` config), each ``operator_norm → mixer → +residual`` then
+  ``ffn_norm → SwiGLU MLP → +residual``
+- conv mixer: ``B, C, x = in_proj(h)``; depthwise causal conv (kernel
+  ``L_cache``) over ``B*x``; ``out_proj(C * conv)``
+- attention: per-head RMSNorm on q/k before RoPE (full head dim)
+
+The layer stack is heterogeneous, so the forward is an unrolled Python loop
+over per-layer weight dicts (LFM2 models are small; XLA still fuses each
+layer body). The hybrid cache pairs a contiguous KV cache for attention
+layers with a rolling conv state ``[B, H, L_cache]`` per conv layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import sdpa
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin, rope_frequencies
+
+
+@dataclass(frozen=True)
+class Lfm2Config:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    layer_types: tuple[str, ...]  # "conv" | "full_attention"
+    conv_l_cache: int = 3
+    conv_bias: bool = False
+    norm_eps: float = 1e-5
+    rope_theta: float = 1000000.0
+    max_position_embeddings: int = 128000
+    tie_word_embeddings: bool = True
+    eos_token_ids: tuple[int, ...] = ()
+
+    @classmethod
+    def from_hf(cls, d: Mapping[str, Any]) -> "Lfm2Config":
+        n_heads = d["num_attention_heads"]
+        eos = d.get("eos_token_id")
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d.get("block_ff_dim") or d["intermediate_size"],
+            num_layers=d["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=d.get("num_key_value_heads", n_heads),
+            head_dim=d.get("head_dim") or d["hidden_size"] // n_heads,
+            layer_types=tuple(d["layer_types"]),
+            conv_l_cache=d.get("conv_L_cache", 3),
+            conv_bias=d.get("conv_bias", False),
+            norm_eps=d.get("norm_eps", d.get("rms_norm_eps", 1e-5)),
+            rope_theta=d.get("rope_theta", 1000000.0),
+            max_position_embeddings=d.get("max_position_embeddings", 128000),
+            tie_word_embeddings=d.get("tie_word_embeddings", True),
+            eos_token_ids=(
+                tuple(eos) if isinstance(eos, (list, tuple))
+                else ((eos,) if eos is not None else ())
+            ),
+        )
+
+
+@dataclass
+class Lfm2Cache:
+    """k/v: [L_attn, B, S, n_kv, hd]; conv: [L_conv, B, H, conv_l_cache]."""
+
+    k: jax.Array
+    v: jax.Array
+    conv: jax.Array
+
+    @classmethod
+    def create(cls, cfg: Lfm2Config, batch: int, capacity: int, dtype=jnp.float32):
+        n_attn = sum(t == "full_attention" for t in cfg.layer_types)
+        n_conv = cfg.num_layers - n_attn
+        return cls(
+            k=jnp.zeros(
+                (n_attn, batch, capacity, cfg.num_kv_heads, cfg.head_dim), dtype
+            ),
+            v=jnp.zeros(
+                (n_attn, batch, capacity, cfg.num_kv_heads, cfg.head_dim), dtype
+            ),
+            conv=jnp.zeros(
+                (n_conv, batch, cfg.hidden_size, cfg.conv_l_cache), dtype
+            ),
+        )
+
+
+def _causal_depthwise_conv(bx: jax.Array, w: jax.Array, bias) -> jax.Array:
+    """bx [B, T, H], w [H, L] → causal conv out [B, T, H]
+    (out[t] = Σ_j w[:, j] · bx[t - (L-1) + j])."""
+    L = w.shape[-1]
+    padded = jnp.pad(bx, ((0, 0), (L - 1, 0), (0, 0)))
+    out = jnp.zeros_like(bx)
+    t = bx.shape[1]
+    for j in range(L):
+        out = out + padded[:, j : j + t, :] * w[:, j]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _conv_mixer(cfg: Lfm2Config, lw: dict, x, conv_state, decode: bool):
+    """Returns (out [B, T, H], new conv_state [B, H, L])."""
+    bcx = x @ lw["in_proj"].T
+    if lw.get("in_proj_bias") is not None:
+        bcx = bcx + lw["in_proj_bias"]
+    h = cfg.hidden_size
+    b_g, c_g, xin = bcx[..., :h], bcx[..., h : 2 * h], bcx[..., 2 * h :]
+    bx = b_g * xin  # [B, T, H]
+    w = lw["conv_w"]  # [H, L]
+    if decode:  # single token: roll state left, append, weighted sum
+        state = jnp.concatenate(
+            [conv_state[..., 1:], jnp.swapaxes(bx, 1, 2)], axis=-1
+        )
+        conv_out = jnp.sum(state * w[None], axis=-1)[:, None, :]
+        if lw.get("conv_b") is not None:
+            conv_out = conv_out + lw["conv_b"]
+        new_state = state
+    else:  # prefill from scratch: full causal conv; state = last L tokens
+        conv_out = _causal_depthwise_conv(bx, w, lw.get("conv_b"))
+        L = cfg.conv_l_cache
+        padded = jnp.pad(bx, ((0, 0), (L, 0), (0, 0)))[:, -L:, :]
+        new_state = jnp.swapaxes(padded, 1, 2)
+    y = c_g * conv_out
+    out = y @ lw["out_proj"].T
+    if lw.get("out_proj_bias") is not None:
+        out = out + lw["out_proj_bias"]
+    return out, new_state
+
+
+def _attn_mixer(cfg: Lfm2Config, lw: dict, x, k_cache, v_cache, cos, sin,
+                positions, kv_start):
+    b, t, _ = x.shape
+    q = (x @ lw["wq"].T).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = (x @ lw["wk"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = (x @ lw["wv"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = rms_norm(q, lw["q_norm"], cfg.norm_eps)
+    k = rms_norm(k, lw["k_norm"], cfg.norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    def write(cache, new):
+        def one(row, new_row, start):
+            return jax.lax.dynamic_update_slice(row, new_row, (start, 0, 0))
+
+        return jax.vmap(one)(cache, new, kv_start)
+
+    k_cache = write(k_cache, k)
+    v_cache = write(v_cache, v)
+    attn = sdpa(
+        q, k_cache, v_cache, q_positions=positions, kv_len=kv_start + t
+    )
+    attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
+    return attn @ lw["wo"].T, k_cache, v_cache
+
+
+def lfm2_forward(
+    weights: dict,
+    cfg: Lfm2Config,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T]
+    cache: Lfm2Cache,
+    kv_start: jax.Array,  # [B]
+    *,
+    decode: bool = False,  # True → single-token step using conv state
+    compute_dtype=jnp.float32,
+) -> tuple[jax.Array, Lfm2Cache]:
+    h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
+    inv = rope_frequencies(cfg.head_dim, cfg.rope_theta, None)
+    cos, sin = rope_cos_sin(positions, inv)
+
+    ks, vs, convs = [], [], []
+    ai = ci = 0
+    for li, lt in enumerate(cfg.layer_types):
+        lw = weights["layers"][li]
+        x = rms_norm(h, lw["operator_norm"], cfg.norm_eps)
+        if lt == "full_attention":
+            out, nk, nv = _attn_mixer(
+                cfg, lw, x, cache.k[ai], cache.v[ai], cos, sin, positions,
+                kv_start,
+            )
+            ks.append(nk)
+            vs.append(nv)
+            ai += 1
+        else:
+            out, nstate = _conv_mixer(cfg, lw, x, cache.conv[ci], decode)
+            convs.append(nstate)
+            ci += 1
+        h = h + out
+        x = rms_norm(h, lw["ffn_norm"], cfg.norm_eps)
+        mlp = (jax.nn.silu(x @ lw["w1"].T) * (x @ lw["w3"].T)) @ lw["w2"].T
+        h = h + mlp
+
+    h = rms_norm(h, weights["final_norm"], cfg.norm_eps)
+    lm_head = weights.get("lm_head")
+    if lm_head is None:
+        lm_head = weights["embed"]
+    logits = (h @ jnp.asarray(lm_head, compute_dtype).T).astype(jnp.float32)
+    new_cache = Lfm2Cache(
+        k=jnp.stack(ks) if ks else cache.k,
+        v=jnp.stack(vs) if vs else cache.v,
+        conv=jnp.stack(convs) if convs else cache.conv,
+    )
+    return logits, new_cache
+
+
+def lfm2_weights_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: Lfm2Config, dtype=jnp.float32
+) -> dict:
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def g(name):
+        arr = sd.get(pre + name)
+        return None if arr is None else jnp.asarray(arr, dtype)
+
+    layers = []
+    for i, lt in enumerate(cfg.layer_types):
+        p = f"layers.{i}."
+        lw: dict[str, Any] = {
+            "operator_norm": g(p + "operator_norm.weight"),
+            "ffn_norm": g(p + "ffn_norm.weight"),
+            "w1": g(p + "feed_forward.w1.weight"),
+            "w2": g(p + "feed_forward.w2.weight"),
+            "w3": g(p + "feed_forward.w3.weight"),
+        }
+        if lt == "full_attention":
+            lw.update(
+                wq=g(p + "self_attn.q_proj.weight"),
+                wk=g(p + "self_attn.k_proj.weight"),
+                wv=g(p + "self_attn.v_proj.weight"),
+                wo=g(p + "self_attn.out_proj.weight"),
+                q_norm=g(p + "self_attn.q_layernorm.weight"),
+                k_norm=g(p + "self_attn.k_layernorm.weight"),
+            )
+        else:
+            conv_w = g(p + "conv.conv.weight")  # [H, 1, L]
+            lw.update(
+                conv_w=conv_w.reshape(cfg.hidden_size, cfg.conv_l_cache),
+                conv_b=g(p + "conv.conv.bias"),
+                in_proj=g(p + "conv.in_proj.weight"),
+                in_proj_bias=g(p + "conv.in_proj.bias"),
+                out_proj=g(p + "conv.out_proj.weight"),
+                out_proj_bias=g(p + "conv.out_proj.bias"),
+            )
+        layers.append(lw)
+    return {
+        "embed": g("embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": g("embedding_norm.weight"),
+        "lm_head": (
+            None if cfg.tie_word_embeddings else jnp.asarray(sd["lm_head.weight"], dtype)
+        ),
+    }
+
+
+def lfm2_greedy_generate(
+    weights: dict, cfg: Lfm2Config, prompt_ids, max_new_tokens: int = 16,
+) -> list[int]:
+    """Greedy decode (prefill + conv/KV cached single-token steps)."""
+    ids = jnp.asarray(np.asarray(prompt_ids, np.int32)[None])
+    t0 = ids.shape[1]
+    cache = Lfm2Cache.create(cfg, 1, t0 + max_new_tokens)
+    positions = jnp.arange(t0, dtype=jnp.int32)[None]
+    logits, cache = lfm2_forward(
+        weights, cfg, ids, positions, cache, jnp.zeros((1,), jnp.int32)
+    )
+    out = []
+    tok = jnp.argmax(logits[:, -1], axis=-1)
+    for step in range(max_new_tokens):
+        tok_i = int(tok[0])
+        if tok_i in cfg.eos_token_ids:
+            break
+        out.append(tok_i)
+        pos = jnp.asarray([[t0 + step]], jnp.int32)
+        logits, cache = lfm2_forward(
+            weights, cfg, tok[None].astype(jnp.int32), pos, cache,
+            jnp.asarray([t0 + step], jnp.int32), decode=True,
+        )
+        tok = jnp.argmax(logits[:, -1], axis=-1)
+    return out

@@ -1,0 +1,411 @@
+"""Qwen3-Next hybrid GDN (gated DeltaNet) / gated-attention MoE causal LM —
+the analog of the reference's GDN support (`mistralrs-core/src/gdn/`,
+`models/qwen3_next.rs`).
+
+Layer pattern (``layer_types``): 3:1 ``linear_attention`` (gated DeltaNet:
+short conv + L2-normed q/k + decaying delta-rule state) to
+``full_attention`` (qwen3-style GQA with an output sigmoid gate and partial
+rotary), every MLP a qwen-MoE sparse block with a sigmoid-gated shared
+expert. Norms are zero-centered (1 + w) RMSNorm.
+
+The DeltaNet recurrence is a `lax.scan` over time for prefill (TPU-friendly
+einsum steps; the chunked-parallel formulation is the planned perf path) and
+a single fused update for decode. State cache per linear layer:
+conv window [B, conv_dim, K] + recurrent state [B, n_v, d_k, d_v].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import sdpa
+from ..ops.norms import rms_norm, rms_norm_gemma
+from ..ops.rope import apply_rope, rope_cos_sin, rope_frequencies
+
+
+@dataclass(frozen=True)
+class Qwen3NextConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    layer_types: tuple[str, ...]
+    # linear attention (GDN)
+    n_v_heads: int
+    n_k_heads: int
+    d_k: int
+    d_v: int
+    conv_kernel: int
+    # MoE
+    num_experts: int
+    num_experts_per_tok: int
+    norm_topk_prob: bool
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    partial_rotary_factor: float = 0.25
+    tie_word_embeddings: bool = False
+    eos_token_ids: tuple[int, ...] = ()
+
+    @classmethod
+    def from_hf(cls, d: Mapping[str, Any]) -> "Qwen3NextConfig":
+        n_heads = d["num_attention_heads"]
+        eos = d.get("eos_token_id")
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_layers=d["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=d["num_key_value_heads"],
+            head_dim=d.get("head_dim") or d["hidden_size"] // n_heads,
+            layer_types=tuple(d["layer_types"]),
+            n_v_heads=d["linear_num_value_heads"],
+            n_k_heads=d["linear_num_key_heads"],
+            d_k=d["linear_key_head_dim"],
+            d_v=d["linear_value_head_dim"],
+            conv_kernel=d["linear_conv_kernel_dim"],
+            num_experts=d.get("num_experts", 0) or 0,
+            num_experts_per_tok=d.get("num_experts_per_tok", 0) or 0,
+            norm_topk_prob=d.get("norm_topk_prob", True),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 10000.0),
+            partial_rotary_factor=d.get("partial_rotary_factor", 0.25),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            eos_token_ids=(
+                tuple(eos) if isinstance(eos, (list, tuple))
+                else ((eos,) if eos is not None else ())
+            ),
+        )
+
+    @property
+    def key_dim(self) -> int:
+        return self.n_k_heads * self.d_k
+
+    @property
+    def value_dim(self) -> int:
+        return self.n_v_heads * self.d_v
+
+    @property
+    def conv_dim(self) -> int:
+        return 2 * self.key_dim + self.value_dim
+
+
+@dataclass
+class Qwen3NextCache:
+    k: jax.Array  # [L_full, B, S, n_kv, hd]
+    v: jax.Array
+    conv: jax.Array  # [L_lin, B, conv_dim, K]
+    rec: jax.Array  # [L_lin, B, n_v, d_k, d_v]
+
+    @classmethod
+    def create(cls, cfg: Qwen3NextConfig, batch: int, capacity: int,
+               dtype=jnp.float32):
+        n_full = sum(t == "full_attention" for t in cfg.layer_types)
+        n_lin = cfg.num_layers - n_full
+        return cls(
+            k=jnp.zeros((n_full, batch, capacity, cfg.num_kv_heads, cfg.head_dim), dtype),
+            v=jnp.zeros((n_full, batch, capacity, cfg.num_kv_heads, cfg.head_dim), dtype),
+            conv=jnp.zeros((n_lin, batch, cfg.conv_dim, cfg.conv_kernel), dtype),
+            rec=jnp.zeros((n_lin, batch, cfg.n_v_heads, cfg.d_k, cfg.d_v), jnp.float32),
+        )
+
+
+def _l2norm(x, eps=1e-6):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
+def _split_qkvz_ba(cfg: Qwen3NextConfig, qkvz, ba):
+    """HF `fix_query_key_value_ordering`: per-k-head interleaved packing."""
+    b, t, _ = qkvz.shape
+    nk, nv = cfg.n_k_heads, cfg.n_v_heads
+    r = nv // nk
+    grp = qkvz.reshape(b, t, nk, 2 * cfg.d_k + 2 * r * cfg.d_v)
+    q = grp[..., : cfg.d_k]
+    k = grp[..., cfg.d_k : 2 * cfg.d_k]
+    v = grp[..., 2 * cfg.d_k : 2 * cfg.d_k + r * cfg.d_v].reshape(b, t, nv, cfg.d_v)
+    z = grp[..., 2 * cfg.d_k + r * cfg.d_v :].reshape(b, t, nv, cfg.d_v)
+    bag = ba.reshape(b, t, nk, 2 * r)
+    beta_in = bag[..., :r].reshape(b, t, nv)
+    a_in = bag[..., r:].reshape(b, t, nv)
+    return q, k, v, z, beta_in, a_in
+
+
+def _delta_rule_scan(q, k, v, g, beta, state0):
+    """Sequential gated delta rule. q/k: [B,T,N,dk] (L2-normed, q scaled);
+    v: [B,T,N,dv]; g/beta: [B,T,N]; state0 [B,N,dk,dv] f32.
+    Returns (out [B,T,N,dv], final state)."""
+
+    def step(state, xs):
+        q_t, k_t, v_t, g_t, b_t = xs  # [B,N,*]
+        state = state * jnp.exp(g_t)[..., None, None]
+        kv_mem = jnp.einsum("bnkv,bnk->bnv", state, k_t)
+        delta = (v_t - kv_mem) * b_t[..., None]
+        state = state + jnp.einsum("bnk,bnv->bnkv", k_t, delta)
+        out_t = jnp.einsum("bnkv,bnk->bnv", state, q_t)
+        return state, out_t
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (q, k, v, g, beta))
+    state, outs = jax.lax.scan(step, state0, xs)
+    return jnp.moveaxis(outs, 0, 1), state
+
+
+def _causal_conv(bx, w, kernel):
+    """bx [B, T, C], w [C, K] → causal depthwise conv [B, T, C]."""
+    t = bx.shape[1]
+    padded = jnp.pad(bx, ((0, 0), (kernel - 1, 0), (0, 0)))
+    out = jnp.zeros_like(bx)
+    for j in range(kernel):
+        out = out + padded[:, j : j + t, :] * w[:, j]
+    return out
+
+
+def _gdn_mixer(cfg: Qwen3NextConfig, lw, x, conv_state, rec_state, decode):
+    b, t, _ = x.shape
+    qkvz = x @ lw["in_proj_qkvz"].T
+    ba = x @ lw["in_proj_ba"].T
+    q, k, v, z, beta_in, a_in = _split_qkvz_ba(cfg, qkvz, ba)
+    mixed = jnp.concatenate(
+        [q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1)], -1
+    )
+    w = lw["conv_w"]  # [conv_dim, K]
+    if decode:
+        state = jnp.concatenate(
+            [conv_state[..., 1:], jnp.swapaxes(mixed, 1, 2)], axis=-1
+        )
+        conv_out = jnp.sum(state * w[None], axis=-1)[:, None, :]
+        new_conv = state
+    else:
+        conv_out = _causal_conv(mixed, w, cfg.conv_kernel)
+        K = cfg.conv_kernel
+        new_conv = jnp.swapaxes(
+            jnp.pad(mixed, ((0, 0), (K, 0), (0, 0)))[:, -K:, :], 1, 2
+        )
+    mixed = jax.nn.silu(conv_out)
+    kd, vd = cfg.key_dim, cfg.value_dim
+    q = mixed[..., :kd].reshape(b, t, cfg.n_k_heads, cfg.d_k)
+    k = mixed[..., kd : 2 * kd].reshape(b, t, cfg.n_k_heads, cfg.d_k)
+    v = mixed[..., 2 * kd :].reshape(b, t, cfg.n_v_heads, cfg.d_v)
+
+    beta = jax.nn.sigmoid(beta_in.astype(jnp.float32))
+    g = -jnp.exp(lw["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        a_in.astype(jnp.float32) + lw["dt_bias"].astype(jnp.float32)
+    )
+    r = cfg.n_v_heads // cfg.n_k_heads
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+    q = _l2norm(q.astype(jnp.float32)) * (cfg.d_k**-0.5)
+    k = _l2norm(k.astype(jnp.float32))
+    v32 = v.astype(jnp.float32)
+    out, new_rec = _delta_rule_scan(q, k, v32, g, beta, rec_state)
+    # gated RMSNorm (plain weight) then silu(z) gate
+    normed = rms_norm(out, lw["gdn_norm"], cfg.rms_norm_eps)
+    normed = normed * jax.nn.silu(z.astype(jnp.float32))
+    out = normed.reshape(b, t, cfg.value_dim).astype(x.dtype)
+    return out @ lw["out_proj"].T, new_conv, new_rec
+
+
+def _full_attn_mixer(cfg: Qwen3NextConfig, lw, x, k_cache, v_cache, cos, sin,
+                     positions, kv_start):
+    b, t, _ = x.shape
+    qg = (x @ lw["wq"].T).reshape(b, t, cfg.num_heads, 2 * cfg.head_dim)
+    q, gate = qg[..., : cfg.head_dim], qg[..., cfg.head_dim :]
+    k = (x @ lw["wk"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = (x @ lw["wv"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = rms_norm_gemma(q, lw["q_norm"], cfg.rms_norm_eps)
+    k = rms_norm_gemma(k, lw["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    def write(cache, new):
+        def one(row, new_row, start):
+            return jax.lax.dynamic_update_slice(row, new_row, (start, 0, 0))
+
+        return jax.vmap(one)(cache, new, kv_start)
+
+    k_cache = write(k_cache, k)
+    v_cache = write(v_cache, v)
+    attn = sdpa(q, k_cache, v_cache, q_positions=positions, kv_len=kv_start + t)
+    attn = attn * jax.nn.sigmoid(gate)
+    return attn.reshape(b, t, -1) @ lw["wo"].T, k_cache, v_cache
+
+
+def _moe(cfg: Qwen3NextConfig, lw, x):
+    rl = (x @ lw["router"].T).astype(jnp.float32)
+    probs = jax.nn.softmax(rl, axis=-1)
+    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    b, t, _ = x.shape
+    full_w = (
+        jnp.zeros((b, t, cfg.num_experts), jnp.float32)
+        .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], topi]
+        .add(topw)
+    )
+
+    def expert(carry, ew):
+        acc, idx = carry
+        y = (jax.nn.silu(x @ ew["gate"].T) * (x @ ew["up"].T)) @ ew["down"].T
+        acc = acc + y * full_w[..., idx][..., None].astype(y.dtype)
+        return (acc, idx + 1), None
+
+    (out, _), _ = jax.lax.scan(
+        expert, (jnp.zeros_like(x), jnp.int32(0)), lw["experts"]
+    )
+    shared = (
+        jax.nn.silu(x @ lw["se_gate"].T) * (x @ lw["se_up"].T)
+    ) @ lw["se_down"].T
+    gate = jax.nn.sigmoid((x @ lw["shared_gate"].T).astype(jnp.float32))
+    return out + shared * gate.astype(shared.dtype)
+
+
+def qwen3next_forward(
+    weights: dict,
+    cfg: Qwen3NextConfig,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,
+    cache: Qwen3NextCache,
+    kv_start: jax.Array,
+    *,
+    decode: bool = False,
+    compute_dtype=jnp.float32,
+) -> tuple[jax.Array, Qwen3NextCache]:
+    h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
+    rot = int(cfg.head_dim * cfg.partial_rotary_factor)
+    inv = rope_frequencies(rot, cfg.rope_theta, None)
+    cos, sin = rope_cos_sin(positions, inv)
+
+    ks, vs, convs, recs = [], [], [], []
+    ai = ci = 0
+    for li, lt in enumerate(cfg.layer_types):
+        lw = weights["layers"][li]
+        x = rms_norm_gemma(h, lw["attn_norm"], cfg.rms_norm_eps)
+        if lt == "full_attention":
+            out, nk, nv = _full_attn_mixer(
+                cfg, lw, x, cache.k[ai], cache.v[ai], cos, sin, positions,
+                kv_start,
+            )
+            ks.append(nk)
+            vs.append(nv)
+            ai += 1
+        else:
+            out, nconv, nrec = _gdn_mixer(
+                cfg, lw, x, cache.conv[ci], cache.rec[ci], decode
+            )
+            convs.append(nconv)
+            recs.append(nrec)
+            ci += 1
+        h = h + out
+        x = rms_norm_gemma(h, lw["ffn_norm"], cfg.rms_norm_eps)
+        h = h + _moe(cfg, lw, x)
+
+    h = rms_norm_gemma(h, weights["final_norm"], cfg.rms_norm_eps)
+    lm_head = weights.get("lm_head")
+    if lm_head is None:
+        lm_head = weights["embed"]
+    logits = (h @ jnp.asarray(lm_head, compute_dtype).T).astype(jnp.float32)
+    new_cache = Qwen3NextCache(
+        k=jnp.stack(ks) if ks else cache.k,
+        v=jnp.stack(vs) if vs else cache.v,
+        conv=jnp.stack(convs) if convs else cache.conv,
+        rec=jnp.stack(recs) if recs else cache.rec,
+    )
+    return logits, new_cache
+
+
+def qwen3next_weights_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: Qwen3NextConfig, dtype=jnp.float32
+) -> dict:
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def g(name):
+        arr = sd.get(pre + name)
+        return None if arr is None else jnp.asarray(arr, dtype)
+
+    layers = []
+    for i, lt in enumerate(cfg.layer_types):
+        p = f"layers.{i}."
+        lw: dict[str, Any] = {
+            "attn_norm": g(p + "input_layernorm.weight"),
+            "ffn_norm": g(p + "post_attention_layernorm.weight"),
+            "router": g(p + "mlp.gate.weight"),
+            "se_gate": g(p + "mlp.shared_expert.gate_proj.weight"),
+            "se_up": g(p + "mlp.shared_expert.up_proj.weight"),
+            "se_down": g(p + "mlp.shared_expert.down_proj.weight"),
+            "shared_gate": g(p + "mlp.shared_expert_gate.weight"),
+            "experts": {
+                key: jnp.stack(
+                    [
+                        g(p + f"mlp.experts.{e}.{hf}.weight")
+                        for e in range(cfg.num_experts)
+                    ]
+                )
+                for key, hf in (
+                    ("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")
+                )
+            },
+        }
+        if lt == "full_attention":
+            lw.update(
+                wq=g(p + "self_attn.q_proj.weight"),
+                wk=g(p + "self_attn.k_proj.weight"),
+                wv=g(p + "self_attn.v_proj.weight"),
+                wo=g(p + "self_attn.o_proj.weight"),
+                q_norm=g(p + "self_attn.q_norm.weight"),
+                k_norm=g(p + "self_attn.k_norm.weight"),
+            )
+        else:
+            conv_w = g(p + "linear_attn.conv1d.weight")  # [conv_dim, 1, K]
+            lw.update(
+                in_proj_qkvz=g(p + "linear_attn.in_proj_qkvz.weight"),
+                in_proj_ba=g(p + "linear_attn.in_proj_ba.weight"),
+                conv_w=conv_w.reshape(cfg.conv_dim, cfg.conv_kernel),
+                A_log=g(p + "linear_attn.A_log"),
+                dt_bias=g(p + "linear_attn.dt_bias"),
+                gdn_norm=g(p + "linear_attn.norm.weight"),
+                out_proj=g(p + "linear_attn.out_proj.weight"),
+            )
+        layers.append(lw)
+    return {
+        "embed": g("embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": g("norm.weight"),
+        "lm_head": (
+            None if cfg.tie_word_embeddings
+            else jnp.asarray(sd["lm_head.weight"], dtype)
+        ),
+    }
+
+
+def qwen3next_greedy_generate(
+    weights: dict, cfg: Qwen3NextConfig, prompt_ids, max_new_tokens: int = 16,
+) -> list[int]:
+    ids = jnp.asarray(np.asarray(prompt_ids, np.int32)[None])
+    t0 = ids.shape[1]
+    cache = Qwen3NextCache.create(cfg, 1, t0 + max_new_tokens)
+    positions = jnp.arange(t0, dtype=jnp.int32)[None]
+    logits, cache = qwen3next_forward(
+        weights, cfg, ids, positions, cache, jnp.zeros((1,), jnp.int32)
+    )
+    out = []
+    tok = jnp.argmax(logits[:, -1], axis=-1)
+    for step in range(max_new_tokens):
+        tok_i = int(tok[0])
+        if tok_i in cfg.eos_token_ids:
+            break
+        out.append(tok_i)
+        pos = jnp.asarray([[t0 + step]], jnp.int32)
+        logits, cache = qwen3next_forward(
+            weights, cfg, tok[None].astype(jnp.int32), pos, cache,
+            jnp.asarray([t0 + step], jnp.int32), decode=True,
+        )
+        tok = jnp.argmax(logits[:, -1], axis=-1)
+    return out
