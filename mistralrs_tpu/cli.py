@@ -236,8 +236,54 @@ def cmd_quantize(args):
         from .convert import tokenizer_metadata_from_hf
 
         tok_md = tokenizer_metadata_from_hf(Tokenizer.from_file(str(tok_path)))
-    convert_hf_to_gguf(sd, cfg, args.output, quant=t, tokenizer_metadata=tok_md)
+    im = None
+    if getattr(args, "imatrix", None):
+        from .imatrix import load_imatrix
+
+        im = load_imatrix(args.imatrix)
+    convert_hf_to_gguf(
+        sd, cfg, args.output, quant=t, tokenizer_metadata=tok_md, imatrix=im
+    )
     print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_imatrix(args):
+    """Collect an importance matrix over calibration text (the analog of the
+    reference's imatrix collection pass)."""
+    import json as _json
+    from pathlib import Path
+
+    import numpy as np
+
+    from .imatrix import ImatrixCollector, save_imatrix
+    from .models.config import config_from_hf
+    from .models.hf_loader import load_safetensors_dir, weights_from_state_dict
+
+
+    src = Path(args.model)
+    with open(src / "config.json") as f:
+        cfg = config_from_hf(_json.load(f))
+    sd = load_safetensors_dir(src)
+    import jax.numpy as jnp
+
+    weights = weights_from_state_dict(sd, cfg, dtype=jnp.float32)
+    from .tokenizer import from_file as _tok_from_file
+
+    tok = _tok_from_file(src / "tokenizer.json")
+    coll = ImatrixCollector(cfg)
+    chunk = args.chunk
+    with open(args.text) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            ids = tok.encode(line)[: chunk]
+            if len(ids) < 2:
+                continue
+            coll.update(weights, np.asarray(ids, np.int32)[None])
+    save_imatrix(args.output, coll.finalize())
+    print(f"wrote {args.output} ({coll.tokens} calibration tokens)")
     return 0
 
 
@@ -336,8 +382,16 @@ def main(argv=None):
     p = sub.add_parser("quantize", help="HF safetensors → quantized GGUF")
     p.add_argument("model", help="HF model directory")
     p.add_argument("--quant", default="q4k")
+    p.add_argument("--imatrix", help="imatrix .npz from the `imatrix` command")
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("imatrix", help="collect an importance matrix (calibration)")
+    p.add_argument("model", help="HF model directory")
+    p.add_argument("--text", required=True, help="calibration text file (one prompt per line)")
+    p.add_argument("--chunk", type=int, default=512, help="max tokens per line")
+    p.add_argument("-o", "--output", required=True, help="output .npz")
+    p.set_defaults(fn=cmd_imatrix)
 
     p = sub.add_parser("mcp-serve", help="expose the model as an MCP tool server (stdio)")
     _add_model_args(p)

@@ -111,8 +111,10 @@ def convert_hf_to_gguf(
     *,
     quant: Optional[GGMLType] = None,
     tokenizer_metadata: Optional[Mapping[str, Any]] = None,
+    imatrix: Optional[Mapping[str, np.ndarray]] = None,  # imatrix.py taps
 ) -> None:
-    """Write a GGUF file from a HF state dict."""
+    """Write a GGUF file from a HF state dict. ``imatrix`` switches the
+    k-quant fit to the activation-weighted variant (imatrix-guided ISQ)."""
     arch = cfg.arch
     w = GGUFWriter(out_path)
     w.add_metadata("general.architecture", arch)
@@ -140,8 +142,19 @@ def convert_hf_to_gguf(
     prefix = "model." if any(k.startswith("model.") for k in sd) else ""
     permute = arch in _PERMUTED_QK_ARCHS
 
-    def put(gguf_name: str, arr: np.ndarray):
+    def put(gguf_name: str, arr: np.ndarray, layer: int = -1, key: str = ""):
         t = _pick_type(gguf_name, arr, quant)
+        if imatrix is not None and layer >= 0 and t is not None:
+            from .gguf.quants import quantize_imatrix
+            from .imatrix import imatrix_rows_for_key
+
+            rows = imatrix_rows_for_key(imatrix, key)
+            if rows is not None and rows.shape[-1] == arr.shape[-1]:
+                raw = quantize_imatrix(
+                    np.asarray(arr, np.float32), t, rows[layer % len(rows)]
+                )
+                w.add_raw_tensor(gguf_name, raw, tuple(arr.shape), t)
+                return
         w.add_tensor(gguf_name, np.asarray(arr, np.float32), t)
 
     put("token_embd.weight", sd[prefix + "embed_tokens.weight"])
@@ -158,6 +171,6 @@ def convert_hf_to_gguf(
             if permute and key in ("wq", "wk"):
                 heads = cfg.num_heads if key == "wq" else cfg.num_kv_heads
                 arr = _permute_rows(arr, heads)
-            put(f"blk.{i}.{_GGUF_NAMES[key]}", arr)
+            put(f"blk.{i}.{_GGUF_NAMES[key]}", arr, layer=i, key=key)
 
     w.write()

@@ -321,13 +321,16 @@ def quant_q5_0(x: np.ndarray) -> np.ndarray:
 
 
 def _make_qkx2_quants(
-    x: np.ndarray, nmax: int, rmin: float = -1.0, rdelta: float = 0.1, nstep: int = 20
+    x: np.ndarray, nmax: int, rmin: float = -1.0, rdelta: float = 0.1, nstep: int = 20,
+    w: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Affine quant of each row of x to q in [0, nmax] with value = scale*q - min.
 
-    Vectorized port of llama.cpp's make_qkx2_quants grid search (weights = x^2
-    importance omitted -> uniform, matching use_mad=false default behavior
-    closely enough for ISQ). Returns (scale [n], neg_min [n], q [n, gs] uint8).
+    Vectorized port of llama.cpp's make_qkx2_quants grid search. ``w`` is an
+    optional per-element importance matrix (the imatrix path: weighted
+    least-squares refit + weighted error); None → uniform weights (the
+    use_mad=false default).
+    Returns (scale [n], neg_min [n], q [n, gs] uint8).
     """
     n, _gs = x.shape
     vmin = x.min(axis=1)
@@ -350,11 +353,19 @@ def _make_qkx2_quants(
         q = np.clip(_nearest_int(trial_inv[:, None] * (x - vmin[:, None])), 0, nmax)
         # least-squares refit of (scale, min) given q  (llama.cpp lines: sum_l etc.)
         qf = q.astype(np.float64)
-        sum_l = qf.sum(axis=1)
-        sum_l2 = (qf * qf).sum(axis=1)
-        sum_xl = (qf * x).sum(axis=1)
-        sum_x = x.sum(axis=1).astype(np.float64)
-        gs = x.shape[1]
+        if w is None:
+            sum_l = qf.sum(axis=1)
+            sum_l2 = (qf * qf).sum(axis=1)
+            sum_xl = (qf * x).sum(axis=1)
+            sum_x = x.sum(axis=1).astype(np.float64)
+            gs = x.shape[1]
+        else:
+            wf = w.astype(np.float64)
+            sum_l = (wf * qf).sum(axis=1)
+            sum_l2 = (wf * qf * qf).sum(axis=1)
+            sum_xl = (wf * qf * x).sum(axis=1)
+            sum_x = (wf * x).sum(axis=1)
+            gs = wf.sum(axis=1)
         D = gs * sum_l2 - sum_l * sum_l
         ok = D > 0
         this_scale = np.where(ok, (gs * sum_xl - sum_x * sum_l) / np.where(D > 0, D, 1), trial_scale)
@@ -365,7 +376,10 @@ def _make_qkx2_quants(
             pos_min & ok & (sum_l2 > 0), sum_xl / np.where(sum_l2 > 0, sum_l2, 1), this_scale
         )
         recon = this_scale[:, None] * qf + this_min[:, None]
-        err = ((recon - x) ** 2).sum(axis=1)
+        if w is None:
+            err = ((recon - x) ** 2).sum(axis=1)
+        else:
+            err = (w * (recon - x) ** 2).sum(axis=1)
         better = err < best_err
         best_err = np.where(better, err, best_err)
         best_scale = np.where(better, this_scale, best_scale)
@@ -378,14 +392,17 @@ def _make_qkx2_quants(
     return best_scale.astype(np.float32), best_min.astype(np.float32), best_q
 
 
-def _quant_k_affine(x: np.ndarray, nmax: int) -> tuple[np.ndarray, ...]:
+def _quant_k_affine(
+    x: np.ndarray, nmax: int, w: np.ndarray | None = None
+) -> tuple[np.ndarray, ...]:
     """Shared Q4_K/Q5_K super-block quantization.
 
     x: [n_sb, 256]. Returns (d, dmin [n,1] f32; sc6, mn6 [n,8] uint8;
     q [n, 256] uint8 in element order)."""
     n = x.shape[0]
     groups = x.reshape(n * 8, 32)
-    scales, mins, _ = _make_qkx2_quants(groups, nmax)
+    gw = None if w is None else w.reshape(n * 8, 32)
+    scales, mins, _ = _make_qkx2_quants(groups, nmax, w=gw)
     scales = scales.reshape(n, 8)
     mins = mins.reshape(n, 8)
     max_scale = scales.max(axis=1, keepdims=True)
@@ -417,9 +434,11 @@ def _pack_q4k_nibbles(q: np.ndarray) -> np.ndarray:
     return out
 
 
-def quant_q4_k(x: np.ndarray) -> np.ndarray:
+def quant_q4_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(np.float32)
-    d, dmin, sc6, mn6, q = _quant_k_affine(x, 15)
+    if w is not None:
+        w = np.asarray(w, np.float32).reshape(-1, QK_K)
+    d, dmin, sc6, mn6, q = _quant_k_affine(x, 15, w)
     out = np.empty((x.shape[0], 144), dtype=np.uint8)
     out[:, 0:2] = d.astype(np.float16).view(np.uint8)
     out[:, 2:4] = dmin.astype(np.float16).view(np.uint8)
@@ -428,9 +447,11 @@ def quant_q4_k(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def quant_q5_k(x: np.ndarray) -> np.ndarray:
+def quant_q5_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(np.float32)
-    d, dmin, sc6, mn6, q = _quant_k_affine(x, 31)
+    if w is not None:
+        w = np.asarray(w, np.float32).reshape(-1, QK_K)
+    d, dmin, sc6, mn6, q = _quant_k_affine(x, 31, w)
     out = np.empty((x.shape[0], 176), dtype=np.uint8)
     out[:, 0:2] = d.astype(np.float16).view(np.uint8)
     out[:, 2:4] = dmin.astype(np.float16).view(np.uint8)
@@ -548,3 +569,24 @@ def quantize(x: np.ndarray, t: GGMLType) -> np.ndarray:
     if fn is None:
         raise NotImplementedError(f"quantize: {t!r}")
     return fn(np.asarray(x, dtype=np.float32)).reshape(-1)
+
+
+def quantize_imatrix(
+    x: np.ndarray, t: GGMLType, weights: np.ndarray
+) -> np.ndarray:
+    """Importance-weighted quantization (the imatrix path, analog of
+    llama.cpp/the reference's imatrix-guided ISQ). ``weights`` is a
+    per-column importance vector [K] (mean squared activation) broadcast
+    over rows, or a full per-element matrix matching ``x``. Only the k-quant
+    affine formats refit with weights; other formats fall back to plain
+    quantization."""
+    x = np.asarray(x, dtype=np.float32)
+    w = np.asarray(weights, dtype=np.float32)
+    if w.ndim == 1:
+        w = np.broadcast_to(w, x.shape)
+    w = np.maximum(w, 1e-10)
+    if t == GGMLType.Q4_K:
+        return quant_q4_k(x, w).reshape(-1)
+    if t == GGMLType.Q5_K:
+        return quant_q5_k(x, w).reshape(-1)
+    return quantize(x, t)

@@ -82,7 +82,8 @@ def render_cli_reference_markdown() -> str:
     from . import cli
 
     lines = ["# CLI reference", ""]
-    for cmd in ("run", "serve", "bench", "quantize", "mcp-serve", "tune", "doctor"):
+    for cmd in ("run", "serve", "bench", "quantize", "imatrix", "mcp-serve",
+                "tune", "doctor"):
         buf = io.StringIO()
         try:
             with redirect_stdout(buf):

@@ -118,12 +118,19 @@ _PHI3_FUSED = {
 _ROW_PARALLEL_KEYS = {"wo", "down", "exp_down", "se_down"}
 
 
-def _quantize_tensor(w: np.ndarray, t: GGMLType, chunks: int = 1) -> QTensor:
+def _quantize_tensor(
+    w: np.ndarray, t: GGMLType, chunks: int = 1,
+    imatrix_row: Optional[np.ndarray] = None,
+) -> QTensor:
     from ..gguf.planar import to_planar
     from ..gguf.quants import quantize as gguf_quantize
+    from ..gguf.quants import quantize_imatrix
 
     w = np.asarray(w, np.float32)
-    raw = gguf_quantize(w, t)
+    if imatrix_row is not None and imatrix_row.shape[-1] == w.shape[-1]:
+        raw = quantize_imatrix(w, t, imatrix_row)
+    else:
+        raw = gguf_quantize(w, t)
     return QTensor.from_planar(to_planar(raw, t), w.shape, ggml_type=t, chunks=chunks)
 
 
@@ -159,6 +166,7 @@ def weights_from_state_dict(
     row_parallel_chunks: int = 1,
     quant_config: Optional[Mapping[str, Any]] = None,
     topology=None,  # Topology: per-layer ISQ overrides (topology.py)
+    imatrix: Optional[Mapping[str, np.ndarray]] = None,  # imatrix.py taps
 ) -> dict:
     """Build the stacked-layer weights pytree from a HF state dict.
 
@@ -200,6 +208,16 @@ def weights_from_state_dict(
                     g_idx=sd.get(stem + ".g_idx"), bits=q_bits,
                     zero_offset=gptq_zero_offset, chunks=chunks,
                 )
+        if quant_method == "mxfp4":
+            # gpt-oss MXFP4 expert banks: <stem>_blocks/_scales store the
+            # TRANSPOSED layout ([..., out, in_blocks]); decode then swap
+            # back to the dense orientation
+            from ..quant.mxfp4 import decode_mxfp4_param
+
+            stem = base[: -len(".weight")] if base.endswith(".weight") else base
+            arr = decode_mxfp4_param(sd, stem)
+            if arr is not None:
+                return np.swapaxes(arr, -1, -2)
         return None
 
     # collect per-layer dense tensors first
@@ -264,10 +282,20 @@ def weights_from_state_dict(
                 f"{key}: topology mixes quantized and unquantized layers"
             )
         chunks = row_parallel_chunks if key in _ROW_PARALLEL_KEYS else 1
+        im_rows = None
+        if imatrix is not None:
+            from ..imatrix import imatrix_rows_for_key
+
+            im_rows = imatrix_rows_for_key(imatrix, key)
         with ThreadPoolExecutor(num_threads) as ex:
             qts = list(
-                ex.map(lambda wt: _quantize_tensor(wt[0], wt[1], chunks),
-                       zip(tensors, types))
+                ex.map(
+                    lambda wt: _quantize_tensor(
+                        wt[0], wt[1], chunks,
+                        None if im_rows is None else im_rows[wt[2] % len(im_rows)],
+                    ),
+                    [(w_, t_, i_) for i_, (w_, t_) in enumerate(zip(tensors, types))],
+                )
             )
         if len(set(types)) > 1:
             # mixed types per layer: re-extract planar and widen to a common

@@ -121,7 +121,7 @@ def _maybe_norm(x, w, eps, gemma: bool, bias=None, norm_type="rmsnorm"):
     return rms_norm_gemma(x, w, eps) if gemma else rms_norm(x, w, eps)
 
 
-def _mlp(x, lw: dict, act, backend, tp_axis=None):
+def _mlp(x, lw: dict, act, backend, tp_axis=None, return_hidden: bool = False):
     if "wgateup" in lw:  # fused gate+up (new_merged analog)
         gu = linear(x, lw["wgateup"], backend=backend)
         half = gu.shape[-1] // 2
@@ -132,10 +132,13 @@ def _mlp(x, lw: dict, act, backend, tp_axis=None):
             hidden = act(_proj(x, lw, "gate", backend)) * up
         else:  # plain 2-layer MLP (starcoder2)
             hidden = act(up)
-    return _row_linear(
+    out = _row_linear(
         hidden, lw["down"], lw.get("down_bias"), tp_axis, backend,
         lora=lw.get("down_lora"),
     )
+    if return_hidden:  # imatrix collection: down-proj input importance
+        return out, hidden
+    return out
 
 
 def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
@@ -275,6 +278,7 @@ def _layer_step(
     kv_start: jax.Array,  # [B] write offset (= tokens already cached)
     window: jax.Array,  # scalar int32; 0 → full attention
     use_rope: jax.Array,  # scalar int32; 0 → NoPE layer
+    collect_moments: bool = False,  # imatrix: also return Σx² per proj input
 ):
     b, t, _ = h.shape
     gemma = cfg.arch.startswith("gemma")
@@ -332,12 +336,25 @@ def _layer_step(
     attn_out = _row_linear(
         attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend, lora=lw.get("wo_lora")
     )
+    moments = None
+
+    def _sq(a):
+        return jnp.sum(a.astype(jnp.float32) ** 2, axis=(0, 1))
+
     if cfg.parallel_residual:  # phi2: attn + MLP both read x, one residual
+        if collect_moments:
+            mlp_out, hidden = _mlp(x, lw, act, backend, tp_axis, return_hidden=True)
+            moments = {
+                "attn_in": _sq(x), "o_in": _sq(attn),
+                "mlp_in": _sq(x), "down_in": _sq(hidden),
+            }
+            return h + attn_out + mlp_out, k_cache, v_cache, moments
         mlp_out = _mlp(x, lw, act, backend, tp_axis)
         return h + attn_out + mlp_out, k_cache, v_cache
     if "post_attn_norm" in lw:  # gemma2/3 + glm4 post-attention scaling norm
         attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
     rm = cfg.residual_multiplier  # granite
+    attn_in = x
     h = h + (attn_out * rm if rm else attn_out)
 
     x = _maybe_norm(
@@ -346,11 +363,20 @@ def _layer_step(
     )
     if cfg.num_experts > 0 and "experts" in lw:
         mlp_out = _moe_mlp(x, lw, cfg, act, backend, tp_axis)
+        hidden = None
+    elif collect_moments:
+        mlp_out, hidden = _mlp(x, lw, act, backend, tp_axis, return_hidden=True)
     else:
         mlp_out = _mlp(x, lw, act, backend, tp_axis)
+        hidden = None
     if "post_ffn_norm" in lw:
         mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
     h = h + (mlp_out * rm if rm else mlp_out)
+    if collect_moments:
+        moments = {"attn_in": _sq(attn_in), "o_in": _sq(attn), "mlp_in": _sq(x)}
+        if hidden is not None:
+            moments["down_in"] = _sq(hidden)
+        return h, k_cache, v_cache, moments
     return h, k_cache, v_cache
 
 
@@ -384,6 +410,7 @@ def forward(
     tp_axis: Optional[str] = None,
     return_hidden: bool = False,
     input_embeds: Optional[jax.Array] = None,  # [B, T, H] overrides embedding
+    collect_moments: bool = False,  # imatrix: also return per-layer Σx²
 ) -> tuple[jax.Array, KVCache]:
     """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache);
     with ``return_hidden`` the first element is the final-norm hidden states
@@ -416,6 +443,12 @@ def forward(
 
     def body(h, xs):
         lw, k_c, v_c, win, ur = xs
+        if collect_moments:
+            h, k_c, v_c, mom = _layer_step(
+                cfg, backend, tp_axis, act, h, lw, k_c, v_c, ropes, positions,
+                kv_start, win, ur, collect_moments=True,
+            )
+            return h, (k_c, v_c, mom)
         h, k_c, v_c = _layer_step(
             cfg, backend, tp_axis, act, h, lw, k_c, v_c, ropes, positions,
             kv_start, win, ur,
@@ -427,15 +460,22 @@ def forward(
     segments = [weights["layers"]]
     if "layers_moe" in weights:
         segments.append(weights["layers_moe"])
+        if collect_moments:
+            raise NotImplementedError("imatrix collection: segmented models")
     new_ks, new_vs = [], []
+    moments = None
     off = 0
     for seg in segments:
         n_seg = jax.tree_util.tree_leaves(seg)[0].shape[0]
-        h, (nk, nv) = jax.lax.scan(
+        h, ys = jax.lax.scan(
             body, h,
             (seg, cache.k[off : off + n_seg], cache.v[off : off + n_seg],
              windows[off : off + n_seg], rope_flags[off : off + n_seg]),
         )
+        if collect_moments:
+            nk, nv, moments = ys
+        else:
+            nk, nv = ys
         new_ks.append(nk)
         new_vs.append(nv)
         off += n_seg
@@ -464,6 +504,8 @@ def forward(
         logits = logits / cfg.logits_scaling
     if cfg.logit_softcap:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    if collect_moments:
+        return logits, KVCache(new_k, new_v), moments
     return logits, KVCache(new_k, new_v)
 
 
