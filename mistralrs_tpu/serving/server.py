@@ -238,6 +238,12 @@ def build_app(state: ServerState) -> web.Application:
     async def health(_req):
         return web.json_response({"status": "ok"})
 
+    @routes.get("/")
+    async def index(_req):
+        from .webui import INDEX_HTML
+
+        return web.Response(text=INDEX_HTML, content_type="text/html")
+
     @routes.get("/v1/models")
     async def models(_req):
         return web.json_response(

@@ -224,3 +224,11 @@ async def test_responses_api(client):
     assert r.status == 200
     r = await client.get(f"/v1/responses/{rid}")
     assert r.status == 404
+
+
+async def test_web_ui(client):
+    r = await client.get("/")
+    assert r.status == 200
+    assert "text/html" in r.headers["Content-Type"]
+    html = await r.text()
+    assert "/v1/chat/completions" in html and "stream: true" in html
