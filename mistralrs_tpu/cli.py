@@ -21,6 +21,10 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--num-kv-blocks", type=int, default=None)
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--chat-template", default=None, help="jinja template override file")
+    p.add_argument("--draft-model", default=None,
+                   help="draft model path → speculative decoding (greedy)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative draft tokens per verification step")
 
 
 def _apply_toml_config(args):
@@ -91,6 +95,11 @@ def _build_engine(args):
     num_blocks = args.num_kv_blocks or (
         (max_len // args.block_size) * max(2, args.max_batch // 2)
     )
+    draft = None
+    if getattr(args, "draft_model", None):
+        dpipe = load_pipeline(args.draft_model)
+        dpipe.weights = fuse_projections(dpipe.weights, dpipe.cfg)
+        draft = (dpipe.cfg, dpipe.weights)
     eng = Engine(
         pipe.cfg,
         pipe.weights,
@@ -100,6 +109,8 @@ def _build_engine(args):
         max_model_len=max_len,
         kv_quant=args.kv_quant,
         tokenizer=pipe.tokenizer,
+        draft=draft,
+        gamma=getattr(args, "gamma", 4),
     )
     return pipe, eng
 

@@ -71,6 +71,38 @@ def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
     return new_tokens, logprobs, tops, cache, samp_state
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _greedy_step_fn(weights, cfg, tokens, positions, cache, block_tables,
+                    slot_map, kv_lens, block_size, backend, compute_dtype):
+    """One greedy decode step (speculative draft rollout)."""
+    logits, cache = forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, block_tables,
+        slot_map[:, None], kv_lens, block_size=block_size, backend=backend,
+        logits_last_only=True, compute_dtype=compute_dtype,
+    )
+    return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _verify_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
+               kv_lens, block_size, backend, compute_dtype):
+    """Target verification: logits at ALL gamma+1 positions in one forward
+    (the speculative core — reference `speculative/driver.rs`)."""
+    logits, cache = forward_paged(
+        weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
+        block_size=block_size, backend=backend, logits_last_only=False,
+        compute_dtype=compute_dtype,
+    )
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(lp, greedy[..., None], axis=-1)[..., 0]
+    return greedy, chosen, cache
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _admit_slot(state: BatchSamplingState, slot, scalars, counts_row, bias_row,
                 cbias_row):
@@ -118,6 +150,8 @@ class Engine:
         enable_prefix_caching: bool = True,
         tokenizer=None,
         seed: int = 0,
+        draft: Optional[tuple[ModelConfig, dict]] = None,  # speculative pair
+        gamma: int = 4,  # draft tokens per verification step
     ):
         self.cfg = cfg
         self._fcfg = _freeze(cfg)
@@ -133,6 +167,20 @@ class Engine:
         self.cache = PagedKVCache.create(
             cfg, num_blocks, block_size, dtype=compute_dtype, kv_quant=kv_quant
         )
+        # speculative decoding (reference `speculative/`): a draft model
+        # shares the block tables (identical token positions) with its own
+        # KV pools; greedy-exact acceptance
+        self.draft_cfg: Optional[ModelConfig] = None
+        self.draft_weights: Optional[dict] = None
+        self.gamma = gamma
+        if draft is not None:
+            self.draft_cfg, self.draft_weights = draft
+            self._dfcfg = _freeze(self.draft_cfg)
+            self.draft_cache = PagedKVCache.create(
+                self.draft_cfg, num_blocks, block_size, dtype=compute_dtype
+            )
+            # decode rounds commit up to gamma+1 tokens → allocate ahead
+            self.scheduler.lookahead = gamma + 1
         self.samp_state = BatchSamplingState(
             temperature=jnp.zeros((max_batch,), jnp.float32),
             top_k=jnp.zeros((max_batch,), jnp.int32),
@@ -173,6 +221,17 @@ class Engine:
             raise ValueError(
                 f"prompt length {len(prompt_ids)} ≥ max_model_len {self.max_model_len}"
             )
+        if self.draft_cfg is not None:
+            if (not params.is_greedy or params.constraint is not None
+                    or params.logit_bias or params.n_logprobs
+                    or params.frequency_penalty or params.presence_penalty
+                    or params.repetition_penalty != 1.0
+                    or params.dry_multiplier > 0.0
+                    or prompt_embeds is not None):
+                raise ValueError(
+                    "speculative engine: greedy requests without penalties/"
+                    "constraints/logprobs/multimodal only"
+                )
         seq = Sequence(
             request_id=request_id or f"req-{next(self._req_counter)}",
             prompt_ids=list(prompt_ids),
@@ -273,6 +332,13 @@ class Engine:
             jnp.asarray(kv_lens), self.block_size, self.backend, self.compute_dtype,
             input_embeds=embeds,
         )
+        if self.draft_cfg is not None:
+            _, self.draft_cache = _prefill_fn(
+                self.draft_weights, self._dfcfg, jnp.asarray(ids_arr),
+                jnp.asarray(positions), self.draft_cache, jnp.asarray(bt),
+                jnp.asarray(slot_map, jnp.int32), jnp.asarray(kv_lens),
+                self.block_size, self.backend, self.compute_dtype,
+            )
         self.stats["prompt_tokens"] += sp.length
         self.stats["prefix_cache_hit_tokens"] += sp.cached
         self.kv.publish_full_blocks(seq.request_id, sp.start + sp.length)
@@ -328,7 +394,105 @@ class Engine:
         # consume the prompt's last token.
         seq._needs_bootstrap = True  # type: ignore[attr-defined]
 
+    def _run_decode_spec(self, seqs: list[Sequence]) -> list[Sequence]:
+        """Speculative decode round: draft rolls out gamma tokens greedily,
+        the target verifies all gamma+1 positions in ONE forward, and the
+        leading agreement run (+1 bonus token) commits. Stale KV beyond the
+        committed length is overwritten as later rounds reach it."""
+        b, g = self.max_batch, self.gamma
+        base_tok = np.zeros((b,), np.int32)
+        base_pos = np.zeros((b,), np.int32)
+        width = self._max_blocks_bucket()
+        bt = np.zeros((b, width), np.int32)
+        skip_first = np.zeros((b,), bool)  # last token's KV already written
+        active = [None] * b
+        for seq in seqs:
+            s = seq.slot
+            active[s] = seq
+            base_tok[s] = seq.all_ids[-1]
+            base_pos[s] = seq.total_len - 1
+            skip_first[s] = bool(getattr(seq, "_needs_bootstrap", False))
+            table = self.kv.block_table(seq.request_id)[:width]
+            bt[s, : len(table)] = table
+
+        def slots_at(offset: int) -> np.ndarray:
+            sm = np.full((b,), -1, np.int64)
+            for seq in seqs:
+                s = seq.slot
+                if offset == 0 and skip_first[s]:
+                    continue
+                sm[s] = self.kv.slot_mapping(
+                    seq.request_id, int(base_pos[s]) + offset, 1
+                )[0]
+            return sm
+
+        bt_j = jnp.asarray(bt)
+        # draft rollout: g+1 greedy steps (the extra step back-fills the KV
+        # of the last drafted token for the next round)
+        drafts = np.zeros((b, g), np.int32)
+        cur_tok = jnp.asarray(base_tok)
+        for j in range(g + 1):
+            pos_j = jnp.asarray(base_pos + j)
+            kv_j = jnp.asarray(base_pos + j + 1)
+            cur_tok, self.draft_cache = _greedy_step_fn(
+                self.draft_weights, self._dfcfg, cur_tok, pos_j,
+                self.draft_cache, bt_j, jnp.asarray(slots_at(j), jnp.int32),
+                kv_j, self.block_size, self.backend, self.compute_dtype,
+            )
+            if j < g:
+                drafts[:, j] = np.asarray(cur_tok)
+
+        # target verification over [base_tok, drafts...]
+        ids = np.concatenate([base_tok[:, None], drafts], axis=1)  # [B, g+1]
+        positions = base_pos[:, None] + np.arange(g + 1)[None, :]
+        slot_map = np.stack([slots_at(j) for j in range(g + 1)], axis=1)
+        greedy, chosen_lp, self.cache = _verify_fn(
+            self.weights, self._fcfg, jnp.asarray(ids),
+            jnp.asarray(positions, jnp.int32), self.cache, bt_j,
+            jnp.asarray(slot_map.reshape(-1), jnp.int32),
+            jnp.asarray(base_pos + g + 1), self.block_size, self.backend,
+            self.compute_dtype,
+        )
+        greedy = np.asarray(greedy)
+        chosen_lp = np.asarray(chosen_lp)
+
+        finished: list[Sequence] = []
+        for seq in seqs:
+            s = seq.slot
+            if getattr(seq, "_needs_bootstrap", False):
+                seq._needs_bootstrap = False  # type: ignore[attr-defined]
+                if seq.first_token_time is None:
+                    seq.first_token_time = time.monotonic()
+            acc = 0
+            while acc < g and drafts[s, acc] == greedy[s, acc]:
+                acc += 1
+            commit = [int(x) for x in greedy[s, : acc + 1]]
+            self.stats["spec_drafted"] = self.stats.get("spec_drafted", 0) + g
+            self.stats["spec_accepted"] = self.stats.get("spec_accepted", 0) + acc
+            reason = None
+            emitted: list[int] = []
+            for j, tok in enumerate(commit):
+                seq.output_ids.append(tok)
+                seq.output_logprobs.append(float(chosen_lp[s, j]))
+                emitted.append(tok)
+                self.stats["generated_tokens"] += 1
+                reason = self._check_stop(seq, tok)
+                if reason is not None:
+                    break
+            self.kv.extend_hashes(seq.request_id, seq.all_ids)
+            self.kv.publish_full_blocks(seq.request_id, seq.total_len)
+            if seq.on_tokens is not None:
+                seq.on_tokens(emitted, reason is not None)
+            if reason is not None:
+                seq.finish(reason)
+                self.scheduler.release(seq)
+                self._slot_seq[s] = None
+                finished.append(seq)
+        return finished
+
     def _run_decode(self, seqs: list[Sequence]) -> list[Sequence]:
+        if self.draft_cfg is not None:
+            return self._run_decode_spec(seqs)
         b = self.max_batch
         tokens = np.zeros((b,), np.int32)
         positions = np.zeros((b,), np.int32)

@@ -51,6 +51,8 @@ class Scheduler:
         self.kv = kv
         self.max_batch = max_batch
         self.prefill_chunk = prefill_chunk
+        # tokens to allocate ahead per decode round (speculative: gamma+1)
+        self.lookahead = 1
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
         self._free_slots = list(range(max_batch - 1, -1, -1))
@@ -133,9 +135,10 @@ class Scheduler:
         if self.running:
             # ensure every running sequence has a slot for its next token
             for seq in list(self.running):
-                ok = self.kv.allocate_slots(seq.request_id, seq.total_len + 1)
+                need = seq.total_len + self.lookahead
+                ok = self.kv.allocate_slots(seq.request_id, need)
                 if not ok:
-                    ok = self._preempt_for(seq, seq.total_len + 1, exclude=seq)
+                    ok = self._preempt_for(seq, need, exclude=seq)
                 if not ok:
                     # cannot even preempt (seq is lowest priority) → preempt it
                     self._preempt(seq)
