@@ -155,6 +155,69 @@ def _mla_attention(cfg, lw, h, cos, sin, k_cache, v_cache, positions, kv_start, 
     return linear(attn, lw["o"], backend=backend), k_cache, v_cache
 
 
+def _mla_attention_absorbed(
+    cfg, lw, h, cos, sin, c_cache, pe_cache, positions, kv_start, backend
+):
+    """Absorbed/compressed-cache MLA (the analog of the reference's MLA
+    decode path, `mistralrs-core/src/mla/`): cache ONLY the kv_lora_rank
+    latent + the roped shared k_pe — ``rank + rope`` floats per token
+    instead of ``num_heads * qk_head_dim * 2``. The up-projections are
+    absorbed: ``W_uk`` folds into the query, ``W_uv`` into the output.
+
+    scores[h,t,s] = (q_nope[h,t] W_uk[h]) · c[s] + q_pe[h,t] · k_pe[s]
+    out[h,t]     = (Σ_s softmax · c[s]) W_uv[h]ᵀ
+    """
+    b, t, _ = h.shape
+    nh = cfg.num_heads
+    if cfg.q_lora_rank:
+        q = linear(h, lw["q_a"], backend=backend)
+        q = rms_norm(q, lw["q_a_norm"], cfg.rms_norm_eps)
+        q = linear(q, lw["q_b"], backend=backend)
+    else:
+        q = linear(h, lw["q"], backend=backend)
+    q = q.reshape(b, t, nh, cfg.qk_head_dim)
+    q_nope, q_pe = q[..., : cfg.qk_nope_head_dim], q[..., cfg.qk_nope_head_dim :]
+    q_pe = _interleaved_rope(q_pe, cos, sin)
+
+    ckv = linear(h, lw["kv_a"], backend=backend)
+    compressed = rms_norm(
+        ckv[..., : cfg.kv_lora_rank], lw["kv_a_norm"], cfg.rms_norm_eps
+    )
+    k_pe = _interleaved_rope(
+        ckv[..., None, cfg.kv_lora_rank :], cos, sin
+    )[:, :, 0]  # [B, T, rope]
+
+    def write(cache, new):
+        def one(row, new_row, start):
+            return jax.lax.dynamic_update_slice(row, new_row, (start, 0))
+        return jax.vmap(one)(cache, new.astype(cache.dtype), kv_start)
+
+    c_cache = write(c_cache, compressed)
+    pe_cache = write(pe_cache, k_pe)
+    kv_len = kv_start + t
+
+    # absorb W_uk into the query: per-head latent queries [B, T, nh, rank]
+    q_lat = jnp.einsum("bthn,hnr->bthr", q_nope, lw["w_uk"].astype(q_nope.dtype))
+    scores = (
+        jnp.einsum("bthr,bsr->bhts", q_lat.astype(jnp.float32),
+                   c_cache.astype(jnp.float32))
+        + jnp.einsum("bthp,bsp->bhts", q_pe.astype(jnp.float32),
+                     pe_cache.astype(jnp.float32))
+    ) * (cfg.qk_head_dim ** -0.5)
+    s_idx = jnp.arange(c_cache.shape[1])
+    mask = (s_idx[None, None, None, :] <= positions[:, None, :, None]) & (
+        s_idx[None, None, None, :] < kv_len[:, None, None, None]
+    )
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    lat = jnp.einsum("bhts,bsr->bthr", probs, c_cache.astype(jnp.float32))
+    out = jnp.einsum(
+        "bthr,hvr->bthv", lat, lw["w_uv"].astype(jnp.float32)
+    ).astype(h.dtype)
+    out = out.reshape(b, t, nh * cfg.v_head_dim)
+    return linear(out, lw["o"], backend=backend), c_cache, pe_cache
+
+
 def _dense_mlp(h, lw, backend):
     return linear(
         jax.nn.silu(linear(h, lw["gate"], backend=backend))
@@ -219,6 +282,7 @@ def deepseek_forward(
     backend=None,
     compute_dtype=jnp.float32,
     logits_last_only: bool = False,
+    absorbed: bool = False,  # compressed-latent cache (make_cache(absorbed=True))
 ):
     h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
     inv = rope_frequencies(cfg.qk_rope_head_dim, cfg.rope_theta)
@@ -235,9 +299,14 @@ def deepseek_forward(
         def body(hh, xs):
             lw, kc, vc = xs
             x = rms_norm(hh, lw["attn_norm"], cfg.rms_norm_eps)
-            attn, kc, vc = _mla_attention(
-                cfg, lw, x, cos, sin, kc, vc, positions, kv_start, backend
-            )
+            if absorbed:
+                attn, kc, vc = _mla_attention_absorbed(
+                    cfg, lw, x, cos, sin, kc, vc, positions, kv_start, backend
+                )
+            else:
+                attn, kc, vc = _mla_attention(
+                    cfg, lw, x, cos, sin, kc, vc, positions, kv_start, backend
+                )
             hh = hh + attn
             x = rms_norm(hh, lw["ffn_norm"], cfg.rms_norm_eps)
             if seg == "moe":
@@ -259,8 +328,14 @@ def deepseek_forward(
     return logits, new_cache
 
 
-def make_cache(cfg: DeepseekConfig, batch: int, capacity: int, dtype=jnp.float32):
+def make_cache(cfg: DeepseekConfig, batch: int, capacity: int,
+               dtype=jnp.float32, absorbed: bool = False):
     def seg(n_layers):
+        if absorbed:  # latent + shared rope key: rank + rope per token
+            return (
+                jnp.zeros((n_layers, batch, capacity, cfg.kv_lora_rank), dtype),
+                jnp.zeros((n_layers, batch, capacity, cfg.qk_rope_head_dim), dtype),
+            )
         shape = (n_layers, batch, capacity, cfg.num_heads, cfg.qk_head_dim)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
@@ -274,7 +349,8 @@ def make_cache(cfg: DeepseekConfig, batch: int, capacity: int, dtype=jnp.float32
 
 
 def deepseek_weights_from_state_dict(
-    sd: Mapping[str, np.ndarray], cfg: DeepseekConfig, dtype=jnp.float32
+    sd: Mapping[str, np.ndarray], cfg: DeepseekConfig, dtype=jnp.float32,
+    absorbed: bool = False,
 ) -> dict:
     pre = "model." if any(k.startswith("model.") for k in sd) else ""
 
@@ -291,6 +367,14 @@ def deepseek_weights_from_state_dict(
             "kv_b": g(p + "self_attn.kv_b_proj.weight"),
             "o": g(p + "self_attn.o_proj.weight"),
         }
+        if absorbed:
+            # split kv_b [nh*(nope+v), rank] into per-head absorbed factors
+            kvb = np.asarray(sd[pre + p + "self_attn.kv_b_proj.weight"], np.float32)
+            kvb = kvb.reshape(
+                cfg.num_heads, cfg.qk_nope_head_dim + cfg.v_head_dim, -1
+            )
+            lw["w_uk"] = jnp.asarray(kvb[:, : cfg.qk_nope_head_dim], dtype)
+            lw["w_uv"] = jnp.asarray(kvb[:, cfg.qk_nope_head_dim :], dtype)
         if cfg.q_lora_rank:
             lw["q_a"] = g(p + "self_attn.q_a_proj.weight")
             lw["q_a_norm"] = g(p + "self_attn.q_a_layernorm.weight")
