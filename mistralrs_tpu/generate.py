@@ -53,12 +53,18 @@ def generate(
     stop_tokens: Optional[set[int]] = None,
     kv_capacity: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
+    cache_type: str = "normal",  # "normal" | "rotating" (sliding-window ring)
 ) -> list[int]:
     """Greedy / temperature sampling for a single sequence. Returns new tokens."""
     ids = np.asarray(prompt_ids, np.int32)[None, :]
     t0 = ids.shape[1]
     capacity = kv_capacity or min(cfg.max_position_embeddings, t0 + max_new_tokens)
-    cache = KVCache.create(cfg, 1, capacity, dtype=compute_dtype)
+    if cache_type == "rotating":
+        from .models.llama import RotatingKVCache
+
+        cache = RotatingKVCache.create(cfg, 1, dtype=compute_dtype)
+    else:
+        cache = KVCache.create(cfg, 1, capacity, dtype=compute_dtype)
     stops = stop_tokens if stop_tokens is not None else set(cfg.eos_token_ids)
 
     # hashability for jit static arg

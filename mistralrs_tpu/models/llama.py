@@ -110,6 +110,59 @@ def _write_kv(cache_layer: jax.Array, new: jax.Array, starts: jax.Array) -> jax.
     return jax.vmap(one)(cache_layer, new, starts)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RotatingKVCache:
+    """Ring-buffer KV cache for uniformly-sliding-window models — the analog
+    of the reference's RotatingCache (`kv_cache/rotating.rs`): only
+    ``window`` entries per layer; ``slot_pos [B, W]`` records each slot's
+    absolute position (-1 = empty). Attention stays EXACT for multi-token
+    chunks by attending over the pre-write ring ∪ the current chunk."""
+
+    k: jax.Array  # [L, B, W, n_kv, hd]
+    v: jax.Array
+    slot_pos: jax.Array  # [B, W] int32
+    window: int
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int, dtype=jnp.bfloat16):
+        if not cfg.sliding_window:
+            raise ValueError("RotatingKVCache needs cfg.sliding_window")
+        w = int(cfg.sliding_window)
+        wins = layer_windows(cfg)
+        if not all(int(x) == w for x in wins):
+            raise ValueError(
+                "RotatingKVCache: per-layer window mix (hybrid) unsupported"
+            )
+        shape = (cfg.num_layers, batch, w, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            slot_pos=jnp.full((batch, w), -1, jnp.int32), window=w,
+        )
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.slot_pos), self.window
+
+    @classmethod
+    def tree_unflatten(cls, window, leaves):
+        return cls(*leaves, window=window)
+
+
+def _write_kv_ring(cache_layer, new, starts, window: int):
+    """Ring write: token at absolute position p lands in slot p % window."""
+    t = new.shape[1]
+    if t >= window:  # only the last `window` tokens of the chunk survive
+        new = new[:, -window:]
+        starts = starts + (t - window)
+        t = window
+
+    def one(row, new_row, start):
+        idx = (start + jnp.arange(t)) % window
+        return row.at[idx].set(new_row)
+
+    return jax.vmap(one)(cache_layer, new, starts)
+
+
 # ---------------------------------------------------------------------------
 # layer + model forward
 # ---------------------------------------------------------------------------
@@ -279,6 +332,8 @@ def _layer_step(
     window: jax.Array,  # scalar int32; 0 → full attention
     use_rope: jax.Array,  # scalar int32; 0 → NoPE layer
     collect_moments: bool = False,  # imatrix: also return Σx² per proj input
+    ring_window: Optional[int] = None,  # rotating cache: ring width
+    ring_slot_pos: Optional[jax.Array] = None,  # [B, W] pre-write positions
 ):
     b, t, _ = h.shape
     gemma = cfg.arch.startswith("gemma")
@@ -319,19 +374,39 @@ def _layer_step(
         q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
         k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
 
-    k_cache = _write_kv(k_cache, k, kv_start)
-    v_cache = _write_kv(v_cache, v, kv_start)
-    kv_len = kv_start + t
+    if ring_window is not None:
+        # exact sliding attention over the pre-write ring ∪ this chunk (ring
+        # writes may evict entries still inside earlier queries' windows)
+        k_cat = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
+        v_cat = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
+        kv_pos = jnp.concatenate([ring_slot_pos, positions], axis=1)
+        attn = sdpa(
+            q, k_cat, v_cat,
+            q_positions=positions,
+            kv_len=kv_start + t,  # ignored (kv_positions given)
+            scale=cfg.attn_scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            sliding_window=window,
+            kv_positions=kv_pos,
+        )
+        k_cache = _write_kv_ring(k_cache, k.astype(k_cache.dtype), kv_start,
+                                 ring_window)
+        v_cache = _write_kv_ring(v_cache, v.astype(v_cache.dtype), kv_start,
+                                 ring_window)
+    else:
+        k_cache = _write_kv(k_cache, k, kv_start)
+        v_cache = _write_kv(v_cache, v, kv_start)
+        kv_len = kv_start + t
 
-    attn = sdpa(
-        q, k_cache, v_cache,
-        q_positions=positions,
-        kv_len=kv_len,
-        scale=cfg.attn_scale,
-        logit_softcap=cfg.attn_logit_softcap,
-        sliding_window=window,  # 0 → full attention (handled in sdpa)
-        sinks=lw.get("sinks"),  # gpt_oss
-    )
+        attn = sdpa(
+            q, k_cache, v_cache,
+            q_positions=positions,
+            kv_len=kv_len,
+            scale=cfg.attn_scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            sliding_window=window,  # 0 → full attention (handled in sdpa)
+            sinks=lw.get("sinks"),  # gpt_oss
+        )
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
     attn_out = _row_linear(
         attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend, lora=lw.get("wo_lora")
@@ -441,6 +516,22 @@ def forward(
     if rope_flags is None:
         rope_flags = jnp.ones_like(windows)
 
+    ring_window = None
+    ring_slot_pos = None
+    new_slot_pos = None
+    if isinstance(cache, RotatingKVCache):
+        ring_window = cache.window
+        ring_slot_pos = cache.slot_pos
+        t_in = positions.shape[1]
+
+        def upd(sp, start):
+            tt = min(t_in, ring_window)
+            off = t_in - tt
+            idx = (start + off + jnp.arange(tt)) % ring_window
+            return sp.at[idx].set(start + off + jnp.arange(tt))
+
+        new_slot_pos = jax.vmap(upd)(cache.slot_pos, kv_start)
+
     def body(h, xs):
         lw, k_c, v_c, win, ur = xs
         if collect_moments:
@@ -452,6 +543,7 @@ def forward(
         h, k_c, v_c = _layer_step(
             cfg, backend, tp_axis, act, h, lw, k_c, v_c, ropes, positions,
             kv_start, win, ur,
+            ring_window=ring_window, ring_slot_pos=ring_slot_pos,
         )
         return h, (k_c, v_c)
 
@@ -506,6 +598,8 @@ def forward(
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     if collect_moments:
         return logits, KVCache(new_k, new_v), moments
+    if isinstance(cache, RotatingKVCache):
+        return logits, RotatingKVCache(new_k, new_v, new_slot_pos, cache.window)
     return logits, KVCache(new_k, new_v)
 
 

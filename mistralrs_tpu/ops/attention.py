@@ -36,6 +36,9 @@ def sdpa(
     sliding_window: Optional[int | jax.Array] = None,  # static or traced scalar;
     # <=0 or jnp.iinfo(int32).max → no window
     sinks: Optional[jax.Array] = None,  # [n_q_heads] attention-sink logits
+    kv_positions: Optional[jax.Array] = None,  # [B, S]: absolute position of
+    # each KV slot (ring/rotating caches); -1 → invalid slot. When given,
+    # kv_len is ignored (validity comes from the positions).
 ) -> jax.Array:
     """Causal grouped-query attention over a (possibly over-allocated) KV buffer.
 
@@ -56,13 +59,17 @@ def sdpa(
     if logit_softcap is not None:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
-    kv_pos = jnp.arange(s)[None, :]  # [1, S]
-    valid = kv_pos < kv_len[:, None]  # [B, S]
-    causal = kv_pos[:, None, :] <= q_positions[:, :, None]  # [B, T, S]
+    if kv_positions is not None:
+        kv_pos = kv_positions  # [B, S] explicit (ring layout)
+        valid = kv_pos >= 0
+    else:
+        kv_pos = jnp.arange(s)[None, :]  # [1, S]
+        valid = jnp.broadcast_to(kv_pos < kv_len[:, None], (b, s))  # [B, S]
+    causal = kv_pos[..., None, :] <= q_positions[:, :, None]  # [B, T, S]
     mask = valid[:, None, :] & causal
     if sliding_window is not None:
         # (q_pos - kv_pos) stays small → no int32 overflow with huge windows
-        dist = q_positions[:, :, None] - kv_pos[:, None, :]
+        dist = q_positions[:, :, None] - kv_pos[..., None, :]
         window = jnp.asarray(sliding_window, jnp.int32)
         in_window = (dist < window) | (window <= 0)
         mask = mask & in_window
