@@ -602,6 +602,10 @@ class Engine:
                 return JsonConstraint(root="object" if c == "json_object" else "any")
             if c.startswith("regex:"):
                 return RegexConstraint(c[len("regex:"):])
+            if c.startswith("lark:"):
+                from ..cfg_grammar import LarkConstraint
+
+                return LarkConstraint(c[len("lark:"):])
             raise ValueError(f"unknown constraint {c!r}")
         return c
 

@@ -163,6 +163,8 @@ def _sampling_from_chat(req: P.ChatCompletionRequest, tok: TokenizerWrapper) -> 
     g = req.grammar or {}
     if g.get("type") == "regex" and g.get("value"):
         constraint = "regex:" + str(g["value"])
+    elif g.get("type") == "lark" and g.get("value"):
+        constraint = "lark:" + str(g["value"])
     elif g.get("type") == "choice" and g.get("value"):
         from ..grammar import ChoiceConstraint
 
