@@ -23,6 +23,8 @@ _ARCH_NOTES = {
     "gpt_oss": ("gpt-oss 20B/120B", "attention sinks, clamped-swiglu MoE, YaRN"),
     "hunyuan": ("HunYuan dense", "post-rotary q/k norm"),
     "hunyuan_moe": ("HunYuan MoE", "shared MLP + softmax-topk routing"),
+    "stablelm": ("StableLM 2", "partial rotary, biased LayerNorms"),
+    "cohere": ("Command R", "parallel residual, interleaved rope, logit scale"),
     "qwen3": ("Qwen 3", "q/k RMSNorm"),
     "qwen3moe": ("Qwen 3 MoE", "MoE + q/k norm"),
     "gemma2": ("Gemma 2", "pre/post norms, logit softcaps, alt. sliding window"),

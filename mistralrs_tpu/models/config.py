@@ -96,6 +96,8 @@ HF_ARCH_MAP = {
     "HunYuanDenseV1ForCausalLM": "hunyuan",
     "HunYuanMoEV1ForCausalLM": "hunyuan_moe",
     "Glm4MoeForCausalLM": "glm4moe",
+    "StableLmForCausalLM": "stablelm",
+    "CohereForCausalLM": "cohere",
     "MistralForCausalLM": "mistral",
     "MixtralForCausalLM": "mixtral",
     "Qwen2ForCausalLM": "qwen2",
@@ -148,7 +150,10 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         attention_bias=cfg.get("attention_bias", False),
         mlp_bias=cfg.get("mlp_bias", False),
         hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
-        norm_type="layernorm" if arch in ("starcoder2", "phi2") else "rmsnorm",
+        norm_type=(
+            "layernorm" if arch in ("starcoder2", "phi2", "stablelm", "cohere")
+            else "rmsnorm"
+        ),
         sliding_window=cfg.get("sliding_window"),
         layer_types=cfg.get("layer_types"),
         logit_softcap=cfg.get("final_logit_softcapping"),
@@ -160,11 +165,15 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         ),
         embedding_multiplier=cfg.get("embedding_multiplier"),
         residual_multiplier=cfg.get("residual_multiplier"),
-        logits_scaling=cfg.get("logits_scaling"),
+        logits_scaling=(
+            1.0 / cfg["logit_scale"]  # cohere MULTIPLIES by logit_scale
+            if arch == "cohere" and cfg.get("logit_scale")
+            else cfg.get("logits_scaling")
+        ),
         partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
         # glm4moe dropped the interleaved pairing (plain partial rotate-half)
-        rope_interleaved=arch in ("glm", "glm4"),
-        parallel_residual=arch == "phi2",
+        rope_interleaved=arch in ("glm", "glm4", "cohere"),
+        parallel_residual=arch in ("phi2", "cohere"),
         shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size"),
         rope_local_theta=cfg.get("rope_local_base_freq"),
         qk_norm=(

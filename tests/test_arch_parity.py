@@ -289,3 +289,29 @@ def test_hunyuan_moe():
     torch.manual_seed(18)
     model = transformers.HunYuanMoEV1ForCausalLM(hf_cfg).eval()
     _compare(hf_cfg, model, "HunYuanMoEV1ForCausalLM")
+
+
+def test_stablelm():
+    """stablelm: partial rotary + biased LayerNorms."""
+    hf_cfg = transformers.StableLmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    torch.manual_seed(19)
+    model = transformers.StableLmForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "StableLmForCausalLM")
+
+
+def test_cohere():
+    """cohere: parallel attn+MLP residual, interleaved rope, bias-free
+    LayerNorm, logit_scale multiplier, tied embeddings."""
+    hf_cfg = transformers.CohereConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, logit_scale=0.25, pad_token_id=0,
+    )
+    torch.manual_seed(20)
+    model = transformers.CohereForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "CohereForCausalLM")
