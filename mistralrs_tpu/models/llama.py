@@ -246,30 +246,51 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
         topw = jax.nn.softmax(topw, axis=-1)
         if cfg.norm_topk_prob:
             topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
-    # scatter top-k weights into a dense [B, T, E] combine matrix
-    full_w = (
-        jnp.zeros((b, t, cfg.num_experts), jnp.float32)
-        .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], topi]
-        .add(topw)
-    )
-
-    def expert(carry, xs):
-        acc, idx = carry
-        ew = xs
-        # experts are TP-sharded intra-expert; psum ONCE after the combine
-        # (analog of MoEExperts' single SumAllReduce, moe/experts/mod.rs:36)
-        y = _mlp(x, ew, act, backend, tp_axis=None)
-        acc = acc + y * full_w[..., idx][..., None].astype(y.dtype)
-        return (acc, idx + 1), None
-
     experts = lw["experts"]
     if tp_axis is not None:
         experts = jax.tree_util.tree_map(
             _local_view, experts, is_leaf=lambda l: isinstance(l, QTensor)
         )
-    (out, _), _ = jax.lax.scan(
-        expert, (jnp.zeros_like(x), jnp.int32(0)), experts
+    import os as _os
+
+    sparse_min_e = int(_os.environ.get("MRSTPU_MOE_SPARSE_MIN_E", "16"))
+    sparse_max_n = int(_os.environ.get("MRSTPU_MOE_SPARSE_MAX_TOKENS", "64"))
+    dense_experts = not any(
+        isinstance(l, QTensor)
+        for l in jax.tree_util.tree_leaves(
+            experts, is_leaf=lambda l: isinstance(l, QTensor)
+        )
     )
+    if (
+        dense_experts
+        and "gate" in experts
+        and cfg.num_experts >= sparse_min_e
+        and b * t <= sparse_max_n
+    ):
+        out = _sparse_expert_combine(
+            x, experts, topw, topi, act, cfg.num_experts
+        )
+    else:
+        # dense compute: scatter top-k weights into [B, T, E], run every
+        # expert, masked combine (best for small expert counts / prefill)
+        full_w = (
+            jnp.zeros((b, t, cfg.num_experts), jnp.float32)
+            .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], topi]
+            .add(topw)
+        )
+
+        def expert(carry, xs):
+            acc, idx = carry
+            ew = xs
+            # experts are TP-sharded intra-expert; psum ONCE after the combine
+            # (analog of MoEExperts' single SumAllReduce, moe/experts/mod.rs:36)
+            y = _mlp(x, ew, act, backend, tp_axis=None)
+            acc = acc + y * full_w[..., idx][..., None].astype(y.dtype)
+            return (acc, idx + 1), None
+
+        (out, _), _ = jax.lax.scan(
+            expert, (jnp.zeros_like(x), jnp.int32(0)), experts
+        )
     if "shared_expert" in lw:
         shared = _mlp(x, lw["shared_expert"], act, backend, tp_axis=None)
         if "shared_expert_gate" in lw:  # qwen2moe: per-token sigmoid gate
@@ -281,6 +302,39 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
     return out
+
+
+def _sparse_expert_combine(x, experts, topw, topi, act, num_experts: int):
+    """Gather-based MoE dispatch (the analog of the reference's
+    `moe/experts` gather_forward): route each (token, choice) into a
+    per-expert buffer, run ONE batched einsum over the expert bank, and
+    scatter-add weighted results back. Exact (capacity = n covers the
+    worst-case all-to-one routing), intended for the decode regime where
+    n = B·T is small but the expert count is large (128–512) — the dense
+    every-expert loop does E× wasted FLOPs there."""
+    b, t, h = x.shape
+    n = b * t
+    k = topi.shape[-1]
+    xf = x.reshape(n, h)
+    flat_e = topi.reshape(n * k)
+    flat_w = topw.reshape(n * k)
+    flat_tok = jnp.repeat(jnp.arange(n), k)
+    order = jnp.argsort(flat_e)
+    se = flat_e[order]
+    sw = flat_w[order]
+    st = flat_tok[order]
+    group_start = jnp.searchsorted(se, jnp.arange(num_experts))
+    rank = jnp.arange(n * k) - group_start[se]
+    dest = se * n + rank  # capacity = n → always in range
+    buf = jnp.zeros((num_experts * n, h), x.dtype).at[dest].set(xf[st])
+    buf = buf.reshape(num_experts, n, h)
+    hidden = act(jnp.einsum("enh,eih->eni", buf, experts["gate"])) * jnp.einsum(
+        "enh,eih->eni", buf, experts["up"]
+    )
+    y = jnp.einsum("eni,ehi->enh", hidden, experts["down"]).reshape(-1, h)
+    contrib = y[dest] * sw[:, None].astype(y.dtype)
+    out = jnp.zeros((n, h), y.dtype).at[st].add(contrib)
+    return out.reshape(b, t, h)
 
 
 def _gpt_oss_experts(x, lw, cfg: ModelConfig, router_logits, tp_axis):
