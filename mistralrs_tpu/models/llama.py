@@ -388,6 +388,8 @@ def _layer_step(
     collect_moments: bool = False,  # imatrix: also return Σx² per proj input
     ring_window: Optional[int] = None,  # rotating cache: ring width
     ring_slot_pos: Optional[jax.Array] = None,  # [B, W] pre-write positions
+    attn_positions: Optional[jax.Array] = None,  # mask positions override
+    # (block diffusion: bidirectional attention; RoPE keeps true positions)
 ):
     b, t, _ = h.shape
     gemma = cfg.arch.startswith("gemma")
@@ -454,7 +456,7 @@ def _layer_step(
 
         attn = sdpa(
             q, k_cache, v_cache,
-            q_positions=positions,
+            q_positions=positions if attn_positions is None else attn_positions,
             kv_len=kv_len,
             scale=cfg.attn_scale,
             logit_softcap=cfg.attn_logit_softcap,
@@ -540,6 +542,8 @@ def forward(
     return_hidden: bool = False,
     input_embeds: Optional[jax.Array] = None,  # [B, T, H] overrides embedding
     collect_moments: bool = False,  # imatrix: also return per-layer Σx²
+    bidirectional: bool = False,  # block diffusion: full attention over the
+    # whole input (RoPE still uses true positions)
 ) -> tuple[jax.Array, KVCache]:
     """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache);
     with ``return_hidden`` the first element is the final-norm hidden states
@@ -570,6 +574,12 @@ def forward(
     if rope_flags is None:
         rope_flags = jnp.ones_like(windows)
 
+    attn_positions = None
+    if bidirectional:  # every query sees the whole (written) sequence
+        attn_positions = jnp.broadcast_to(
+            kv_start[:, None] + positions.shape[1] - 1, positions.shape
+        ).astype(jnp.int32)
+
     ring_window = None
     ring_slot_pos = None
     new_slot_pos = None
@@ -598,6 +608,7 @@ def forward(
             cfg, backend, tp_axis, act, h, lw, k_c, v_c, ropes, positions,
             kv_start, win, ur,
             ring_window=ring_window, ring_slot_pos=ring_slot_pos,
+            attn_positions=attn_positions,
         )
         return h, (k_c, v_c)
 
