@@ -191,6 +191,12 @@ def weights_from_state_dict(
         base = prefix + name
         arr = sd.get(base)
         if arr is not None:
+            if quant_method == "bitsandbytes":
+                from ..quant.bnb import decode_bnb_param
+
+                dec = decode_bnb_param(sd, base)
+                if dec is not None:
+                    return dec
             return arr
         if name.endswith(".weight") and quant_method in ("gptq", "awq"):
             stem = base[: -len(".weight")]
