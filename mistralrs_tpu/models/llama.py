@@ -544,6 +544,9 @@ def forward(
     collect_moments: bool = False,  # imatrix: also return per-layer Σx²
     bidirectional: bool = False,  # block diffusion: full attention over the
     # whole input (RoPE still uses true positions)
+    rope_override: Optional[tuple] = None,  # (cos, sin) [B, T, rot//2]
+    # precomputed rotary tables (qwen2-vl M-RoPE); positions still drive
+    # the attention mask
 ) -> tuple[jax.Array, KVCache]:
     """Run the decoder; returns (logits [B, T or 1, V] f32, updated cache);
     with ``return_hidden`` the first element is the final-norm hidden states
@@ -566,7 +569,11 @@ def forward(
         elif cfg.embedding_multiplier:  # granite
             h = h * jnp.asarray(cfg.embedding_multiplier, h.dtype)
 
-    ropes = _rope_sets(cfg, positions)
+    if rope_override is not None:
+        cos_o, sin_o = rope_override
+        ropes = (cos_o, sin_o, cos_o, sin_o)
+    else:
+        ropes = _rope_sets(cfg, positions)
 
     windows = weights["layer_windows"]  # [L] int32 (0 = full attention)
 

@@ -1,0 +1,166 @@
+"""Qwen2-VL vision-language model — the analog of the reference's
+`vision_models/qwen2vl/`: the Qwen2-VL vision tower (`vision/qwen2vl.py`)
+feeding `<image>` slots of a qwen2 text model whose rotary embedding is
+**M-RoPE**: three position streams (temporal / height / width) share the
+head dim by channel sections; text tokens use identical positions in all
+three streams, vision tokens get their grid coordinates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..vision.qwen2vl import (
+    Qwen2VLVisionConfig,
+    qwen2vl_vision_forward,
+    qwen2vl_vision_params,
+)
+from .config import ModelConfig, config_from_hf
+from .hf_loader import weights_from_state_dict
+from .llama import KVCache, forward
+from .llava import merge_image_embeddings
+
+
+@dataclass(frozen=True)
+class Qwen2VLConfig:
+    text: ModelConfig
+    vision: Qwen2VLVisionConfig
+    mrope_section: tuple[int, ...]
+    image_token_id: int
+
+    @classmethod
+    def from_hf(cls, d: Mapping[str, Any]) -> "Qwen2VLConfig":
+        tc = dict(d["text_config"])
+        text = config_from_hf(tc | {"architectures": ["Qwen2ForCausalLM"]})
+        sec = tuple((tc.get("rope_scaling") or {}).get("mrope_section", ()))
+        # mrope keeps plain rotary frequencies — drop the scaling marker
+        text = __import__("dataclasses").replace(text, rope_scaling=None)
+        return cls(
+            text=text,
+            vision=Qwen2VLVisionConfig.from_hf(d["vision_config"]),
+            mrope_section=sec,
+            image_token_id=d["image_token_id"],
+        )
+
+
+def mrope_position_ids(
+    input_ids: np.ndarray,  # [T] (single sequence)
+    image_token_id: int,
+    grid_thw: tuple[int, int, int],
+    merge: int = 2,
+) -> np.ndarray:
+    """[3, T] (temporal, height, width) positions — HF `get_rope_index`
+    semantics for one image: text advances all three streams together;
+    the image span gets its (t, h, w) grid offset by the preceding text
+    position; text after the image resumes at max(vision positions) + 1."""
+    t_len = len(input_ids)
+    pos = np.zeros((3, t_len), np.int64)
+    img_mask = input_ids == image_token_id
+    if not img_mask.any():
+        pos[:] = np.arange(t_len)
+        return pos
+    start = int(np.argmax(img_mask))
+    n_img = int(img_mask.sum())
+    t, h, w = grid_thw
+    lh, lw = h // merge, w // merge
+    assert n_img == t * lh * lw, "image token count != merged grid size"
+    pos[:, :start] = np.arange(start)
+    tg = np.repeat(np.arange(t), lh * lw)
+    hg = np.tile(np.repeat(np.arange(lh), lw), t)
+    wg = np.tile(np.arange(lw), t * lh)
+    pos[0, start : start + n_img] = start + tg
+    pos[1, start : start + n_img] = start + hg
+    pos[2, start : start + n_img] = start + wg
+    nxt = int(pos[:, start : start + n_img].max()) + 1
+    rest = t_len - start - n_img
+    pos[:, start + n_img :] = nxt + np.arange(rest)
+    return pos
+
+
+def mrope_cos_sin(
+    cfg: Qwen2VLConfig, positions3: jax.Array  # [3, B, T]
+) -> tuple[jax.Array, jax.Array]:
+    """Section-combined (cos, sin) [B, T, head_dim // 2] for the standard
+    rotate-half application."""
+    hd = cfg.text.head_dim
+    inv = 1.0 / (
+        cfg.text.rope_theta
+        ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    ang = positions3.astype(jnp.float32)[..., None] * inv  # [3, B, T, hd/2]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    parts_c, parts_s = [], []
+    off = 0
+    for i, sec in enumerate(cfg.mrope_section):
+        parts_c.append(cos[i % 3, ..., off : off + sec])
+        parts_s.append(sin[i % 3, ..., off : off + sec])
+        off += sec
+    return jnp.concatenate(parts_c, -1), jnp.concatenate(parts_s, -1)
+
+
+def qwen2vl_weights_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: Qwen2VLConfig, dtype=jnp.float32,
+    **text_kwargs,
+) -> dict:
+    text_sd = {
+        k[len("model.language_model."):]: v
+        for k, v in sd.items()
+        if k.startswith("model.language_model.")
+    }
+    if "lm_head.weight" in sd:
+        text_sd["lm_head.weight"] = sd["lm_head.weight"]
+    vis_sd = {
+        k[len("model.visual."):]: v
+        for k, v in sd.items()
+        if k.startswith("model.visual.")
+    }
+    return {
+        "text": weights_from_state_dict(text_sd, cfg.text, dtype=dtype,
+                                        **text_kwargs),
+        "vision": qwen2vl_vision_params(vis_sd, cfg.vision, dtype=dtype),
+    }
+
+
+def qwen2vl_forward(
+    weights: dict,
+    cfg: Qwen2VLConfig,
+    input_ids: jax.Array,  # [B, T] with image_token_id slots
+    patches,  # [N, C*tps*p*p] pre-patchified pixels or None
+    grid_thw: Optional[tuple[int, int, int]],
+    positions3: jax.Array,  # [3, B, T] M-RoPE streams
+    cache: KVCache,
+    kv_start: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+    logits_last_only: bool = False,
+):
+    embeds = None
+    if patches is not None:
+        from ..quant.linear import embedding_lookup
+
+        feats = qwen2vl_vision_forward(
+            weights["vision"], cfg.vision, patches, grid_thw
+        )[None]
+        embeds = embedding_lookup(
+            input_ids, weights["text"]["embed"], dtype=compute_dtype
+        )
+        embeds = merge_image_embeddings(
+            embeds, input_ids, feats, cfg.image_token_id
+        )
+    cos, sin = mrope_cos_sin(cfg, positions3)
+    # attention masking uses the sequence index (causality is positional in
+    # the token stream, independent of the 3D rope streams)
+    b, t = input_ids.shape
+    seq_pos = kv_start[:, None] + jnp.arange(t)[None]
+    return forward(
+        weights["text"], cfg.text, input_ids, seq_pos.astype(jnp.int32),
+        cache, kv_start, compute_dtype=compute_dtype,
+        logits_last_only=logits_last_only, input_embeds=embeds,
+        rope_override=(cos, sin),
+    )

@@ -74,3 +74,77 @@ def test_qwen2vl_vision_rect_grid():
                     grid_thw=torch.tensor([list(grid)])).numpy()
     got = np.asarray(qwen2vl_vision_forward(params, cfg, jnp.asarray(patches), grid))
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def _tiny_vl():
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+        Qwen2VLVisionConfig as HFVC,
+    )
+
+    vis = HFVC(embed_dim=32, depth=2, num_heads=4, hidden_size=48,
+               patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+               in_channels=3).to_dict()
+    txt = dict(vocab_size=160, hidden_size=48, intermediate_size=96,
+               num_hidden_layers=2, num_attention_heads=4,
+               num_key_value_heads=2, max_position_embeddings=128,
+               rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+               tie_word_embeddings=False, rms_norm_eps=1e-5)
+    hf_cfg = transformers.Qwen2VLConfig(
+        vision_config=vis, text_config=txt,
+        image_token_id=150, video_token_id=151, vision_start_token_id=152,
+        pad_token_id=0,
+    )
+    torch.manual_seed(140)
+    model = transformers.Qwen2VLForConditionalGeneration(hf_cfg).eval()
+    from mistralrs_tpu.models.qwen2vl import (
+        Qwen2VLConfig,
+        qwen2vl_weights_from_state_dict,
+    )
+
+    cfg = Qwen2VLConfig.from_hf(hf_cfg.to_dict())
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    return hf_cfg, model, cfg, qwen2vl_weights_from_state_dict(sd, cfg)
+
+
+def test_qwen2vl_text_mrope_parity():
+    """Text-only M-RoPE path (all three streams equal) matches HF."""
+    from mistralrs_tpu.models.llama import KVCache
+    from mistralrs_tpu.models.qwen2vl import mrope_position_ids, qwen2vl_forward
+
+    _, model, cfg, weights = _tiny_vl()
+    ids = np.array([[3, 17, 40, 9, 22, 61]], np.int64)
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+    pos3 = mrope_position_ids(ids[0], cfg.image_token_id, (1, 2, 2))[:, None]
+    cache = KVCache.create(cfg.text, 1, ids.shape[1] + 2, dtype=jnp.float32)
+    got, _ = qwen2vl_forward(
+        weights, cfg, jnp.asarray(ids, jnp.int32), None, None,
+        jnp.asarray(pos3), cache, jnp.zeros((1,), jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=4e-4, atol=4e-4)
+
+
+def test_qwen2vl_multimodal_parity():
+    from mistralrs_tpu.models.llama import KVCache
+    from mistralrs_tpu.models.qwen2vl import mrope_position_ids, qwen2vl_forward
+
+    _, model, cfg, weights = _tiny_vl()
+    grid = (1, 4, 4)  # 16 patches → 4 merged image tokens
+    rng = np.random.default_rng(2)
+    patches = rng.standard_normal((16, 3 * 2 * 16)).astype(np.float32)
+    # HF's get_rope_index locates images via the vision_start token (152)
+    ids = np.array([[3, 17, 152] + [150] * 4 + [9, 22]], np.int64)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+        ).logits.numpy()
+    pos3 = mrope_position_ids(ids[0], cfg.image_token_id, grid)[:, None]
+    cache = KVCache.create(cfg.text, 1, ids.shape[1] + 2, dtype=jnp.float32)
+    got, _ = qwen2vl_forward(
+        weights, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(patches),
+        grid, jnp.asarray(pos3), cache, jnp.zeros((1,), jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-4, atol=5e-4)
