@@ -148,3 +148,49 @@ def test_qwen2vl_multimodal_parity():
         grid, jnp.asarray(pos3), cache, jnp.zeros((1,), jnp.int32),
     )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-4, atol=5e-4)
+
+
+def test_qwen25vl_vision_parity():
+    """Qwen2.5-VL windowed vision tower matches HF, window-padded grid."""
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLVisionConfig as HFVC,
+    )
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VisionTransformerPretrainedModel,
+    )
+
+    from mistralrs_tpu.vision.qwen2vl import (
+        Qwen25VLVisionConfig,
+        qwen25vl_vision_forward,
+        qwen25vl_vision_params,
+    )
+
+    # window_size 16 with patch 4, merge 2 → windows of 2x2 merged tokens;
+    # grid 6x4 merged 3x2 → padding exercised; full attention on layer 1
+    hf_cfg = HFVC(depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+                  out_hidden_size=48, patch_size=4, temporal_patch_size=2,
+                  spatial_merge_size=2, window_size=16,
+                  fullatt_block_indexes=[1], in_channels=3)
+    torch.manual_seed(150)
+    model = Qwen2_5_VisionTransformerPretrainedModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    cfg = Qwen25VLVisionConfig.from_hf(hf_cfg.to_dict())
+    params = qwen25vl_vision_params(sd, cfg)
+    rng = np.random.default_rng(3)
+    grid = (1, 6, 4)
+    patches = rng.standard_normal((24, 3 * 2 * 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(patches),
+                    grid_thw=torch.tensor([list(grid)])).numpy()
+    got = np.asarray(qwen25vl_vision_forward(params, cfg, jnp.asarray(patches), grid))
+    assert got.shape == ref.shape == (6, 48)
+    np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)
+    # multi-frame (video): full-attention layers stay per-frame
+    grid = (2, 4, 4)
+    patches = rng.standard_normal((32, 3 * 2 * 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(patches),
+                    grid_thw=torch.tensor([list(grid)])).numpy()
+    got = np.asarray(qwen25vl_vision_forward(params, cfg, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)
