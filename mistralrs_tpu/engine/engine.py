@@ -164,6 +164,7 @@ class Engine:
         self.tokenizer = tokenizer
         self.kv = KVCacheManager(num_blocks, block_size, enable_prefix_caching)
         self.scheduler = Scheduler(self.kv, max_batch, prefill_chunk)
+        self.scheduler.on_preempt = self._extend_prompt_embeds
         self.cache = PagedKVCache.create(
             cfg, num_blocks, block_size, dtype=compute_dtype, kv_quant=kv_quant
         )
@@ -241,6 +242,16 @@ class Engine:
         )
         if prompt_embeds is not None:
             seq.prompt_embeds = prompt_embeds  # type: ignore[attr-defined]
+            # multimodal prompts repeat identical placeholder token ids, so
+            # block hashes MUST chain a content digest or two requests with
+            # different images collide in the prefix cache (the analog of the
+            # reference's media-hash chaining, block_hash.rs)
+            import hashlib
+
+            digest = hashlib.blake2b(
+                np.asarray(prompt_embeds).tobytes(), digest_size=8
+            ).hexdigest()
+            seq.extra_hash = (digest,)
         self.scheduler.add(seq)
         return seq
 
@@ -256,7 +267,11 @@ class Engine:
         return self.scheduler.has_work
 
     def step(self) -> list[Sequence]:
-        """Run one engine step. Returns sequences that finished this step."""
+        """Run one engine step. Returns sequences that finished this step.
+
+        Forward errors are contained per-request (the analog of the
+        reference's `handle_pipeline_forward_error!`): the offending
+        sequence(s) finish with ERROR and the engine loop stays alive."""
         out = self.scheduler.schedule()
         self.stats["steps"] += 1
         self.stats["preemptions"] = self.scheduler.num_preemptions
@@ -266,9 +281,34 @@ class Engine:
         if out.is_empty:
             return []
         if out.prefill is not None:
-            self._run_prefill(out.prefill)
+            try:
+                self._run_prefill(out.prefill)
+            except Exception as e:  # noqa: BLE001
+                self._fail_sequences([out.prefill.seq], e)
+                return [out.prefill.seq]
             return []
-        return self._run_decode(out.decode)
+        try:
+            return self._run_decode(out.decode)
+        except Exception as e:  # noqa: BLE001
+            self._fail_sequences(out.decode, e)
+            return list(out.decode)
+
+    def _fail_sequences(self, seqs: list[Sequence], err: Exception) -> None:
+        import traceback
+
+        traceback.print_exc()
+        self.stats["forward_errors"] = self.stats.get("forward_errors", 0) + 1
+        for seq in seqs:
+            seq.error = f"{type(err).__name__}: {err}"  # type: ignore[attr-defined]
+            seq.finish(StopReason.ERROR)
+            if seq.slot is not None:
+                self._slot_seq[seq.slot] = None
+            self.scheduler.release(seq)
+            if seq.on_tokens is not None:
+                try:
+                    seq.on_tokens([], True)
+                except Exception:  # noqa: BLE001
+                    pass
 
     def run_to_completion(self) -> list[Sequence]:
         """Drain all queued work (batch/offline mode)."""
@@ -480,7 +520,9 @@ class Engine:
                 if reason is not None:
                     break
             self.kv.extend_hashes(seq.request_id, seq.all_ids)
-            self.kv.publish_full_blocks(seq.request_id, seq.total_len)
+            # publish on KV-WRITTEN tokens: the last committed (bonus) token's
+            # KV is only written next round (vLLM publishes computed tokens)
+            self.kv.publish_full_blocks(seq.request_id, seq.total_len - 1)
             if seq.on_tokens is not None:
                 seq.on_tokens(emitted, reason is not None)
             if reason is not None:
@@ -581,7 +623,10 @@ class Engine:
                 )
             self.stats["generated_tokens"] += 1
             self.kv.extend_hashes(seq.request_id, seq.all_ids)
-            self.kv.publish_full_blocks(seq.request_id, seq.total_len)
+            # the token just sampled has NO KV yet (written next step) →
+            # publish only through total_len - 1 or a block whose last row is
+            # zeros leaks into the prefix cache
+            self.kv.publish_full_blocks(seq.request_id, seq.total_len - 1)
             reason = self._check_stop(seq, tok)
             if seq.on_tokens is not None:
                 seq.on_tokens([tok], reason is not None)
@@ -631,7 +676,34 @@ class Engine:
         if seq.total_len >= self.max_model_len:
             return StopReason.LENGTH
         if p.stop_strings and self.tokenizer is not None:
-            text = self.tokenizer.decode(seq.output_ids)
+            # incremental: decode only a token window guaranteed to cover the
+            # longest stop string (each token renders ≥ 1 char in practice;
+            # +8 margin) — full-output decode every step is O(n²)
+            max_ss = max(len(ss) for ss in p.stop_strings)
+            ntok = min(len(seq.output_ids), max_ss + 8)
+            text = self.tokenizer.decode(seq.output_ids[-ntok:])
             if any(ss in text for ss in p.stop_strings):
                 return StopReason.STOP_STRING
         return None
+
+    def _extend_prompt_embeds(self, seq: Sequence, folded_ids: list[int]) -> None:
+        """Recompute-preemption folds generated tokens into the prompt; a
+        multimodal sequence's prompt_embeds must grow matching rows (plain
+        embedding-table rows — generated tokens are always text)."""
+        pe = getattr(seq, "prompt_embeds", None)
+        if pe is None or not folded_ids:
+            return
+        from ..quant.linear import embedding_lookup
+
+        rows = embedding_lookup(
+            jnp.asarray(folded_ids, jnp.int32), self.weights["embed"],
+            dtype=pe.dtype,
+        )
+        if self.cfg.arch.startswith("gemma"):
+            rows = rows * jnp.asarray(
+                self.cfg.embedding_multiplier or self.cfg.hidden_size**0.5,
+                rows.dtype,
+            )
+        elif self.cfg.embedding_multiplier:
+            rows = rows * jnp.asarray(self.cfg.embedding_multiplier, rows.dtype)
+        seq.prompt_embeds = jnp.concatenate([pe, rows], axis=0)  # type: ignore[attr-defined]

@@ -57,6 +57,10 @@ class Scheduler:
         self.running: list[Sequence] = []
         self._free_slots = list(range(max_batch - 1, -1, -1))
         self.num_preemptions = 0
+        # engine hook called on recompute-preemption with (seq, folded_ids):
+        # multimodal sequences must extend prompt_embeds to cover generated
+        # tokens folded into the prompt, or re-prefill shape-errors
+        self.on_preempt = None
 
     # -- queue ops -----------------------------------------------------------
 
@@ -103,7 +107,9 @@ class Scheduler:
             seq = self.waiting.popleft()
             start = seq.num_computed_tokens
             if start == 0:
-                cached = self.kv.get_computed_blocks(seq.request_id, seq.prompt_ids)
+                cached = self.kv.get_computed_blocks(
+                    seq.request_id, seq.prompt_ids, extra=seq.extra_hash
+                )
                 start = cached
                 seq.num_computed_tokens = cached
             else:
@@ -171,6 +177,8 @@ class Scheduler:
         self.kv.free(seq.request_id)
         # recompute-from-scratch preemption: generated tokens fold into the
         # prompt so prefill replays them (reference: preempt_by_recompute)
+        if self.on_preempt is not None and seq.output_ids:
+            self.on_preempt(seq, list(seq.output_ids))
         seq.prompt_ids = seq.all_ids
         seq.output_ids = []
         seq.num_computed_tokens = 0

@@ -48,6 +48,9 @@ class Sequence:
     # incremental detokenization bookkeeping (set by the engine)
     detok_prefix_len: int = 0
     emitted_text_len: int = 0
+    # content digest chained into block hashes (multimodal prompts repeat
+    # placeholder token ids — token-only hashes would collide across images)
+    extra_hash: tuple = ()
     # set in __post_init__; stable across preemption-recompute (which folds
     # generated tokens back into prompt_ids)
     original_prompt_len: int = -1

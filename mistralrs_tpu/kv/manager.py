@@ -32,6 +32,14 @@ class KVCacheManager:
         self.pool = BlockPool(num_blocks, enable_prefix_caching)
         self._requests: dict[str, RequestBlocks] = {}
 
+    # data-parallel group interface (trivial for the single-group manager;
+    # see GroupedKVManager)
+    def assign_group(self, request_id: str, allowed=None) -> int:
+        return 0
+
+    def group_of(self, request_id: str) -> int:
+        return 0
+
     # -- admission ----------------------------------------------------------
 
     def get_computed_blocks(
@@ -144,3 +152,73 @@ class KVCacheManager:
     @property
     def num_free_blocks(self) -> int:
         return self.pool.num_free_blocks
+
+
+class GroupedKVManager:
+    """Data-parallel-group-partitioned KV manager: each DP group owns an
+    independent pool of ``num_blocks`` blocks — its own slice of the
+    slot-axis-sharded device pools — with LOCAL block/slot ids (each shard of
+    the shard_mapped forward only ever sees its group's rows, so no global
+    offsets are needed). Requests are pinned to the group with the most free
+    blocks at admission; prefix caches are per-group (like replica engines).
+    """
+
+    def __init__(
+        self,
+        groups: int,
+        num_blocks: int,
+        block_size: int,
+        enable_prefix_caching: bool = True,
+    ):
+        self.groups = groups
+        self.block_size = block_size
+        self.num_blocks = num_blocks
+        self.mgrs = [
+            KVCacheManager(num_blocks, block_size, enable_prefix_caching)
+            for _ in range(groups)
+        ]
+        self._group: dict[str, int] = {}
+
+    def assign_group(self, request_id: str, allowed=None) -> int:
+        g = self._group.get(request_id)
+        if g is not None:
+            return g
+        cands = list(allowed) if allowed is not None else list(range(self.groups))
+        g = max(cands, key=lambda i: self.mgrs[i].num_free_blocks)
+        self._group[request_id] = g
+        return g
+
+    def group_of(self, request_id: str) -> int:
+        return self._group.get(request_id, 0)
+
+    def _m(self, request_id: str) -> KVCacheManager:
+        return self.mgrs[self._group.get(request_id, 0)]
+
+    def get_computed_blocks(self, request_id, token_ids, extra: tuple = ()) -> int:
+        return self._m(request_id).get_computed_blocks(request_id, token_ids, extra)
+
+    def allocate_slots(self, request_id, num_tokens_total) -> bool:
+        return self._m(request_id).allocate_slots(request_id, num_tokens_total)
+
+    def publish_full_blocks(self, request_id, num_computed_tokens) -> None:
+        self._m(request_id).publish_full_blocks(request_id, num_computed_tokens)
+
+    def extend_hashes(self, request_id, token_ids) -> None:
+        self._m(request_id).extend_hashes(request_id, token_ids)
+
+    def block_table(self, request_id):
+        return self._m(request_id).block_table(request_id)
+
+    def num_cached_tokens(self, request_id) -> int:
+        return self._m(request_id).num_cached_tokens(request_id)
+
+    def slot_mapping(self, request_id, start, length):
+        return self._m(request_id).slot_mapping(request_id, start, length)
+
+    def free(self, request_id) -> None:
+        self._m(request_id).free(request_id)
+        self._group.pop(request_id, None)
+
+    @property
+    def num_free_blocks(self) -> int:
+        return max(m.num_free_blocks for m in self.mgrs)

@@ -43,14 +43,16 @@ class PagedKVCache:
         block_size: int,
         dtype=jnp.bfloat16,
         kv_quant: Optional[str] = None,  # None | 'int8' | 'fp8'
+        groups: int = 1,  # data-parallel groups: slot axis = groups × plane
     ) -> "PagedKVCache":
-        # +1 trash block: dropped writes (slot −1) scatter into it so they
-        # can never collide with live slots (duplicate scatter indices have
-        # nondeterministic winners)
+        # +1 trash block PER GROUP: dropped writes (slot −1) scatter into it
+        # so they can never collide with live slots (duplicate scatter
+        # indices have nondeterministic winners). Under DP the slot axis is
+        # sharded over the "data" mesh axis and each group uses LOCAL ids.
         shape = (
             cfg.num_layers,
             cfg.num_kv_heads,
-            (num_blocks + 1) * block_size,
+            groups * (num_blocks + 1) * block_size,
             cfg.head_dim,
         )
         if kv_quant is None:

@@ -62,6 +62,11 @@ class ModelInstance:
                 self._wake.clear()
 
     def submit(self, prompt_ids, params: SamplingParams, on_tokens) -> Sequence:
+        if not self.is_alive and not self._stop:
+            # dead-engine-thread reboot (the analog of the reference's
+            # `RebootState`, lib.rs:432): the engine object survives — only
+            # the stepping thread is restarted
+            self.start()
         seq = self.engine.add_request(prompt_ids, params, on_tokens=on_tokens)
         self._wake.set()
         return seq

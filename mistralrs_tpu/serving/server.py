@@ -140,7 +140,15 @@ class ServerState:
         self.registry.shutdown()
 
     def resolve(self, model_id: Optional[str]) -> Optional[ModelInstance]:
-        return self.registry.get(model_id)
+        """Route a request's `model` field to a loaded instance: exact id,
+        None/default → default model, and (single-model deployments) any name
+        maps to the only loaded model (clients often send placeholder names)."""
+        inst = self.registry.get(model_id)
+        if inst is None and model_id:
+            all_insts = self.registry.list()
+            if len(all_insts) == 1:
+                return all_insts[0]
+        return inst
 
     def submit(self, prompt_ids, params: SamplingParams, on_tokens) -> Sequence:
         return self._default.submit(prompt_ids, params, on_tokens)
@@ -334,10 +342,21 @@ def build_app(state: ServerState) -> web.Application:
             content_type="text/plain",
         )
 
-    async def _generate_blocking(prompt_ids, params) -> tuple[list[int], Sequence]:
+    def _resolve_or_404(model_id) -> ModelInstance:
+        inst = state.resolve(model_id)
+        if inst is None:
+            raise web.HTTPNotFound(
+                text=json.dumps(
+                    {"error": {"message": f"model {model_id!r} not found"}}
+                ),
+                content_type="application/json",
+            )
+        return inst
+
+    async def _generate_blocking(inst, prompt_ids, params) -> tuple[list[int], Sequence]:
         loop = asyncio.get_running_loop()
         stream = _TokenStream(loop)
-        seq = state.submit(prompt_ids, params, stream.on_tokens)
+        seq = inst.submit(prompt_ids, params, stream.on_tokens)
         toks: list[int] = []
         async for chunk, fin in stream.drain():
             toks.extend(chunk)
@@ -349,19 +368,20 @@ def build_app(state: ServerState) -> web.Application:
             req = P.ChatCompletionRequest.model_validate(await request.json())
         except Exception as e:  # noqa: BLE001
             return web.json_response({"error": {"message": str(e)}}, status=422)
+        inst = _resolve_or_404(req.model)
         msgs = [
             {"role": m.role, "content": m.text_content()} for m in req.messages
         ]
-        prompt = state.chat_template.render(msgs, add_generation_prompt=True, tools=req.tools)
-        prompt_ids = state.tokenizer.encode(prompt)
-        params = _sampling_from_chat(req, state.tokenizer)
+        prompt = inst.chat_template.render(msgs, add_generation_prompt=True, tools=req.tools)
+        prompt_ids = inst.tokenizer.encode(prompt)
+        params = _sampling_from_chat(req, inst.tokenizer)
         usage_base = {"prompt_tokens": len(prompt_ids)}
 
         if req.stream:
-            return await _stream_chat(request, state, prompt_ids, params, usage_base)
+            return await _stream_chat(request, inst, prompt_ids, params, usage_base)
 
-        toks, seq = await _generate_blocking(prompt_ids, params)
-        text = state.tokenizer.decode(seq.generated_ids)
+        toks, seq = await _generate_blocking(inst, prompt_ids, params)
+        text = inst.tokenizer.decode(seq.generated_ids)
         text = _trim_stop_strings(text, params.stop_strings)
         usage = {
             **usage_base,
@@ -379,10 +399,10 @@ def build_app(state: ServerState) -> web.Application:
             logprobs_out = {
                 "content": [
                     {
-                        "token": state.tokenizer.decode([t]),
+                        "token": inst.tokenizer.decode([t]),
                         "logprob": lp,
                         "top_logprobs": [
-                            {"token": state.tokenizer.decode([i]), "logprob": v}
+                            {"token": inst.tokenizer.decode([i]), "logprob": v}
                             for i, v in tops.items()
                         ],
                     }
@@ -394,8 +414,8 @@ def build_app(state: ServerState) -> web.Application:
             }
         tool_calls = None
         if req.tools and (req.tool_choice or "auto") != "none":
-            matcher = ToolCallingMatcher(family=state.engine.cfg.arch
-                                         if state.engine.cfg.arch in
+            matcher = ToolCallingMatcher(family=inst.engine.cfg.arch
+                                         if inst.engine.cfg.arch in
                                          ("llama", "mistral", "qwen2", "qwen3",
                                           "gemma2", "gemma3") else "auto")
             calls = matcher.get_calls(content)
@@ -404,7 +424,7 @@ def build_app(state: ServerState) -> web.Application:
                 finish = "tool_calls"
                 content = ""
         resp = P.chat_completion_response(
-            state.model_id, content, finish, usage, logprobs=logprobs_out
+            inst.model_id, content, finish, usage, logprobs=logprobs_out
         )
         if reasoning:
             resp["choices"][0]["message"]["reasoning_content"] = reasoning
@@ -413,7 +433,7 @@ def build_app(state: ServerState) -> web.Application:
             resp["choices"][0]["message"]["content"] = None
         return web.json_response(resp)
 
-    async def _stream_chat(request, state, prompt_ids, params, usage_base):
+    async def _stream_chat(request, inst, prompt_ids, params, usage_base):
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -424,23 +444,54 @@ def build_app(state: ServerState) -> web.Application:
         rid = P.gen_id("chatcmpl")
         loop = asyncio.get_running_loop()
         stream = _TokenStream(loop)
-        seq = state.submit(prompt_ids, params, stream.on_tokens)
-        detok = state.tokenizer.detokenizer()
+        seq = inst.submit(prompt_ids, params, stream.on_tokens)
+        detok = inst.tokenizer.detokenizer()
         first = True
+        # stop-string holdback (the reference's held-back streaming): never
+        # emit text that could be (part of) a stop string; trim on match
+        stops = list(params.stop_strings or ())
+        holdback = max((len(s) for s in stops), default=1) - 1
+        pending = ""
+        stopped = False
+
+        async def write_delta(text, force=False):
+            nonlocal first
+            if text or (first and force):
+                delta = {"content": text}
+                if first:
+                    delta["role"] = "assistant"
+                    first = False
+                chunk = P.chat_chunk(inst.model_id, rid, delta)
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+
         async for toks, fin in stream.drain():
             delta_text = detok.push(toks) if toks else ""
             if fin:
                 delta_text += detok.flush()
-            if delta_text or first:
-                delta = {"content": delta_text}
-                if first:
-                    delta["role"] = "assistant"
-                    first = False
-                chunk = P.chat_chunk(state.model_id, rid, delta)
-                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            if not stopped:
+                pending += delta_text
+                cut = min(
+                    (i for i in (pending.find(s) for s in stops) if i >= 0),
+                    default=-1,
+                )
+                if cut >= 0:
+                    await write_delta(pending[:cut], force=True)
+                    pending = ""
+                    stopped = True
+                elif fin:
+                    await write_delta(pending, force=True)
+                    pending = ""
+                elif holdback and len(pending) > holdback:
+                    await write_delta(pending[:-holdback])
+                    pending = pending[-holdback:]
+                elif not holdback:
+                    await write_delta(pending)
+                    pending = ""
             if fin:
+                if first:
+                    await write_delta("", force=True)
                 final = P.chat_chunk(
-                    state.model_id, rid, {}, _FINISH_MAP.get(seq.stop_reason, "stop")
+                    inst.model_id, rid, {}, _FINISH_MAP.get(seq.stop_reason, "stop")
                 )
                 await resp.write(f"data: {json.dumps(final)}\n\n".encode())
                 await resp.write(b"data: [DONE]\n\n")
@@ -453,12 +504,13 @@ def build_app(state: ServerState) -> web.Application:
             req = P.CompletionRequest.model_validate(await request.json())
         except Exception as e:  # noqa: BLE001
             return web.json_response({"error": {"message": str(e)}}, status=422)
+        inst = _resolve_or_404(req.model)
         if isinstance(req.prompt, list) and req.prompt and isinstance(req.prompt[0], int):
             prompt_ids = list(req.prompt)
             prompt_text = ""
         else:
             prompt_text = req.prompt if isinstance(req.prompt, str) else req.prompt[0]
-            prompt_ids = state.tokenizer.encode(prompt_text)
+            prompt_ids = inst.tokenizer.encode(prompt_text)
         stops = req.stop if isinstance(req.stop, list) else ([req.stop] if req.stop else [])
         params = SamplingParams(
             temperature=req.temperature if req.temperature is not None else 1.0,
@@ -470,8 +522,8 @@ def build_app(state: ServerState) -> web.Application:
             seed=req.seed,
             stop_strings=tuple(stops),
         )
-        toks, seq = await _generate_blocking(prompt_ids, params)
-        text = state.tokenizer.decode(seq.generated_ids)
+        toks, seq = await _generate_blocking(inst, prompt_ids, params)
+        text = inst.tokenizer.decode(seq.generated_ids)
         text = _trim_stop_strings(text, params.stop_strings)
         if req.echo:
             text = prompt_text + text
@@ -482,7 +534,7 @@ def build_app(state: ServerState) -> web.Application:
         }
         return web.json_response(
             P.completion_response(
-                state.model_id, text, _FINISH_MAP.get(seq.stop_reason, "stop"), usage
+                inst.model_id, text, _FINISH_MAP.get(seq.stop_reason, "stop"), usage
             )
         )
 
@@ -495,6 +547,7 @@ def build_app(state: ServerState) -> web.Application:
                 {"type": "error", "error": {"type": "invalid_request_error", "message": str(e)}},
                 status=422,
             )
+        inst = _resolve_or_404(req.model)
         msgs = []
         if req.system:
             sys_text = (
@@ -510,8 +563,8 @@ def build_app(state: ServerState) -> web.Application:
                     p.get("text", "") for p in content if p.get("type") == "text"
                 )
             msgs.append({"role": m["role"], "content": content or ""})
-        prompt = state.chat_template.render(msgs, add_generation_prompt=True)
-        prompt_ids = state.tokenizer.encode(prompt)
+        prompt = inst.chat_template.render(msgs, add_generation_prompt=True)
+        prompt_ids = inst.tokenizer.encode(prompt)
         params = SamplingParams(
             temperature=req.temperature if req.temperature is not None else 1.0,
             top_p=req.top_p if req.top_p is not None else 1.0,
@@ -519,9 +572,9 @@ def build_app(state: ServerState) -> web.Application:
             max_tokens=req.max_tokens,
             stop_strings=tuple(req.stop_sequences or ()),
         )
-        toks, seq = await _generate_blocking(prompt_ids, params)
+        toks, seq = await _generate_blocking(inst, prompt_ids, params)
         text = _trim_stop_strings(
-            state.tokenizer.decode(seq.generated_ids), params.stop_strings
+            inst.tokenizer.decode(seq.generated_ids), params.stop_strings
         )
         stop_reason = {
             StopReason.EOS: "end_turn",
@@ -534,12 +587,13 @@ def build_app(state: ServerState) -> web.Application:
             "output_tokens": len(seq.generated_ids),
         }
         return web.json_response(
-            P.anthropic_response(state.model_id, text, stop_reason, usage)
+            P.anthropic_response(inst.model_id, text, stop_reason, usage)
         )
 
     @routes.post("/v1/embeddings")
     async def embeddings_route(request: web.Request):
         body = await request.json()
+        inst = _resolve_or_404(body.get("model"))
         inputs = body.get("input")
         if isinstance(inputs, str):
             inputs = [inputs]
@@ -552,14 +606,14 @@ def build_app(state: ServerState) -> web.Application:
         elif inputs and isinstance(inputs[0], list):
             batches = [list(x) for x in inputs]
         else:
-            batches = [state.tokenizer.encode(t) for t in inputs]
+            batches = [inst.tokenizer.encode(t) for t in inputs]
         from ..embeddings import embed as _embed
 
         loop = asyncio.get_running_loop()
         vecs = await loop.run_in_executor(
             None,
             lambda: _embed(
-                state.engine.weights, state.engine.cfg, batches,
+                inst.engine.weights, inst.engine.cfg, batches,
                 pooling=body.get("pooling", "last"),
             ),
         )
@@ -571,7 +625,7 @@ def build_app(state: ServerState) -> web.Application:
                     {"object": "embedding", "index": i, "embedding": v.tolist()}
                     for i, v in enumerate(vecs)
                 ],
-                "model": state.model_id,
+                "model": inst.model_id,
                 "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
             }
         )
@@ -584,6 +638,7 @@ def build_app(state: ServerState) -> web.Application:
     @routes.post("/v1/responses")
     async def responses_create(request: web.Request):
         body = await request.json()
+        inst = _resolve_or_404(body.get("model"))
         inp = body.get("input", "")
         if isinstance(inp, str):
             msgs = [{"role": "user", "content": inp}]
@@ -596,21 +651,21 @@ def build_app(state: ServerState) -> web.Application:
             ]
         if body.get("instructions"):
             msgs = [{"role": "system", "content": body["instructions"]}] + msgs
-        prompt = state.chat_template.render(msgs, add_generation_prompt=True)
-        prompt_ids = state.tokenizer.encode(prompt)
+        prompt = inst.chat_template.render(msgs, add_generation_prompt=True)
+        prompt_ids = inst.tokenizer.encode(prompt)
         params = SamplingParams(
             temperature=body.get("temperature", 1.0),
             top_p=body.get("top_p", 1.0),
             max_tokens=body.get("max_output_tokens", 512),
         )
-        toks, seq = await _generate_blocking(prompt_ids, params)
-        text = state.tokenizer.decode(seq.generated_ids)
+        toks, seq = await _generate_blocking(inst, prompt_ids, params)
+        text = inst.tokenizer.decode(seq.generated_ids)
         rid = P.gen_id("resp")
         resp = {
             "id": rid,
             "object": "response",
             "created_at": P.now(),
-            "model": state.model_id,
+            "model": inst.model_id,
             "status": "completed",
             "output": [
                 {
@@ -652,12 +707,13 @@ def build_app(state: ServerState) -> web.Application:
     @routes.post("/v1/messages/count_tokens")
     async def count_tokens(request: web.Request):
         body = await request.json()
+        inst = _resolve_or_404(body.get("model"))
         msgs = [
             {"role": m["role"], "content": m.get("content") or ""}
             for m in body.get("messages", [])
         ]
-        prompt = state.chat_template.render(msgs, add_generation_prompt=True)
-        return web.json_response({"input_tokens": len(state.tokenizer.encode(prompt))})
+        prompt = inst.chat_template.render(msgs, add_generation_prompt=True)
+        return web.json_response({"input_tokens": len(inst.tokenizer.encode(prompt))})
 
     app.add_routes(routes)
     return app
