@@ -152,22 +152,69 @@ class Engine:
         seed: int = 0,
         draft: Optional[tuple[ModelConfig, dict]] = None,  # speculative pair
         gamma: int = 4,  # draft tokens per verification step
+        mesh=None,  # jax.sharding.Mesh (data, model): TP×DP sharded serving
     ):
         self.cfg = cfg
         self._fcfg = _freeze(cfg)
-        self.weights = weights
         self.block_size = block_size
         self.max_batch = max_batch
         self.max_model_len = max_model_len or cfg.max_position_embeddings
         self.backend = backend
         self.compute_dtype = compute_dtype
         self.tokenizer = tokenizer
-        self.kv = KVCacheManager(num_blocks, block_size, enable_prefix_caching)
-        self.scheduler = Scheduler(self.kv, max_batch, prefill_chunk)
+        # -- mesh-sharded serving (the analog of the reference's TP engine:
+        # Row/ColumnParallel layers driven by the engine loop,
+        # distributed/layers.rs:58 + engine/mod.rs:962) ---------------------
+        self.mesh = mesh
+        self.dp = 1
+        self._tp_fwd = None
+        self._tp_fwd_embeds = None
+        if mesh is not None:
+            from ..parallel.tp import (
+                DP_AXIS, TP_AXIS, paged_tp_forward_fn, shard_weights,
+            )
+
+            tp = int(mesh.shape.get(TP_AXIS, 1))
+            self.dp = int(mesh.shape.get(DP_AXIS, 1))
+            if tp > 1 and (
+                cfg.num_heads % tp or cfg.num_kv_heads % tp
+                or cfg.intermediate_size % tp
+            ):
+                raise ValueError(f"tp={tp} does not divide model dims")
+            if max_batch % self.dp:
+                raise ValueError(f"max_batch {max_batch} not divisible by dp={self.dp}")
+            if draft is not None:
+                raise NotImplementedError("speculative decoding with a mesh")
+            weights = shard_weights(mesh, weights)
+            self._tp_fwd = paged_tp_forward_fn(
+                mesh, cfg, weights, block_size=block_size, backend=backend,
+                compute_dtype=compute_dtype, quantized_kv=kv_quant is not None,
+            )
+            self._tp_fwd_embeds = paged_tp_forward_fn(
+                mesh, cfg, weights, block_size=block_size, backend=backend,
+                compute_dtype=compute_dtype, quantized_kv=kv_quant is not None,
+                with_embeds=True,
+            )
+        self.weights = weights
+        if self.dp > 1:
+            from ..kv.manager import GroupedKVManager
+
+            self.kv = GroupedKVManager(
+                self.dp, num_blocks, block_size, enable_prefix_caching
+            )
+        else:
+            self.kv = KVCacheManager(num_blocks, block_size, enable_prefix_caching)
+        self.scheduler = Scheduler(self.kv, max_batch, prefill_chunk,
+                                   groups=self.dp)
         self.scheduler.on_preempt = self._extend_prompt_embeds
         self.cache = PagedKVCache.create(
-            cfg, num_blocks, block_size, dtype=compute_dtype, kv_quant=kv_quant
+            cfg, num_blocks, block_size, dtype=compute_dtype, kv_quant=kv_quant,
+            groups=self.dp,
         )
+        if mesh is not None:
+            from ..parallel.tp import shard_paged_cache
+
+            self.cache = shard_paged_cache(mesh, self.cache)
         # speculative decoding (reference `speculative/`): a draft model
         # shares the block tables (identical token positions) with its own
         # KV pools; greedy-exact acceptance
@@ -194,6 +241,16 @@ class Engine:
             logit_bias=jnp.zeros((max_batch, cfg.vocab_size), jnp.float32),
             constraint_bias=jnp.zeros((max_batch, cfg.vocab_size), jnp.float32),
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.tp import DP_AXIS
+
+            def _put(a):
+                spec = P(DP_AXIS) if a.ndim == 1 else P(DP_AXIS, None)
+                return jax.device_put(a, NamedSharding(mesh, spec))
+
+            self.samp_state = jax.tree_util.tree_map(_put, self.samp_state)
         self._key = jax.random.PRNGKey(seed)
         self._req_counter = itertools.count()
         self._slot_seq: list[Optional[Sequence]] = [None] * max_batch
@@ -340,19 +397,26 @@ class Engine:
         seq = sp.seq
         ids = seq.prompt_ids[sp.start : sp.start + sp.length]
         t = _bucket(sp.length)
-        ids_arr = np.zeros((1, t), np.int32)
-        ids_arr[0, : sp.length] = ids
-        positions = np.zeros((1, t), np.int32)
-        positions[0, : sp.length] = np.arange(sp.start, sp.start + sp.length)
-        slot_map = np.full((1, t), -1, np.int64)
-        slot_map[0, : sp.length] = self.kv.slot_mapping(
+        # under DP the prefill runs as a [dp, t] batch in which only the
+        # owning group's row is real — other shards' writes go to the trash
+        # slot (all devices run in lockstep under SPMD, so the redundant rows
+        # cost nothing extra)
+        rows = self.dp
+        g = self.kv.group_of(seq.request_id)
+        ids_arr = np.zeros((rows, t), np.int32)
+        ids_arr[g, : sp.length] = ids
+        positions = np.zeros((rows, t), np.int32)
+        positions[g, : sp.length] = np.arange(sp.start, sp.start + sp.length)
+        slot_map = np.full((rows, t), -1, np.int64)
+        slot_map[g, : sp.length] = self.kv.slot_mapping(
             seq.request_id, sp.start, sp.length
         )
         width = max(32, self._max_blocks_bucket())
-        bt = np.zeros((1, width), np.int32)
+        bt = np.zeros((rows, width), np.int32)
         table = self.kv.block_table(seq.request_id)[:width]
-        bt[0, : len(table)] = table
-        kv_lens = np.asarray([sp.start + sp.length], np.int32)
+        bt[g, : len(table)] = table
+        kv_lens = np.ones((rows,), np.int32)
+        kv_lens[g] = sp.start + sp.length
         # positions beyond the chunk are masked by kv_len/causality; the last
         # VALID token's logits are what we need → roll so it lands last? No:
         # logits_last_only takes index −1, so place the chunk at the END pad?
@@ -362,16 +426,27 @@ class Engine:
         pe = getattr(seq, "prompt_embeds", None)
         if pe is not None:
             h = pe.shape[-1]
-            embeds = jnp.zeros((1, t, h), pe.dtype)
-            embeds = embeds.at[0, : sp.length].set(
+            embeds = jnp.zeros((rows, t, h), pe.dtype)
+            embeds = embeds.at[g, : sp.length].set(
                 pe[sp.start : sp.start + sp.length]
             )
-        logits, self.cache = _prefill_fn(
-            self.weights, self._fcfg, jnp.asarray(ids_arr), jnp.asarray(positions),
-            self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
-            jnp.asarray(kv_lens), self.block_size, self.backend, self.compute_dtype,
-            input_embeds=embeds,
-        )
+        if self.mesh is not None:
+            fwd_args = (
+                self.weights, jnp.asarray(ids_arr), jnp.asarray(positions),
+                self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+                jnp.asarray(kv_lens),
+            )
+            if embeds is not None:
+                logits, self.cache = self._tp_fwd_embeds(*fwd_args, embeds)
+            else:
+                logits, self.cache = self._tp_fwd(*fwd_args)
+        else:
+            logits, self.cache = _prefill_fn(
+                self.weights, self._fcfg, jnp.asarray(ids_arr), jnp.asarray(positions),
+                self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+                jnp.asarray(kv_lens), self.block_size, self.backend, self.compute_dtype,
+                input_embeds=embeds,
+            )
         if self.draft_cfg is not None:
             _, self.draft_cache = _prefill_fn(
                 self.draft_weights, self._dfcfg, jnp.asarray(ids_arr),
@@ -562,12 +637,22 @@ class Engine:
             bt[s, : len(table)] = table
 
         self._key, sub = jax.random.split(self._key)
-        new_tokens, logprobs, tops, self.cache, self.samp_state = _decode_fn(
-            self.weights, self._fcfg, jnp.asarray(tokens), jnp.asarray(positions),
-            self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
-            jnp.asarray(kv_lens), self.samp_state, sub,
-            self.block_size, self.backend, self.compute_dtype,
-        )
+        if self.mesh is not None:
+            logits, self.cache = self._tp_fwd(
+                self.weights, jnp.asarray(tokens)[:, None],
+                jnp.asarray(positions)[:, None], self.cache, jnp.asarray(bt),
+                jnp.asarray(slot_map, jnp.int32)[:, None], jnp.asarray(kv_lens),
+            )
+            new_tokens, logprobs, tops, self.samp_state = sample(
+                logits[:, -1], self.samp_state, sub
+            )
+        else:
+            new_tokens, logprobs, tops, self.cache, self.samp_state = _decode_fn(
+                self.weights, self._fcfg, jnp.asarray(tokens), jnp.asarray(positions),
+                self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+                jnp.asarray(kv_lens), self.samp_state, sub,
+                self.block_size, self.backend, self.compute_dtype,
+            )
         new_tokens = np.asarray(new_tokens)
         logprobs = np.asarray(logprobs)
         top_vals, top_ids = (np.asarray(tops[0]), np.asarray(tops[1]))

@@ -47,6 +47,7 @@ class Scheduler:
         max_batch: int,
         prefill_chunk: int = 1024,
         enable_prefix_caching: bool = True,
+        groups: int = 1,  # data-parallel groups; slots are group-major
     ):
         self.kv = kv
         self.max_batch = max_batch
@@ -55,7 +56,17 @@ class Scheduler:
         self.lookahead = 1
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
-        self._free_slots = list(range(max_batch - 1, -1, -1))
+        self.groups = groups
+        if max_batch % groups:
+            raise ValueError(f"max_batch {max_batch} not divisible by {groups} groups")
+        self.slots_per_group = max_batch // groups
+        # per-group free-slot stacks; slot g*spg+i belongs to group g (the
+        # batch axis shards contiguously over the data mesh axis)
+        self._free_slots = [
+            list(range((g + 1) * self.slots_per_group - 1,
+                       g * self.slots_per_group - 1, -1))
+            for g in range(groups)
+        ]
         self.num_preemptions = 0
         # engine hook called on recompute-preemption with (seq, folded_ids):
         # multimodal sequences must extend prompt_embeds to cover generated
@@ -76,15 +87,23 @@ class Scheduler:
                     return s
         return None
 
+    def _push_slot(self, slot: int) -> None:
+        self._free_slots[slot // self.slots_per_group].append(slot)
+
+    def _groups_with_free_slots(self) -> list[int]:
+        return [g for g in range(self.groups) if self._free_slots[g]]
+
     def _remove(self, seq: Sequence) -> None:
         if seq in self.running:
             self.running.remove(seq)
             if seq.slot is not None:
-                self._free_slots.append(seq.slot)
+                self._push_slot(seq.slot)
                 seq.slot = None
             self.kv.free(seq.request_id)
         elif seq in self.waiting:
             self.waiting.remove(seq)
+            if seq.num_computed_tokens > 0:  # mid-prefill abort holds blocks
+                self.kv.free(seq.request_id)
 
     def release(self, seq: Sequence) -> None:
         """Free resources of a finished sequence."""
@@ -102,11 +121,15 @@ class Scheduler:
         out = SchedulerOutput()
 
         # 1. try to admit / continue prefilling a waiting sequence
-        if self.waiting and self._free_slots:
+        free_groups = self._groups_with_free_slots()
+        if self.waiting and free_groups:
             # pop FIRST: preemption appendlefts victims onto `waiting`
             seq = self.waiting.popleft()
             start = seq.num_computed_tokens
             if start == 0:
+                # pin the sequence to a DP group (trivially group 0 when
+                # groups == 1) before any block accounting
+                self.kv.assign_group(seq.request_id, allowed=free_groups)
                 cached = self.kv.get_computed_blocks(
                     seq.request_id, seq.prompt_ids, extra=seq.extra_hash
                 )
@@ -115,8 +138,10 @@ class Scheduler:
             else:
                 cached = 0
             length = min(self.prefill_chunk, seq.prompt_len - start)
-            ok = self.kv.allocate_slots(seq.request_id, start + length)
-            if not ok:
+            g = self.kv.group_of(seq.request_id)
+            ok = bool(self._free_slots[g])  # group must have a slot to join
+            ok = ok and self.kv.allocate_slots(seq.request_id, start + length)
+            if not ok and self._free_slots[g]:
                 # admission may only displace strictly lower-priority /
                 # later-arrival runners — prevents admit/decode ping-pong
                 ok = self._preempt_for(seq, start + length, beneath=seq)
@@ -130,7 +155,7 @@ class Scheduler:
                 seq.num_computed_tokens = start + length
                 if start + length >= seq.prompt_len:
                     # prompt complete → joins the decode batch
-                    seq.slot = self._free_slots.pop()
+                    seq.slot = self._free_slots[g].pop()
                     self.running.append(seq)
                 else:
                     # more chunks to go: stays at the head of waiting
@@ -155,11 +180,18 @@ class Scheduler:
     # -- preemption ----------------------------------------------------------
 
     def _victims(
-        self, exclude: Optional[Sequence], beneath: Optional[Sequence] = None
+        self,
+        exclude: Optional[Sequence],
+        beneath: Optional[Sequence] = None,
+        group: Optional[int] = None,
     ) -> list[Sequence]:
         """Lowest priority, then latest arrival first (scheduler.rs:677).
-        With ``beneath``, only sequences strictly below it qualify."""
+        With ``beneath``, only sequences strictly below it qualify. Victims
+        must share the claimant's DP group (each group's block pool is
+        independent)."""
         cands = [s for s in self.running if s is not exclude]
+        if group is not None and self.groups > 1:
+            cands = [s for s in cands if self.kv.group_of(s.request_id) == group]
         if beneath is not None:
             cands = [
                 s for s in cands
@@ -172,7 +204,7 @@ class Scheduler:
         if seq in self.running:
             self.running.remove(seq)
         if seq.slot is not None:
-            self._free_slots.append(seq.slot)
+            self._push_slot(seq.slot)
             seq.slot = None
         self.kv.free(seq.request_id)
         # recompute-from-scratch preemption: generated tokens fold into the
@@ -193,7 +225,8 @@ class Scheduler:
         beneath: Optional[Sequence] = None,
     ) -> bool:
         """Evict victims until `seq` can allocate. Returns success."""
-        victims = self._victims(exclude, beneath)
+        victims = self._victims(exclude, beneath,
+                                group=self.kv.group_of(seq.request_id))
         while victims:
             if self.kv.allocate_slots(seq.request_id, needed_tokens):
                 return True

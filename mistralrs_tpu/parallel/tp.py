@@ -185,6 +185,93 @@ def cache_pspecs() -> KVCache:
     return KVCache(k=spec, v=spec)
 
 
+def paged_cache_pspecs(quantized_kv: bool = False):
+    """PartitionSpecs for kv.paged.PagedKVCache pools [L, n_kv, S, hd]:
+    kv-heads shard over the model axis; the slot axis shards over the data
+    axis (each DP group owns an independent pool plane with LOCAL block/slot
+    ids — see kv/manager.py GroupedKVManager)."""
+    from ..kv.paged import PagedKVCache
+
+    spec = P(None, TP_AXIS, DP_AXIS, None)
+    sspec = P(None, TP_AXIS, DP_AXIS) if quantized_kv else None
+    return PagedKVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
+
+
+def shard_paged_cache(mesh: Mesh, cache):
+    """Place the paged pools on the mesh."""
+    from ..kv.paged import PagedKVCache
+
+    specs = paged_cache_pspecs(cache.k_scale is not None)
+    put = lambda a, s: None if a is None else jax.device_put(a, NamedSharding(mesh, s))
+    return PagedKVCache(
+        k=put(cache.k, specs.k),
+        v=put(cache.v, specs.v),
+        k_scale=put(cache.k_scale, specs.k_scale),
+        v_scale=put(cache.v_scale, specs.v_scale),
+    )
+
+
+def paged_tp_forward_fn(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    weights: dict,
+    *,
+    block_size: int,
+    backend: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+    quantized_kv: bool = False,
+    with_embeds: bool = False,
+):
+    """Build the jitted multi-chip PAGED forward for the serving engine —
+    the composition the reference achieves with Row/ColumnParallelLayer
+    driven by the engine loop (`mistralrs-quant/src/distributed/layers.rs:58`
+    + `mistralrs-core/src/engine/mod.rs:962`), here as ONE shard_map over the
+    (data, model) mesh:
+
+      (weights, ids [B,T], positions [B,T], cache, block_tables [B,W],
+       slot_mapping [B,T], kv_lens [B][, input_embeds [B,T,H]])
+         → (logits [B,1,V], cache)
+
+    The batch axis shards over `data` (group-major slots, local block ids per
+    group); weights and KV heads shard over `model` with psum/all_gather at
+    the row-parallel boundaries inside forward_paged."""
+    from ..models.llama import forward_paged
+
+    tp = mesh.shape[TP_AXIS]
+    lcfg = local_config(cfg, tp)
+    wspecs = weight_pspecs(weights)
+    cspecs = paged_cache_pspecs(quantized_kv)
+
+    def body(w, ids, positions, cache, bt, slot_map, kv_lens, *embeds):
+        emb = embeds[0] if embeds else None
+        return forward_paged(
+            w, lcfg, ids, positions, cache, bt, slot_map.reshape(-1), kv_lens,
+            block_size=block_size, backend=backend, logits_last_only=True,
+            compute_dtype=compute_dtype,
+            tp_axis=TP_AXIS if tp > 1 else None, input_embeds=emb,
+        )
+
+    in_specs = [
+        wspecs,
+        P(DP_AXIS, None),  # ids
+        P(DP_AXIS, None),  # positions
+        cspecs,
+        P(DP_AXIS, None),  # block tables (local ids per group)
+        P(DP_AXIS, None),  # slot mapping [B, T] (local ids per group)
+        P(DP_AXIS),  # kv_lens
+    ]
+    if with_embeds:
+        in_specs.append(P(DP_AXIS, None, None))
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(DP_AXIS, None, None), cspecs),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def tp_forward_fn(
     mesh: Mesh,
     cfg: ModelConfig,

@@ -128,15 +128,18 @@ class QTensor:
         )
 
     @classmethod
-    def from_gguf_raw(cls, raw: np.ndarray, t: GGMLType, shape: tuple[int, int]) -> "QTensor":
-        return cls.from_planar(to_planar(raw, t), shape, ggml_type=t)
+    def from_gguf_raw(
+        cls, raw: np.ndarray, t: GGMLType, shape: tuple[int, int], chunks: int = 1
+    ) -> "QTensor":
+        return cls.from_planar(to_planar(raw, t), shape, ggml_type=t, chunks=chunks)
 
     @classmethod
-    def quantize(cls, w: np.ndarray, t: GGMLType) -> "QTensor":
-        """ISQ entry point: quantize a float ``[N, K]`` matrix to GGUF type ``t``."""
+    def quantize(cls, w: np.ndarray, t: GGMLType, chunks: int = 1) -> "QTensor":
+        """ISQ entry point: quantize a float ``[N, K]`` matrix to GGUF type
+        ``t``. ``chunks`` = row-parallel TP degree (per-shard nibble packing)."""
         w = np.asarray(w, dtype=np.float32)
         raw = gguf_quantize(w, t)
-        return cls.from_gguf_raw(raw, t, w.shape)
+        return cls.from_gguf_raw(raw, t, w.shape, chunks=chunks)
 
     # -- access -------------------------------------------------------------
 

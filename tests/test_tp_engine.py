@@ -1,0 +1,270 @@
+"""TP×DP mesh-sharded PAGED serving engine vs the single-device engine —
+the composition the reference achieves with Row/ColumnParallel layers driven
+by the engine loop (mistralrs-quant/src/distributed/layers.rs:58 +
+mistralrs-core/src/engine/mod.rs:962). Runs real XLA collectives on the
+virtual 8-CPU mesh (SURVEY.md §4 'Distributed testing without a cluster')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mistralrs_tpu.engine.engine import Engine
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.gguf.constants import GGMLType
+from mistralrs_tpu.models import ModelConfig
+from mistralrs_tpu.models.hf_loader import weights_from_state_dict
+from mistralrs_tpu.parallel import build_mesh
+
+CFG = ModelConfig(
+    arch="llama", vocab_size=512, hidden_size=128, intermediate_size=256,
+    num_layers=2, num_heads=8, num_kv_heads=4, head_dim=16,
+    max_position_embeddings=512,
+)
+
+
+def _tiny_state_dict(cfg: ModelConfig, seed=0):
+    rng = np.random.default_rng(seed)
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+
+    def r(*s):
+        return rng.standard_normal(s, dtype=np.float32) * 0.05
+
+    sd = {
+        "model.embed_tokens.weight": r(V, H),
+        "model.norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": r(V, H),
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "self_attn.q_proj.weight"] = r(cfg.q_dim, H)
+        sd[p + "self_attn.k_proj.weight"] = r(cfg.kv_dim, H)
+        sd[p + "self_attn.v_proj.weight"] = r(cfg.kv_dim, H)
+        sd[p + "self_attn.o_proj.weight"] = r(H, cfg.q_dim)
+        sd[p + "mlp.gate_proj.weight"] = r(I, H)
+        sd[p + "mlp.up_proj.weight"] = r(I, H)
+        sd[p + "mlp.down_proj.weight"] = r(H, I)
+    return sd
+
+
+PROMPTS = [[1, 5, 9, 200, 7], [2, 4, 6, 8, 10, 12, 14], [100, 101], [50] * 21]
+
+
+def _run_engine(weights, *, mesh=None, max_batch=4, num_blocks=64, seeds=False):
+    eng = Engine(
+        CFG, weights, num_blocks=num_blocks, block_size=16, max_batch=max_batch,
+        backend="xla", compute_dtype=jnp.float32, mesh=mesh,
+    )
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8))
+        for p in PROMPTS
+    ]
+    eng.run_to_completion()
+    return [s.output_ids for s in seqs], eng
+
+
+def _need(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} virtual devices")
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2), (2, 4), (4, 1)])
+def test_tp_engine_matches_single_device(dp, tp):
+    _need(dp * tp)
+    sd = _tiny_state_dict(CFG)
+    weights = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    ref, _ = _run_engine(weights)
+    mesh = build_mesh(tp=tp, dp=dp)
+    got, eng = _run_engine(weights, mesh=mesh)
+    assert got == ref
+    assert eng.dp == dp
+
+
+def test_tp_engine_quantized():
+    """TP + per-shard chunked row-parallel packing through the ENGINE."""
+    _need(4)
+    tp = 2
+    sd = _tiny_state_dict(CFG, seed=3)
+    wq = weights_from_state_dict(
+        sd, CFG, dtype=jnp.float32, isq=GGMLType.Q8_0, row_parallel_chunks=tp
+    )
+    ref, _ = _run_engine(wq)
+    got, _ = _run_engine(wq, mesh=build_mesh(tp=tp, dp=2))
+    assert got == ref
+
+
+def test_dp_groups_isolate_pools():
+    """DP groups get independent block pools; preemption stays in-group."""
+    _need(4)
+    sd = _tiny_state_dict(CFG, seed=5)
+    weights = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    mesh = build_mesh(tp=2, dp=2)
+    # tiny pool so several long generations force block pressure per group
+    eng = Engine(
+        CFG, weights, num_blocks=6, block_size=16, max_batch=4,
+        backend="xla", compute_dtype=jnp.float32, mesh=mesh,
+    )
+    seqs = [
+        eng.add_request([7 * (i + 1)] * 5, SamplingParams(temperature=0.0, max_tokens=24))
+        for i in range(4)
+    ]
+    eng.run_to_completion()
+    for s in seqs:
+        assert len(s.output_ids) == 24
+    groups = {eng.kv.group_of(s.request_id) for s in seqs}
+    # after completion requests are freed; group map is cleared
+    ref_eng = Engine(
+        CFG, weights, num_blocks=64, block_size=16, max_batch=4,
+        backend="xla", compute_dtype=jnp.float32,
+    )
+    refs = [
+        ref_eng.add_request([7 * (i + 1)] * 5, SamplingParams(temperature=0.0, max_tokens=24))
+        for i in range(4)
+    ]
+    ref_eng.run_to_completion()
+    for s, r in zip(seqs, refs):
+        assert s.output_ids == r.output_ids
+
+
+def test_paged_decode_kernel_under_shard_map():
+    """The fused Pallas write+attend decode kernel composes with mesh
+    sharding: pools sharded on kv-heads (model) + DP slot planes (data),
+    interpret mode on the CPU mesh. Verifies the production TP combination
+    the XLA-only tests miss."""
+    _need(4)
+    from jax.sharding import PartitionSpec as P
+
+    from mistralrs_tpu.ops.paged_attention import paged_decode_attention_fused
+
+    mesh = build_mesh(tp=2, dp=2)
+    B, n_kv, group, hd, bs = 4, 4, 2, 64, 16
+    L, blocks_per_group = 2, 8
+    S = 2 * (blocks_per_group + 1) * bs  # dp=2 group planes incl. trash
+    rng = np.random.default_rng(0)
+    kp = jnp.asarray(rng.standard_normal((L, n_kv, S, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((L, n_kv, S, hd)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, n_kv * group, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.float32)
+    # per-group LOCAL tables/slots (2 seqs per group)
+    bt = jnp.asarray(
+        [[0, 1, 2], [3, 4, 5]] * 2, jnp.int32
+    )  # [B, 3] local block ids
+    kv_lens = jnp.asarray([33, 40, 17, 25], jnp.int32)
+    slots = jnp.asarray(
+        [bt[i, (kv_lens[i] - 1) // bs] * bs + (kv_lens[i] - 1) % bs for i in range(B)],
+        jnp.int32,
+    )
+
+    def body(q, kp, vp, k_new, v_new, slots, bt, kv_lens):
+        out, kp, vp = paged_decode_attention_fused(
+            q, kp, vp, k_new, v_new, slots, bt, kv_lens,
+            block_size=bs, interpret=True,
+        )
+        return out, kp, vp
+
+    pool_spec = P(None, "model", "data", None)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data", "model", None), pool_spec, pool_spec,
+            P("data", "model", None), P("data", "model", None),
+            P("data"), P("data", None), P("data"),
+        ),
+        out_specs=(P("data", "model", None), pool_spec, pool_spec),
+        check_vma=False,
+    )
+    out, kp2, vp2 = jax.jit(mapped)(q, kp, vp, k_new, v_new, slots, bt, kv_lens)
+
+    # reference: single-device kernel per group with its own pool plane
+    outs = []
+    half = S // 2
+    kps, vps = [], []
+    for g in range(2):
+        rows = slice(2 * g, 2 * g + 2)
+        o, kpg, vpg = paged_decode_attention_fused(
+            q[rows], kp[:, :, g * half : (g + 1) * half],
+            vp[:, :, g * half : (g + 1) * half],
+            k_new[rows], v_new[rows], slots[rows], bt[rows], kv_lens[rows],
+            block_size=bs, interpret=True,
+        )
+        outs.append(o)
+        kps.append(kpg)
+        vps.append(vpg)
+    np.testing.assert_allclose(np.asarray(out), np.concatenate(outs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kp2), np.concatenate(kps, axis=2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vp2), np.concatenate(vps, axis=2), atol=1e-6)
+
+
+def test_quant_matmul_pallas_under_shard_map():
+    """Row-parallel chunk-packed w4 + the Pallas matmul (interpret) inside
+    shard_map — the production TP × fused-kernel combination."""
+    _need(2)
+    from dataclasses import replace
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mistralrs_tpu.gguf.constants import GGMLType
+    from mistralrs_tpu.models.llama import _local_view
+    from mistralrs_tpu.ops import quant_matmul
+    from mistralrs_tpu.quant import QTensor
+
+    tp = 2
+    mesh = build_mesh(tp=tp, dp=1)
+    rng = np.random.default_rng(4)
+    n, k = 128, 512
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    qt = QTensor.quantize(w, GGMLType.Q4_K, chunks=tp)  # row-parallel packing
+    x = jnp.asarray(rng.standard_normal((4, k)) * 0.1, jnp.bfloat16)
+    ref = quant_matmul(x, qt, backend="xla", out_dtype=jnp.float32)
+
+    # K-major planar storage — a row-parallel shard is the LEADING axis of
+    # data/scale/bias; chunked packing makes each shard's slice self-contained
+    wspec = QTensor(
+        data=P("model", None), scale=P("model", None),
+        bias=None if qt.bias is None else P("model", None),
+        group_size=qt.group_size, packed=qt.packed, code_bits=qt.code_bits,
+        ggml_type=qt.ggml_type, chunks=qt.chunks,
+    )
+
+    def body(x, qt_l):
+        out = quant_matmul(x, _local_view(qt_l), backend="pallas",
+                           interpret=True, out_dtype=jnp.float32)
+        return jax.lax.psum(out, "model")
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, "model"), wspec),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    got = jax.jit(mapped)(x, qt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
+def test_tp_engine_sampled_logprobs_close():
+    """Non-greedy path: identical seeds → identical tokens (same PRNG stream,
+    logits replicated), logprobs match the single-device engine."""
+    _need(4)
+    sd = _tiny_state_dict(CFG, seed=8)
+    weights = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+
+    def run(mesh):
+        eng = Engine(
+            CFG, weights, num_blocks=64, block_size=16, max_batch=4,
+            backend="xla", compute_dtype=jnp.float32, mesh=mesh, seed=42,
+        )
+        s = eng.add_request(
+            [3, 1, 4, 1, 5], SamplingParams(temperature=0.8, top_k=20, max_tokens=6)
+        )
+        eng.run_to_completion()
+        return s
+
+    a = run(None)
+    b = run(build_mesh(tp=4, dp=1))
+    assert a.output_ids == b.output_ids
+    np.testing.assert_allclose(a.output_logprobs, b.output_logprobs, atol=1e-4)
