@@ -298,6 +298,45 @@ def cmd_imatrix(args):
     return 0
 
 
+def cmd_perplexity(args):
+    """Sliding-window perplexity over a text file (quality validation; the
+    analog of llama.cpp's `perplexity` tool — the reference validates its
+    quants against it, `releases/v0.8.2/report.md:47`)."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from .perplexity import compute_perplexity
+    from .pipeline import load_pipeline
+
+    compute_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
+    results = {}
+    quants = [None] + [q for q in (args.compare_isq or "").split(",") if q]
+    with open(args.text) as f:
+        text = f.read()
+    for q in quants:
+        pipe = load_pipeline(args.model, isq=q, dtype=compute_dtype)
+        if pipe.tokenizer is None:
+            print("error: model has no tokenizer", file=sys.stderr)
+            return 1
+        ids = pipe.tokenizer.encode(text)
+        if args.max_tokens:
+            ids = ids[: args.max_tokens]
+        r = compute_perplexity(
+            pipe.weights, pipe.cfg, ids, window=args.window,
+            batch_size=args.batch_size, compute_dtype=compute_dtype,
+            progress=not args.quiet,
+        )
+        label = q or "base"
+        results[label] = r
+        line = {"model": pipe.model_id, "quant": label, **r}
+        if q is not None:
+            line["delta_ppl"] = r["ppl"] - results["base"]["ppl"]
+        print(_json.dumps({k: round(v, 6) if isinstance(v, float) else v
+                           for k, v in line.items()}))
+    return 0
+
+
 def cmd_mcp_serve(args):
     from .chat_template import resolve_chat_template
     from .serving.mcp_server import McpModelServer
@@ -403,6 +442,20 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=512, help="max tokens per line")
     p.add_argument("-o", "--output", required=True, help="output .npz")
     p.set_defaults(fn=cmd_imatrix)
+
+    p = sub.add_parser("perplexity", help="sliding-window perplexity (quality check)")
+    p.add_argument("model", help="model path (.gguf or HF dir)")
+    p.add_argument("text", help="evaluation text file")
+    p.add_argument("--window", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--max-tokens", type=int, default=0, help="limit eval tokens")
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument(
+        "--compare-isq", default="",
+        help="comma list of ISQ types to also evaluate (prints delta_ppl vs base)",
+    )
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.set_defaults(fn=cmd_perplexity)
 
     p = sub.add_parser("mcp-serve", help="expose the model as an MCP tool server (stdio)")
     _add_model_args(p)
