@@ -31,7 +31,9 @@ from ..kv.manager import KVCacheManager
 from ..kv.paged import PagedKVCache
 from ..models.config import ModelConfig
 from ..models.llama import forward_paged
-from .sampler import BatchSamplingState, SamplingParams, dry_penalty_row, sample
+from .sampler import (
+    BatchSamplingState, SamplingParams, dry_penalty_row, sample, sample_row,
+)
 from .scheduler import Scheduler, SchedulerOutput
 from .sequence import Sequence, SequenceState, StopReason
 
@@ -49,11 +51,13 @@ def _bucket(n: int, buckets=_PREFILL_BUCKETS) -> int:
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
 def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
-                kv_lens, block_size, backend, compute_dtype, input_embeds=None):
+                kv_lens, last_indices, block_size, backend, compute_dtype,
+                input_embeds=None):
     return forward_paged(
         weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
         block_size=block_size, backend=backend, logits_last_only=True,
         compute_dtype=compute_dtype, input_embeds=input_embeds,
+        last_indices=last_indices,
     )
 
 
@@ -332,23 +336,32 @@ class Engine:
         out = self.scheduler.schedule()
         self.stats["steps"] += 1
         self.stats["preemptions"] = self.scheduler.num_preemptions
-        for seq in out.preempted:
-            if seq.slot is not None:
-                self._slot_seq[seq.slot] = None
+        # clear slot-table entries of sequences the scheduler evicted —
+        # _preempt nulls seq.slot before we see it, so sweep by membership
+        live = {id(s) for s in self.scheduler.running}
+        for i, s in enumerate(self._slot_seq):
+            if s is not None and id(s) not in live:
+                self._slot_seq[i] = None
         if out.is_empty:
             return []
-        if out.prefill is not None:
+        finished: list[Sequence] = []
+        # decode first (latency path), then this step's prompt chunks — one
+        # long prompt no longer stalls the decode batch (mixed steps, the
+        # analog of `default_scheduler.rs:201`)
+        if out.decode:
             try:
-                self._run_prefill(out.prefill)
+                finished.extend(self._run_decode(out.decode))
             except Exception as e:  # noqa: BLE001
-                self._fail_sequences([out.prefill.seq], e)
-                return [out.prefill.seq]
-            return []
-        try:
-            return self._run_decode(out.decode)
-        except Exception as e:  # noqa: BLE001
-            self._fail_sequences(out.decode, e)
-            return list(out.decode)
+                self._fail_sequences(out.decode, e)
+                finished.extend(out.decode)
+        if out.prefills:
+            try:
+                finished.extend(self._run_prefill_batch(out.prefills))
+            except Exception as e:  # noqa: BLE001
+                seqs = [sp.seq for sp in out.prefills]
+                self._fail_sequences(seqs, e)
+                finished.extend(seqs)
+        return finished
 
     def _fail_sequences(self, seqs: list[Sequence], err: Exception) -> None:
         import traceback
@@ -393,48 +406,92 @@ class Engine:
             bt[i, : len(ids)] = ids
         return bt
 
-    def _run_prefill(self, sp) -> None:
-        seq = sp.seq
-        ids = seq.prompt_ids[sp.start : sp.start + sp.length]
-        t = _bucket(sp.length)
-        # under DP the prefill runs as a [dp, t] batch in which only the
-        # owning group's row is real — other shards' writes go to the trash
-        # slot (all devices run in lockstep under SPMD, so the redundant rows
-        # cost nothing extra)
-        rows = self.dp
-        g = self.kv.group_of(seq.request_id)
-        ids_arr = np.zeros((rows, t), np.int32)
-        ids_arr[g, : sp.length] = ids
-        positions = np.zeros((rows, t), np.int32)
-        positions[g, : sp.length] = np.arange(sp.start, sp.start + sp.length)
-        slot_map = np.full((rows, t), -1, np.int64)
-        slot_map[g, : sp.length] = self.kv.slot_mapping(
-            seq.request_id, sp.start, sp.length
+    def _embed_rows(self, ids: list[int]) -> jax.Array:
+        """Embedding-table rows (with arch multipliers) for text tokens."""
+        from ..quant.linear import embedding_lookup
+
+        rows = embedding_lookup(
+            jnp.asarray(ids, jnp.int32), self.weights["embed"],
+            dtype=self.compute_dtype,
         )
-        width = max(32, self._max_blocks_bucket())
-        bt = np.zeros((rows, width), np.int32)
-        table = self.kv.block_table(seq.request_id)[:width]
-        bt[g, : len(table)] = table
-        kv_lens = np.ones((rows,), np.int32)
-        kv_lens[g] = sp.start + sp.length
-        # positions beyond the chunk are masked by kv_len/causality; the last
-        # VALID token's logits are what we need → roll so it lands last? No:
-        # logits_last_only takes index −1, so place the chunk at the END pad?
-        # Simpler: take full logits and index. Use logits_last_only=False for
-        # the final chunk only when padded.
-        embeds = None
-        pe = getattr(seq, "prompt_embeds", None)
-        if pe is not None:
-            h = pe.shape[-1]
-            embeds = jnp.zeros((rows, t, h), pe.dtype)
-            embeds = embeds.at[g, : sp.length].set(
-                pe[sp.start : sp.start + sp.length]
+        if self.cfg.arch.startswith("gemma"):
+            rows = rows * jnp.asarray(
+                self.cfg.embedding_multiplier or self.cfg.hidden_size**0.5,
+                rows.dtype,
             )
+        elif self.cfg.embedding_multiplier:
+            rows = rows * jnp.asarray(self.cfg.embedding_multiplier, rows.dtype)
+        return rows
+
+    def _run_prefill_batch(self, sps) -> list[Sequence]:
+        """Run this step's prompt chunks as ONE batched forward.
+
+        Row layout is group-major: rows [g*r, (g+1)*r) belong to DP group g
+        (r = bucketed chunks-per-group); under SPMD every shard runs the same
+        program and rows outside its group write to the trash slot. Each
+        sequence finishing its prompt samples its first token directly from
+        the prefill logits at the true last position — no bootstrap decode
+        step (the reference samples prompt-final logits in the same way)."""
+        per_group: list[list] = [[] for _ in range(self.dp)]
+        for sp in sps:
+            per_group[self.kv.group_of(sp.seq.request_id)].append(sp)
+        r = 1
+        while r < max(len(pg) for pg in per_group):
+            r *= 2
+        rows = self.dp * r
+        t = _bucket(max(sp.length for sp in sps))
+        ids_arr = np.zeros((rows, t), np.int32)
+        positions = np.zeros((rows, t), np.int32)
+        slot_map = np.full((rows, t), -1, np.int64)
+        kv_lens = np.ones((rows,), np.int32)
+        last_idx = np.zeros((rows,), np.int32)
+        width = self._max_blocks_bucket()
+        for sp in sps:
+            need = len(self.kv.block_table(sp.seq.request_id))
+            while width < need:
+                width *= 2
+        bt = np.zeros((rows, width), np.int32)
+        row_sp: dict[int, object] = {}
+        for g, pg in enumerate(per_group):
+            for i, sp in enumerate(pg):
+                row = g * r + i
+                row_sp[row] = sp
+                seq = sp.seq
+                ids_arr[row, : sp.length] = seq.prompt_ids[
+                    sp.start : sp.start + sp.length
+                ]
+                positions[row, : sp.length] = np.arange(
+                    sp.start, sp.start + sp.length
+                )
+                slot_map[row, : sp.length] = self.kv.slot_mapping(
+                    seq.request_id, sp.start, sp.length
+                )
+                table = self.kv.block_table(seq.request_id)[:width]
+                bt[row, : len(table)] = table
+                kv_lens[row] = sp.start + sp.length
+                last_idx[row] = sp.length - 1
+        embeds = None
+        if any(
+            getattr(sp.seq, "prompt_embeds", None) is not None for sp in sps
+        ):
+            h = self.cfg.hidden_size
+            embeds = jnp.zeros((rows, t, h), self.compute_dtype)
+            for row, sp in row_sp.items():
+                pe = getattr(sp.seq, "prompt_embeds", None)
+                if pe is None:  # text rows of a mixed batch
+                    pe_rows = self._embed_rows(
+                        sp.seq.prompt_ids[sp.start : sp.start + sp.length]
+                    )
+                else:
+                    pe_rows = pe[sp.start : sp.start + sp.length]
+                embeds = embeds.at[row, : sp.length].set(
+                    pe_rows.astype(self.compute_dtype)
+                )
         if self.mesh is not None:
             fwd_args = (
                 self.weights, jnp.asarray(ids_arr), jnp.asarray(positions),
                 self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
-                jnp.asarray(kv_lens),
+                jnp.asarray(kv_lens), jnp.asarray(last_idx),
             )
             if embeds is not None:
                 logits, self.cache = self._tp_fwd_embeds(*fwd_args, embeds)
@@ -442,72 +499,80 @@ class Engine:
                 logits, self.cache = self._tp_fwd(*fwd_args)
         else:
             logits, self.cache = _prefill_fn(
-                self.weights, self._fcfg, jnp.asarray(ids_arr), jnp.asarray(positions),
-                self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
-                jnp.asarray(kv_lens), self.block_size, self.backend, self.compute_dtype,
-                input_embeds=embeds,
+                self.weights, self._fcfg, jnp.asarray(ids_arr),
+                jnp.asarray(positions), self.cache, jnp.asarray(bt),
+                jnp.asarray(slot_map, jnp.int32), jnp.asarray(kv_lens),
+                jnp.asarray(last_idx), self.block_size, self.backend,
+                self.compute_dtype, input_embeds=embeds,
             )
         if self.draft_cfg is not None:
             _, self.draft_cache = _prefill_fn(
                 self.draft_weights, self._dfcfg, jnp.asarray(ids_arr),
                 jnp.asarray(positions), self.draft_cache, jnp.asarray(bt),
                 jnp.asarray(slot_map, jnp.int32), jnp.asarray(kv_lens),
-                self.block_size, self.backend, self.compute_dtype,
+                jnp.asarray(last_idx), self.block_size, self.backend,
+                self.compute_dtype,
             )
-        self.stats["prompt_tokens"] += sp.length
-        self.stats["prefix_cache_hit_tokens"] += sp.cached
-        self.kv.publish_full_blocks(seq.request_id, sp.start + sp.length)
+        finished: list[Sequence] = []
+        for row, sp in sorted(row_sp.items()):
+            seq = sp.seq
+            self.stats["prompt_tokens"] += sp.length
+            self.stats["prefix_cache_hit_tokens"] += sp.cached
+            self.kv.publish_full_blocks(seq.request_id, sp.start + sp.length)
+            if sp.start + sp.length >= seq.prompt_len:
+                if self._admit_and_sample_first(seq, logits[row, 0]):
+                    finished.append(seq)
+        return finished
 
-        if sp.start + sp.length >= seq.prompt_len:
-            # prompt done — sequence joined the decode batch in the scheduler
-            slot = seq.slot
-            self._slot_seq[slot] = seq
-            counts = np.zeros((self.cfg.vocab_size,), np.int32)
-            uniq, c = np.unique(np.asarray(seq.prompt_ids, np.int64), return_counts=True)
-            counts[uniq] = c
-            bias = np.zeros((self.cfg.vocab_size,), np.float32)
-            for tok, val in seq.params.logit_bias.items():
-                if 0 <= tok < self.cfg.vocab_size:
-                    bias[tok] = val
-            p = seq.params
-            cbias = np.zeros((self.cfg.vocab_size,), np.float32)
-            cons = self._resolve_constraint(p.constraint)
-            if cons is not None:
-                builder = self._get_mask_builder()
-                st0 = cons.initial()
-                self._slot_constraint[slot] = (cons, st0)
-                allow = builder.mask(cons, st0, self.cfg.eos_token_ids)
-                cbias = np.where(allow, 0.0, -1e30).astype(np.float32)
-            else:
-                self._slot_constraint[slot] = None
-            if p.dry_multiplier > 0.0:
-                dry = dry_penalty_row(list(seq.prompt_ids), p, self.cfg.vocab_size)
-                if dry is not None:
-                    cbias = cbias + dry
-            scalars = tuple(
-                jnp.asarray(v, jnp.float32 if i != 1 else jnp.int32)
-                for i, v in enumerate(
-                    (p.temperature, p.top_k, p.top_p, p.min_p,
-                     p.frequency_penalty, p.presence_penalty, p.repetition_penalty)
-                )
+    def _admit_and_sample_first(self, seq: Sequence, logits_row) -> bool:
+        """Install the finished prompt's slot state and sample its first
+        token from the prefill logits. Returns True if the sequence finished
+        on that token."""
+        slot = seq.slot
+        self._slot_seq[slot] = seq
+        counts = np.zeros((self.cfg.vocab_size,), np.int32)
+        uniq, c = np.unique(np.asarray(seq.prompt_ids, np.int64), return_counts=True)
+        counts[uniq] = c
+        bias = np.zeros((self.cfg.vocab_size,), np.float32)
+        for tok, val in seq.params.logit_bias.items():
+            if 0 <= tok < self.cfg.vocab_size:
+                bias[tok] = val
+        p = seq.params
+        cbias = np.zeros((self.cfg.vocab_size,), np.float32)
+        cons = self._resolve_constraint(p.constraint)
+        if cons is not None:
+            builder = self._get_mask_builder()
+            st0 = cons.initial()
+            self._slot_constraint[slot] = (cons, st0)
+            allow = builder.mask(cons, st0, self.cfg.eos_token_ids)
+            cbias = np.where(allow, 0.0, -1e30).astype(np.float32)
+        else:
+            self._slot_constraint[slot] = None
+        if p.dry_multiplier > 0.0:
+            dry = dry_penalty_row(list(seq.prompt_ids), p, self.cfg.vocab_size)
+            if dry is not None:
+                cbias = cbias + dry
+        scalars = tuple(
+            jnp.asarray(v, jnp.float32 if i != 1 else jnp.int32)
+            for i, v in enumerate(
+                (p.temperature, p.top_k, p.top_p, p.min_p,
+                 p.frequency_penalty, p.presence_penalty, p.repetition_penalty)
             )
-            self.samp_state = _admit_slot(
-                self.samp_state, slot, scalars, jnp.asarray(counts),
-                jnp.asarray(bias), jnp.asarray(cbias),
-            )
-            self._emit_first_token(seq, logits)
-
-    def _emit_first_token(self, seq: Sequence, logits) -> None:
-        # logits_last_only returned the PADDED last position; recompute from
-        # the valid position instead: we passed padded ids, so take care to
-        # only use this when padding is absent. To keep one executable, the
-        # prefill fn returns last-only logits of the padded chunk — the pad
-        # tokens attend causally to the real prompt (their KV is dropped via
-        # slot −1) so the LAST PAD position's logits equal the logits of the
-        # final real token only when there is no pad. We therefore re-run
-        # sampling on the decode path instead: mark the first decode step to
-        # consume the prompt's last token.
-        seq._needs_bootstrap = True  # type: ignore[attr-defined]
+        )
+        self.samp_state = _admit_slot(
+            self.samp_state, slot, scalars, jnp.asarray(counts),
+            jnp.asarray(bias), jnp.asarray(cbias),
+        )
+        self._key, sub = jax.random.split(self._key)
+        toks, logprobs, tops, self.samp_state = sample_row(
+            logits_row, slot, self.samp_state, sub
+        )
+        seq.first_token_time = time.monotonic()
+        tok = int(np.asarray(toks)[slot])
+        lp = float(np.asarray(logprobs)[slot])
+        top_vals = np.asarray(tops[0])[slot]
+        top_ids = np.asarray(tops[1])[slot]
+        return self._commit_token(seq, tok, lp, top_vals, top_ids)
 
     def _run_decode_spec(self, seqs: list[Sequence]) -> list[Sequence]:
         """Speculative decode round: draft rolls out gamma tokens greedily,
@@ -519,14 +584,12 @@ class Engine:
         base_pos = np.zeros((b,), np.int32)
         width = self._max_blocks_bucket()
         bt = np.zeros((b, width), np.int32)
-        skip_first = np.zeros((b,), bool)  # last token's KV already written
         active = [None] * b
         for seq in seqs:
             s = seq.slot
             active[s] = seq
             base_tok[s] = seq.all_ids[-1]
             base_pos[s] = seq.total_len - 1
-            skip_first[s] = bool(getattr(seq, "_needs_bootstrap", False))
             table = self.kv.block_table(seq.request_id)[:width]
             bt[s, : len(table)] = table
 
@@ -534,8 +597,6 @@ class Engine:
             sm = np.full((b,), -1, np.int64)
             for seq in seqs:
                 s = seq.slot
-                if offset == 0 and skip_first[s]:
-                    continue
                 sm[s] = self.kv.slot_mapping(
                     seq.request_id, int(base_pos[s]) + offset, 1
                 )[0]
@@ -574,10 +635,6 @@ class Engine:
         finished: list[Sequence] = []
         for seq in seqs:
             s = seq.slot
-            if getattr(seq, "_needs_bootstrap", False):
-                seq._needs_bootstrap = False  # type: ignore[attr-defined]
-                if seq.first_token_time is None:
-                    seq.first_token_time = time.monotonic()
             acc = 0
             while acc < g and drafts[s, acc] == greedy[s, acc]:
                 acc += 1
@@ -621,18 +678,14 @@ class Engine:
         for seq in seqs:
             s = seq.slot
             active[s] = seq
-            # the token whose logits we need next: last prompt token if no
-            # output yet (bootstrap), else the last generated token
+            # feed the last generated token (its KV is written this step at
+            # position total_len-1; the first one was sampled from prefill
+            # logits, so every decode input is a generated token)
             tokens[s] = seq.all_ids[-1]
             pos = seq.total_len - 1
             positions[s] = pos
             kv_lens[s] = pos + 1
-            if getattr(seq, "_needs_bootstrap", False):
-                # last prompt token's KV was already written during prefill →
-                # drop the rewrite
-                slot_map[s] = -1
-            else:
-                slot_map[s] = self.kv.slot_mapping(seq.request_id, pos, 1)[0]
+            slot_map[s] = self.kv.slot_mapping(seq.request_id, pos, 1)[0]
             table = self.kv.block_table(seq.request_id)[:width]
             bt[s, : len(table)] = table
 
@@ -642,6 +695,7 @@ class Engine:
                 self.weights, jnp.asarray(tokens)[:, None],
                 jnp.asarray(positions)[:, None], self.cache, jnp.asarray(bt),
                 jnp.asarray(slot_map, jnp.int32)[:, None], jnp.asarray(kv_lens),
+                jnp.zeros((b,), jnp.int32),  # last_indices: T=1 → index 0
             )
             new_tokens, logprobs, tops, self.samp_state = sample(
                 logits[:, -1], self.samp_state, sub
@@ -660,67 +714,76 @@ class Engine:
         finished: list[Sequence] = []
         for seq in seqs:
             s = seq.slot
-            # advance grammar constraints with the committed token
-            slot_cons = self._slot_constraint[s]
-            gram_row: Optional[np.ndarray] = None
-            gram_set = False
-            if slot_cons is not None:
-                cons, st = slot_cons
-                builder = self._get_mask_builder()
-                st = builder.advance_with_token(cons, st, int(new_tokens[s]))
-                gram_set = True
-                if st is None or cons.is_complete(st):
-                    # dead or complete → stop constraining (EOS-only mask when
-                    # complete is handled by the stop check below)
-                    self._slot_constraint[s] = None
-                    if st is not None and cons.is_complete(st):
-                        seq._constraint_done = True  # type: ignore[attr-defined]
-                else:
-                    self._slot_constraint[s] = (cons, st)
-                    allow = builder.mask(cons, st, self.cfg.eos_token_ids)
-                    gram_row = np.where(allow, 0.0, -1e30).astype(np.float32)
-            if gram_set or seq.params.dry_multiplier > 0.0:
-                row = gram_row
-                if seq.params.dry_multiplier > 0.0:
-                    dry = dry_penalty_row(
-                        seq.all_ids + [int(new_tokens[s])], seq.params,
-                        self.cfg.vocab_size,
-                    )
-                    if dry is not None:
-                        row = dry if row is None else row + dry
-                if row is None:
-                    row = np.zeros((self.cfg.vocab_size,), np.float32)
-                self.samp_state = _set_constraint_bias(
-                    self.samp_state, s, jnp.asarray(row)
-                )
-            if getattr(seq, "_needs_bootstrap", False):
-                seq._needs_bootstrap = False  # type: ignore[attr-defined]
-                if seq.first_token_time is None:
-                    seq.first_token_time = time.monotonic()
-            tok = int(new_tokens[s])
-            seq.output_ids.append(tok)
-            seq.output_logprobs.append(float(logprobs[s]))
-            if seq.params.n_logprobs > 0:
-                k = min(seq.params.n_logprobs, top_ids.shape[1])
-                seq.output_top_logprobs.append(
-                    {int(i): float(v) for i, v in
-                     zip(top_ids[s, :k], top_vals[s, :k])}
-                )
-            self.stats["generated_tokens"] += 1
-            self.kv.extend_hashes(seq.request_id, seq.all_ids)
-            # the token just sampled has NO KV yet (written next step) →
-            # publish only through total_len - 1 or a block whose last row is
-            # zeros leaks into the prefix cache
-            self.kv.publish_full_blocks(seq.request_id, seq.total_len - 1)
-            reason = self._check_stop(seq, tok)
-            if seq.on_tokens is not None:
-                seq.on_tokens([tok], reason is not None)
-            if reason is not None:
-                seq.finish(reason)
-                self.scheduler.release(seq)
-                self._slot_seq[s] = None
+            if self._commit_token(
+                seq, int(new_tokens[s]), float(logprobs[s]),
+                top_vals[s], top_ids[s],
+            ):
                 finished.append(seq)
         return finished
+
+    def _commit_token(self, seq: Sequence, tok: int, logprob: float,
+                      top_vals_row, top_ids_row) -> bool:
+        """Commit one sampled token: advance grammar state, update constraint
+        bias, record outputs, publish KV-complete blocks, and run stop
+        checks. Returns True if the sequence finished."""
+        s = seq.slot
+        # advance grammar constraints with the committed token
+        slot_cons = self._slot_constraint[s]
+        gram_row: Optional[np.ndarray] = None
+        gram_set = False
+        if slot_cons is not None:
+            cons, st = slot_cons
+            builder = self._get_mask_builder()
+            st = builder.advance_with_token(cons, st, tok)
+            gram_set = True
+            if st is None or cons.is_complete(st):
+                # dead or complete → stop constraining (EOS-only mask when
+                # complete is handled by the stop check below)
+                self._slot_constraint[s] = None
+                if st is not None and cons.is_complete(st):
+                    seq._constraint_done = True  # type: ignore[attr-defined]
+            else:
+                self._slot_constraint[s] = (cons, st)
+                allow = builder.mask(cons, st, self.cfg.eos_token_ids)
+                gram_row = np.where(allow, 0.0, -1e30).astype(np.float32)
+        if gram_set or seq.params.dry_multiplier > 0.0:
+            row = gram_row
+            if seq.params.dry_multiplier > 0.0:
+                dry = dry_penalty_row(
+                    seq.all_ids + [tok], seq.params, self.cfg.vocab_size,
+                )
+                if dry is not None:
+                    row = dry if row is None else row + dry
+            if row is None:
+                row = np.zeros((self.cfg.vocab_size,), np.float32)
+            self.samp_state = _set_constraint_bias(
+                self.samp_state, s, jnp.asarray(row)
+            )
+        if seq.first_token_time is None:
+            seq.first_token_time = time.monotonic()
+        seq.output_ids.append(tok)
+        seq.output_logprobs.append(logprob)
+        if seq.params.n_logprobs > 0:
+            k = min(seq.params.n_logprobs, top_ids_row.shape[0])
+            seq.output_top_logprobs.append(
+                {int(i): float(v) for i, v in
+                 zip(top_ids_row[:k], top_vals_row[:k])}
+            )
+        self.stats["generated_tokens"] += 1
+        self.kv.extend_hashes(seq.request_id, seq.all_ids)
+        # the token just sampled has NO KV yet (written next step) →
+        # publish only through total_len - 1 or a block whose last row is
+        # zeros leaks into the prefix cache
+        self.kv.publish_full_blocks(seq.request_id, seq.total_len - 1)
+        reason = self._check_stop(seq, tok)
+        if seq.on_tokens is not None:
+            seq.on_tokens([tok], reason is not None)
+        if reason is not None:
+            seq.finish(reason)
+            self.scheduler.release(seq)
+            self._slot_seq[s] = None
+            return True
+        return False
 
     def _resolve_constraint(self, c):
         if c is None:

@@ -161,14 +161,12 @@ def make_batch_state(
     )
 
 
-@jax.jit
-def sample(
+def _sample_core(
     logits: jax.Array,  # [B, V] f32
     state: BatchSamplingState,
     key: jax.Array,
+    update=None,  # [B] i32 0/1 rows whose counts absorb the sampled token
 ):
-    """One sampling step. Returns (tokens [B], logprobs [B],
-    (top_logprob_vals [B, k], top_ids [B, k]), updated state)."""
     b, v = logits.shape
     logits = logits.astype(jnp.float32) + state.logit_bias + state.constraint_bias
 
@@ -220,7 +218,10 @@ def sample(
     logprobs = jnp.take_along_axis(logprobs_all, tokens[:, None], axis=-1)[:, 0]
     top_vals, top_ids = jax.lax.top_k(logprobs_all, TOP_LOGPROBS)
 
-    counts = state.counts.at[jnp.arange(b), tokens].add(1)
+    if update is None:
+        counts = state.counts.at[jnp.arange(b), tokens].add(1)
+    else:
+        counts = state.counts.at[jnp.arange(b), tokens].add(update)
     new_state = BatchSamplingState(
         temperature=state.temperature,
         top_k=state.top_k,
@@ -234,3 +235,34 @@ def sample(
         constraint_bias=state.constraint_bias,
     )
     return tokens, logprobs, (top_vals, top_ids), new_state
+
+
+@jax.jit
+def sample(
+    logits: jax.Array,  # [B, V] f32
+    state: BatchSamplingState,
+    key: jax.Array,
+):
+    """One sampling step. Returns (tokens [B], logprobs [B],
+    (top_logprob_vals [B, k], top_ids [B, k]), updated state)."""
+    return _sample_core(logits, state, key)
+
+
+@jax.jit
+def sample_row(
+    logits_row: jax.Array,  # [V] f32: one sequence's logits
+    slot,  # scalar i32
+    state: BatchSamplingState,
+    key: jax.Array,
+):
+    """Sample a single slot's first token from prefill logits: the row is
+    scattered into the batch shape, sampled with the full per-slot state,
+    and only that slot's counts absorb the token (the analog of the
+    reference sampling the prompt's final-position logits directly,
+    `pipeline/mod.rs` sample_causal — no bootstrap decode step)."""
+    b = state.temperature.shape[0]
+    full = jnp.zeros((b, logits_row.shape[-1]), jnp.float32).at[slot].set(
+        logits_row
+    )
+    update = (jnp.arange(b) == slot).astype(jnp.int32)
+    return _sample_core(full, state, key, update)

@@ -31,13 +31,13 @@ class ScheduledPrefill:
 
 @dataclass
 class SchedulerOutput:
-    prefill: Optional[ScheduledPrefill] = None
+    prefills: list[ScheduledPrefill] = field(default_factory=list)
     decode: list[Sequence] = field(default_factory=list)
     preempted: list[Sequence] = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
-        return self.prefill is None and not self.decode
+        return not self.prefills and not self.decode
 
 
 class Scheduler:
@@ -48,10 +48,12 @@ class Scheduler:
         prefill_chunk: int = 1024,
         enable_prefix_caching: bool = True,
         groups: int = 1,  # data-parallel groups; slots are group-major
+        max_prefill_seqs: int = 4,  # prompt chunks batched into one step
     ):
         self.kv = kv
         self.max_batch = max_batch
         self.prefill_chunk = prefill_chunk
+        self.max_prefill_seqs = max_prefill_seqs
         # tokens to allocate ahead per decode round (speculative: gamma+1)
         self.lookahead = 1
         self.waiting: deque[Sequence] = deque()
@@ -116,15 +118,47 @@ class Scheduler:
     # -- core ----------------------------------------------------------------
 
     def schedule(self) -> SchedulerOutput:
-        """One engine step: either advance a prompt chunk (prefill-priority,
-        like the reference's engine) or decode the whole running batch."""
+        """One engine step: decode the whole running batch AND advance up to
+        ``max_prefill_seqs`` prompt chunks (mixed prefill+decode steps — the
+        reference schedules prompt batches and completions concurrently,
+        `default_scheduler.rs:201`; one long prompt no longer stalls all
+        decoding)."""
         out = SchedulerOutput()
+        self._step_preempted: set[int] = set()
 
-        # 1. try to admit / continue prefilling a waiting sequence
-        free_groups = self._groups_with_free_slots()
-        if self.waiting and free_groups:
-            # pop FIRST: preemption appendlefts victims onto `waiting`
-            seq = self.waiting.popleft()
+        # 1. decode the running batch (first: its block claims win, and the
+        # engine issues the latency-sensitive decode forward before prefill)
+        if self.running:
+            # ensure every running sequence has a slot for its next token
+            for seq in list(self.running):
+                if seq not in self.running:
+                    continue  # evicted as a victim by an earlier iteration
+                need = seq.total_len + self.lookahead
+                ok = self.kv.allocate_slots(seq.request_id, need)
+                if not ok:
+                    ok = self._preempt_for(seq, need, exclude=seq)
+                if not ok:
+                    # cannot even preempt (seq is lowest priority) → preempt it
+                    self._preempt(seq)
+                    out.preempted.append(seq)
+            out.decode = [s for s in self.running]
+
+        # 2. admit / continue prefilling waiting sequences (FCFS; stop at the
+        # first admission failure to preserve arrival order). Sequences
+        # preempted THIS step wait until the next one (re-admitting them now
+        # could bounce them to the back of the queue).
+        touched: set[int] = {id(s) for s in out.preempted} | self._step_preempted
+        while self.waiting and len(out.prefills) < self.max_prefill_seqs:
+            seq = self.waiting[0]
+            if id(seq) in touched:
+                break  # mid-prefill continuation or fresh preemptee: next step
+            free_groups = self._groups_with_free_slots()
+            if not free_groups:
+                break
+            # pop AFTER the guards: preemption appendlefts victims onto
+            # `waiting`, and a failed admission goes to the back
+            self.waiting.popleft()
+            touched.add(id(seq))
             start = seq.num_computed_tokens
             if start == 0:
                 # pin the sequence to a DP group (trivially group 0 when
@@ -145,36 +179,30 @@ class Scheduler:
                 # admission may only displace strictly lower-priority /
                 # later-arrival runners — prevents admit/decode ping-pong
                 ok = self._preempt_for(seq, start + length, beneath=seq)
+                touched |= self._step_preempted  # victims wait for next step
             if not ok:
                 # cannot admit now — put it back behind any preempted victims
                 self.waiting.append(seq)
+                break
+            if seq.state == SequenceState.WAITING:
+                seq.state = SequenceState.RUNNING
+            out.prefills.append(ScheduledPrefill(seq, start, length, cached))
+            seq.num_computed_tokens = start + length
+            if start + length >= seq.prompt_len:
+                # prompt complete → joins the decode batch NEXT step (this
+                # step's decode list was fixed above)
+                seq.slot = self._free_slots[g].pop()
+                self.running.append(seq)
             else:
-                if seq.state == SequenceState.WAITING:
-                    seq.state = SequenceState.RUNNING
-                out.prefill = ScheduledPrefill(seq, start, length, cached)
-                seq.num_computed_tokens = start + length
-                if start + length >= seq.prompt_len:
-                    # prompt complete → joins the decode batch
-                    seq.slot = self._free_slots[g].pop()
-                    self.running.append(seq)
-                else:
-                    # more chunks to go: stays at the head of waiting
-                    self.waiting.appendleft(seq)
-                return out
+                # more chunks to go: stays at the head of waiting
+                self.waiting.appendleft(seq)
 
-        # 2. decode the running batch
-        if self.running:
-            # ensure every running sequence has a slot for its next token
-            for seq in list(self.running):
-                need = seq.total_len + self.lookahead
-                ok = self.kv.allocate_slots(seq.request_id, need)
-                if not ok:
-                    ok = self._preempt_for(seq, need, exclude=seq)
-                if not ok:
-                    # cannot even preempt (seq is lowest priority) → preempt it
-                    self._preempt(seq)
-                    out.preempted.append(seq)
-            out.decode = list(self.running)
+        # drop decode members that admission preempted after the list was made
+        # (membership check, NOT length — a preemption and a prompt completion
+        # in the same step leave the lengths equal while the contents differ)
+        if out.decode:
+            live = {id(s) for s in self.running}
+            out.decode = [s for s in out.decode if id(s) in live]
         return out
 
     # -- preemption ----------------------------------------------------------
@@ -201,6 +229,9 @@ class Scheduler:
 
     def _preempt(self, seq: Sequence) -> None:
         self.num_preemptions += 1
+        if not hasattr(self, "_step_preempted"):
+            self._step_preempted = set()
+        self._step_preempted.add(id(seq))
         if seq in self.running:
             self.running.remove(seq)
         if seq.slot is not None:

@@ -692,6 +692,7 @@ def forward_paged(
     tp_axis: Optional[str] = None,
     force_gather: bool = False,
     input_embeds: Optional[jax.Array] = None,  # [B, T, H] (multimodal merge)
+    last_indices: Optional[jax.Array] = None,  # [B] per-row last VALID index
 ):
     """Decoder step over the paged KV cache (decode or chunked prefill).
 
@@ -885,7 +886,14 @@ def forward_paged(
         weights.get("final_norm_bias"), cfg.norm_type,
     )
     if logits_last_only:
-        h = h[:, -1:, :]
+        if last_indices is not None:
+            # per-row true last position (padded prefill chunks: the -1 row
+            # is a pad token whose logits are NOT the prompt's final logits)
+            h = jnp.take_along_axis(
+                h, last_indices.astype(jnp.int32)[:, None, None], axis=1
+            )
+        else:
+            h = h[:, -1:, :]
     lm_head = weights.get("lm_head")
     tied = lm_head is None
     if tied:

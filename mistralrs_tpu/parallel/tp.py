@@ -242,13 +242,15 @@ def paged_tp_forward_fn(
     wspecs = weight_pspecs(weights)
     cspecs = paged_cache_pspecs(quantized_kv)
 
-    def body(w, ids, positions, cache, bt, slot_map, kv_lens, *embeds):
+    def body(w, ids, positions, cache, bt, slot_map, kv_lens, last_idx,
+             *embeds):
         emb = embeds[0] if embeds else None
         return forward_paged(
             w, lcfg, ids, positions, cache, bt, slot_map.reshape(-1), kv_lens,
             block_size=block_size, backend=backend, logits_last_only=True,
             compute_dtype=compute_dtype,
             tp_axis=TP_AXIS if tp > 1 else None, input_embeds=emb,
+            last_indices=last_idx,
         )
 
     in_specs = [
@@ -259,6 +261,7 @@ def paged_tp_forward_fn(
         P(DP_AXIS, None),  # block tables (local ids per group)
         P(DP_AXIS, None),  # slot mapping [B, T] (local ids per group)
         P(DP_AXIS),  # kv_lens
+        P(DP_AXIS),  # last_indices (per-row last valid position)
     ]
     if with_embeds:
         in_specs.append(P(DP_AXIS, None, None))
