@@ -1,0 +1,104 @@
+"""Arch adapters: serve specialized model families through the engine.
+
+The analog of the reference's per-arch Pipeline implementations +
+hybrid cache (`mistralrs-core/src/pipeline/` and
+`kv_cache/hybrid_cache.rs`): the engine drives ONE loop (scheduler,
+paged block accounting, fixed-slot sampler) and an adapter supplies the
+arch's forward + cache shape:
+
+* ``DeepseekAdapter`` — absorbed MLA over a paged latent pool.
+* ``Qwen3NextAdapter`` — hybrid: paged KV for full-attention layers +
+  per-slot conv/recurrent state pools for the GDN layers.
+* ``Lfm2Adapter`` — hybrid: paged KV for attention layers + per-slot
+  conv state for the short-conv layers.
+
+All per-sequence state is keyed by the engine's fixed decode slot, which
+the scheduler claims at ADMISSION so chunked prefill has a stable home.
+Prefill rows carry (slot_ids, resets): resets=1 zeroes a row's recurrent
+state before processing (fresh prompt or recompute-preemption replay).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..generate import _freeze
+from .sampler import sample
+
+
+def _hashable(cfg):
+    return _freeze(cfg)
+
+
+class DeepseekAdapter:
+    """Serve DeepSeek V2/V3 (absorbed MLA + DeepSeek-MoE) via the engine."""
+
+    supports_prefix_cache = True
+    supports_embeds = False
+
+    def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
+        self.cfg = cfg
+        self.weights = weights
+        self.compute_dtype = compute_dtype
+        self.backend = backend
+        self._fcfg = _hashable(cfg)
+
+    def create_cache(self, num_blocks: int, block_size: int):
+        from ..models.deepseek import make_paged_cache
+
+        self._block_size = block_size
+        return make_paged_cache(
+            self.cfg, num_blocks, block_size, dtype=self.compute_dtype
+        )
+
+    def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
+                last_indices, slot_ids, resets, embeds=None):
+        return _ds_fwd(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map.reshape(-1), kv_lens, last_indices,
+            self._block_size, self.backend, self.compute_dtype,
+        )
+
+    def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
+               samp_state, key):
+        return _ds_decode(
+            self.weights, self._fcfg, tokens, positions, cache, bt,
+            slot_map, kv_lens, samp_state, key,
+            self._block_size, self.backend, self.compute_dtype,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _ds_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+            last_indices, block_size, backend, compute_dtype):
+    from ..models.deepseek import deepseek_forward_paged
+
+    return deepseek_forward_paged(
+        weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+        block_size=block_size, backend=backend, compute_dtype=compute_dtype,
+        logits_last_only=True, last_indices=last_indices,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _ds_decode(weights, cfg, tokens, positions, cache, bt, slot_map, kv_lens,
+               samp_state, key, block_size, backend, compute_dtype):
+    from ..models.deepseek import deepseek_forward_paged
+
+    logits, cache = deepseek_forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, bt,
+        slot_map, kv_lens, block_size=block_size, backend=backend,
+        compute_dtype=compute_dtype, logits_last_only=True,
+    )
+    new_tokens, logprobs, tops, samp_state = sample(
+        logits[:, -1], samp_state, key
+    )
+    return new_tokens, logprobs, tops, cache, samp_state

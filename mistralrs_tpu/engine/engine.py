@@ -157,7 +157,16 @@ class Engine:
         draft: Optional[tuple[ModelConfig, dict]] = None,  # speculative pair
         gamma: int = 4,  # draft tokens per verification step
         mesh=None,  # jax.sharding.Mesh (data, model): TP×DP sharded serving
+        adapter=None,  # arch adapter (engine/adapters.py): MLA/GDN/hybrid
     ):
+        self.adapter = adapter
+        if adapter is not None:
+            if mesh is not None or draft is not None or kv_quant is not None:
+                raise NotImplementedError(
+                    "arch adapters: single-chip, no draft, no KV quant"
+                )
+            if not adapter.supports_prefix_cache:
+                enable_prefix_caching = False
         self.cfg = cfg
         self._fcfg = _freeze(cfg)
         self.block_size = block_size
@@ -211,10 +220,13 @@ class Engine:
         self.scheduler = Scheduler(self.kv, max_batch, prefill_chunk,
                                    groups=self.dp)
         self.scheduler.on_preempt = self._extend_prompt_embeds
-        self.cache = PagedKVCache.create(
-            cfg, num_blocks, block_size, dtype=compute_dtype, kv_quant=kv_quant,
-            groups=self.dp,
-        )
+        if adapter is not None:
+            self.cache = adapter.create_cache(num_blocks, block_size)
+        else:
+            self.cache = PagedKVCache.create(
+                cfg, num_blocks, block_size, dtype=compute_dtype,
+                kv_quant=kv_quant, groups=self.dp,
+            )
         if mesh is not None:
             from ..parallel.tp import shard_paged_cache
 
@@ -487,7 +499,19 @@ class Engine:
                 embeds = embeds.at[row, : sp.length].set(
                     pe_rows.astype(self.compute_dtype)
                 )
-        if self.mesh is not None:
+        if self.adapter is not None:
+            slot_ids = np.full((rows,), -1, np.int32)
+            resets = np.zeros((rows,), np.int32)
+            for row, sp in row_sp.items():
+                slot_ids[row] = sp.seq.slot
+                resets[row] = 1 if sp.start == 0 else 0
+            logits, self.cache = self.adapter.prefill(
+                self.cache, jnp.asarray(ids_arr), jnp.asarray(positions),
+                jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+                jnp.asarray(kv_lens), jnp.asarray(last_idx),
+                jnp.asarray(slot_ids), jnp.asarray(resets), embeds,
+            )
+        elif self.mesh is not None:
             fwd_args = (
                 self.weights, jnp.asarray(ids_arr), jnp.asarray(positions),
                 self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
@@ -690,7 +714,15 @@ class Engine:
             bt[s, : len(table)] = table
 
         self._key, sub = jax.random.split(self._key)
-        if self.mesh is not None:
+        if self.adapter is not None:
+            new_tokens, logprobs, tops, self.cache, self.samp_state = (
+                self.adapter.decode(
+                    self.cache, jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+                    jnp.asarray(kv_lens), self.samp_state, sub,
+                )
+            )
+        elif self.mesh is not None:
             logits, self.cache = self._tp_fwd(
                 self.weights, jnp.asarray(tokens)[:, None],
                 jnp.asarray(positions)[:, None], self.cache, jnp.asarray(bt),

@@ -104,6 +104,9 @@ class Scheduler:
             self.kv.free(seq.request_id)
         elif seq in self.waiting:
             self.waiting.remove(seq)
+            if seq.slot is not None:  # slot is claimed at admission
+                self._push_slot(seq.slot)
+                seq.slot = None
             if seq.num_computed_tokens > 0:  # mid-prefill abort holds blocks
                 self.kv.free(seq.request_id)
 
@@ -152,9 +155,10 @@ class Scheduler:
             seq = self.waiting[0]
             if id(seq) in touched:
                 break  # mid-prefill continuation or fresh preemptee: next step
-            free_groups = self._groups_with_free_slots()
-            if not free_groups:
-                break
+            if seq.slot is None:  # fresh admission needs a slot in some group
+                free_groups = self._groups_with_free_slots()
+                if not free_groups:
+                    break
             # pop AFTER the guards: preemption appendlefts victims onto
             # `waiting`, and a failed admission goes to the back
             self.waiting.popleft()
@@ -164,6 +168,11 @@ class Scheduler:
                 # pin the sequence to a DP group (trivially group 0 when
                 # groups == 1) before any block accounting
                 self.kv.assign_group(seq.request_id, allowed=free_groups)
+                # claim the decode slot at ADMISSION (not prompt completion):
+                # hybrid archs key per-sequence recurrent/conv state pools by
+                # slot, so chunked prefill needs a stable slot from chunk 0
+                g0 = self.kv.group_of(seq.request_id)
+                seq.slot = self._free_slots[g0].pop()
                 cached = self.kv.get_computed_blocks(
                     seq.request_id, seq.prompt_ids, extra=seq.extra_hash
                 )
@@ -172,16 +181,20 @@ class Scheduler:
             else:
                 cached = 0
             length = min(self.prefill_chunk, seq.prompt_len - start)
-            g = self.kv.group_of(seq.request_id)
-            ok = bool(self._free_slots[g])  # group must have a slot to join
-            ok = ok and self.kv.allocate_slots(seq.request_id, start + length)
-            if not ok and self._free_slots[g]:
+            ok = self.kv.allocate_slots(seq.request_id, start + length)
+            if not ok:
                 # admission may only displace strictly lower-priority /
                 # later-arrival runners — prevents admit/decode ping-pong
                 ok = self._preempt_for(seq, start + length, beneath=seq)
                 touched |= self._step_preempted  # victims wait for next step
             if not ok:
-                # cannot admit now — put it back behind any preempted victims
+                # cannot admit now — put it back behind any preempted victims.
+                # A fresh sequence (nothing computed) gives up its slot so it
+                # cannot starve runnable work from the back of the queue; a
+                # mid-prefill one keeps slot+blocks (its state is live).
+                if seq.num_computed_tokens == 0 and seq.slot is not None:
+                    self._push_slot(seq.slot)
+                    seq.slot = None
                 self.waiting.append(seq)
                 break
             if seq.state == SequenceState.WAITING:
@@ -190,8 +203,8 @@ class Scheduler:
             seq.num_computed_tokens = start + length
             if start + length >= seq.prompt_len:
                 # prompt complete → joins the decode batch NEXT step (this
-                # step's decode list was fixed above)
-                seq.slot = self._free_slots[g].pop()
+                # step's decode list was fixed above; slot was claimed at
+                # admission)
                 self.running.append(seq)
             else:
                 # more chunks to go: stays at the head of waiting
@@ -203,6 +216,23 @@ class Scheduler:
         if out.decode:
             live = {id(s) for s in self.running}
             out.decode = [s for s in out.decode if id(s) in live]
+
+        # stall guard: nothing runnable, yet queued sequences hold slots or
+        # blocks (mid-prefill casualties of pool pressure). Reset their
+        # claims so FCFS can make progress from a clean pool.
+        if out.is_empty and not self.running and self.waiting:
+            freed = False
+            for s in list(self.waiting):
+                if s.slot is not None or s.num_computed_tokens > 0:
+                    if s.slot is not None:
+                        self._push_slot(s.slot)
+                        s.slot = None
+                    if s.num_computed_tokens > 0:
+                        self.kv.free(s.request_id)
+                        s.num_computed_tokens = 0
+                    freed = True
+            if freed:
+                return self.schedule()
         return out
 
     # -- preemption ----------------------------------------------------------

@@ -328,6 +328,155 @@ def deepseek_forward(
     return logits, new_cache
 
 
+def _mla_attention_paged(
+    cfg, lw, h, cos, sin, pool, write_slots, gather_slots, positions, kv_lens,
+    backend,
+):
+    """Absorbed MLA over a PAGED latent pool (the engine-serving analog of
+    the reference's MLA decode path + paged cache,
+    `mistralrs-core/src/mla/` + `paged_attention/cache_engine.rs`).
+
+    The pool stores ``[compressed_latent ‖ roped k_pe]`` rows — one row per
+    token — so MLA is MQA over the combined vector: scores = [q_lat ‖ q_pe]
+    · row, values = row[:rank]. Dropped writes (slot < 0) land in the trash
+    row at the end of the pool."""
+    b, t, _ = h.shape
+    nh = cfg.num_heads
+    rank = cfg.kv_lora_rank
+    if cfg.q_lora_rank:
+        q = linear(h, lw["q_a"], backend=backend)
+        q = rms_norm(q, lw["q_a_norm"], cfg.rms_norm_eps)
+        q = linear(q, lw["q_b"], backend=backend)
+    else:
+        q = linear(h, lw["q"], backend=backend)
+    q = q.reshape(b, t, nh, cfg.qk_head_dim)
+    q_nope, q_pe = q[..., : cfg.qk_nope_head_dim], q[..., cfg.qk_nope_head_dim :]
+    q_pe = _interleaved_rope(q_pe, cos, sin)
+    q_lat = jnp.einsum("bthn,hnr->bthr", q_nope, lw["w_uk"].astype(q_nope.dtype))
+    q_comb = jnp.concatenate([q_lat, q_pe], axis=-1)  # [B,T,nh,rank+rope]
+
+    ckv = linear(h, lw["kv_a"], backend=backend)
+    compressed = rms_norm(
+        ckv[..., :rank], lw["kv_a_norm"], cfg.rms_norm_eps
+    )
+    k_pe = _interleaved_rope(ckv[..., None, rank:], cos, sin)[:, :, 0]
+    rows = jnp.concatenate([compressed, k_pe], axis=-1)  # [B,T,D]
+
+    trash = pool.shape[0] - 1
+    safe = jnp.where(write_slots < 0, trash, write_slots)
+    pool = pool.at[safe].set(rows.reshape(b * t, -1).astype(pool.dtype))
+
+    keys = pool[gather_slots].astype(jnp.float32)  # [B, S, D]
+    scores = jnp.einsum(
+        "bthd,bsd->bhts", q_comb.astype(jnp.float32), keys
+    ) * (cfg.qk_head_dim ** -0.5)
+    s_idx = jnp.arange(keys.shape[1])
+    mask = (s_idx[None, None, None, :] <= positions[:, None, :, None]) & (
+        s_idx[None, None, None, :] < kv_lens[:, None, None, None]
+    )
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    lat = jnp.einsum("bhts,bsr->bthr", probs, keys[..., :rank])
+    out = jnp.einsum(
+        "bthr,hvr->bthv", lat, lw["w_uv"].astype(jnp.float32)
+    ).astype(h.dtype)
+    out = out.reshape(b, t, nh * cfg.v_head_dim)
+    return linear(out, lw["o"], backend=backend), pool
+
+
+def deepseek_forward_paged(
+    weights: dict,
+    cfg: DeepseekConfig,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T]
+    cache: dict,  # {seg: [Lseg, S_total, rank+rope]} paged latent pools
+    block_tables: jax.Array,  # [B, W] int32
+    slot_mapping: jax.Array,  # [B*T] int32 write slots (< 0 → dropped)
+    kv_lens: jax.Array,  # [B] int32 lengths AFTER this step's writes
+    *,
+    block_size: int,
+    backend=None,
+    compute_dtype=jnp.float32,
+    logits_last_only: bool = True,
+    last_indices: Optional[jax.Array] = None,
+):
+    """Engine-servable absorbed-MLA step over the paged latent pool
+    (prefill chunk or decode). Mirrors `forward_paged` (models/llama.py) —
+    same batch/slot/table conventions — so the continuous-batching engine
+    can drive DeepSeek (reference serves it via the Pipeline trait,
+    `mistralrs-core/src/models/deepseek2.rs`)."""
+    b, t = input_ids.shape
+    h = embedding_lookup(input_ids, weights["embed"], dtype=compute_dtype)
+    inv = rope_frequencies(cfg.qk_rope_head_dim, cfg.rope_theta)
+    angles = positions.astype(jnp.float32)[..., None] * inv
+    cos = jnp.cos(angles).astype(compute_dtype)
+    sin = jnp.sin(angles).astype(compute_dtype)
+
+    bt_safe = jnp.maximum(block_tables, 0)
+    gather_slots = (
+        bt_safe[:, :, None] * block_size + jnp.arange(block_size)[None, None, :]
+    ).reshape(b, -1)  # [B, S] pool rows in logical order
+
+    new_cache = {}
+    for seg in ("dense", "moe"):
+        if seg not in weights["segments"]:
+            continue
+        seg_w = weights["segments"][seg]
+        pool = cache[seg]
+
+        def body(hh, xs):
+            lw, pl_ = xs
+            x = rms_norm(hh, lw["attn_norm"], cfg.rms_norm_eps)
+            attn, pl_ = _mla_attention_paged(
+                cfg, lw, x, cos, sin, pl_, slot_mapping, gather_slots,
+                positions, kv_lens, backend,
+            )
+            hh = hh + attn
+            x = rms_norm(hh, lw["ffn_norm"], cfg.rms_norm_eps)
+            if seg == "moe":
+                hh = hh + _moe(cfg, lw, x, backend)
+            else:
+                hh = hh + _dense_mlp(x, lw, backend)
+            return hh, pl_
+
+        h, pool = jax.lax.scan(body, h, (seg_w, pool))
+        new_cache[seg] = pool
+
+    h = rms_norm(h, weights["final_norm"], cfg.rms_norm_eps)
+    if logits_last_only:
+        if last_indices is not None:
+            h = jnp.take_along_axis(
+                h, last_indices.astype(jnp.int32)[:, None, None], axis=1
+            )
+        else:
+            h = h[:, -1:, :]
+    head = weights.get("lm_head")
+    if head is None:
+        head = weights["embed"]
+    logits = linear(h, head, backend=backend).astype(jnp.float32)
+    return logits, new_cache
+
+
+def make_paged_cache(
+    cfg: DeepseekConfig, num_blocks: int, block_size: int, dtype=jnp.float32
+) -> dict:
+    """Paged latent pools {seg: [Lseg, S_total, rank+rope]} with a trailing
+    trash block for dropped writes (slot −1)."""
+    s_total = (num_blocks + 1) * block_size
+    d = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+
+    def seg(n_layers):
+        return jnp.zeros((n_layers, s_total, d), dtype)
+
+    k = cfg.first_k_dense_replace
+    out = {}
+    if k > 0:
+        out["dense"] = seg(k)
+    if cfg.num_layers - k > 0:
+        out["moe"] = seg(cfg.num_layers - k)
+    return out
+
+
 def make_cache(cfg: DeepseekConfig, batch: int, capacity: int,
                dtype=jnp.float32, absorbed: bool = False):
     def seg(n_layers):

@@ -1,0 +1,149 @@
+"""Engine-served specialized archs (arch adapters) vs their standalone
+forwards — the analog of the reference serving DeepSeek/Qwen3-Next/LFM2
+through the Pipeline trait + hybrid cache
+(`mistralrs-core/src/pipeline/`, `kv_cache/hybrid_cache.rs`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mistralrs_tpu.engine.engine import Engine
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.models.deepseek import (
+    DeepseekConfig,
+    deepseek_forward,
+    deepseek_weights_from_state_dict,
+    make_cache,
+)
+
+
+def _tiny_deepseek():
+    cfg = DeepseekConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_layers=3, num_heads=4,
+        q_lora_rank=None, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
+        routed_scaling_factor=1.5, scoring_func="sigmoid",
+        max_position_embeddings=128,
+    )
+    rng = np.random.default_rng(0)
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.2).astype(np.float32)
+
+    H, V = cfg.hidden_size, cfg.vocab_size
+    nh = cfg.num_heads
+    sd = {
+        "model.embed_tokens.weight": r(V, H),
+        "model.norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": r(V, H),
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "self_attn.q_proj.weight"] = r(nh * cfg.qk_head_dim, H)
+        sd[p + "self_attn.kv_a_proj_with_mqa.weight"] = r(
+            cfg.kv_lora_rank + cfg.qk_rope_head_dim, H
+        )
+        sd[p + "self_attn.kv_a_layernorm.weight"] = np.ones(
+            cfg.kv_lora_rank, np.float32
+        )
+        sd[p + "self_attn.kv_b_proj.weight"] = r(
+            nh * (cfg.qk_nope_head_dim + cfg.v_head_dim), cfg.kv_lora_rank
+        )
+        sd[p + "self_attn.o_proj.weight"] = r(H, nh * cfg.v_head_dim)
+        if i >= cfg.first_k_dense_replace:
+            sd[p + "mlp.gate.weight"] = r(cfg.n_routed_experts, H)
+            for e in range(cfg.n_routed_experts):
+                ep = p + f"mlp.experts.{e}."
+                sd[ep + "gate_proj.weight"] = r(cfg.moe_intermediate_size, H)
+                sd[ep + "up_proj.weight"] = r(cfg.moe_intermediate_size, H)
+                sd[ep + "down_proj.weight"] = r(H, cfg.moe_intermediate_size)
+            sp = p + "mlp.shared_experts."
+            sd[sp + "gate_proj.weight"] = r(cfg.moe_intermediate_size, H)
+            sd[sp + "up_proj.weight"] = r(cfg.moe_intermediate_size, H)
+            sd[sp + "down_proj.weight"] = r(H, cfg.moe_intermediate_size)
+        else:
+            sd[p + "mlp.gate_proj.weight"] = r(cfg.intermediate_size, H)
+            sd[p + "mlp.up_proj.weight"] = r(cfg.intermediate_size, H)
+            sd[p + "mlp.down_proj.weight"] = r(H, cfg.intermediate_size)
+    return cfg, sd
+
+
+def _ref_greedy(cfg, weights, prompt, n):
+    """Greedy tokens via the standalone absorbed-MLA forward."""
+    ids = list(prompt)
+    out = []
+    cache = make_cache(cfg, 1, len(prompt) + n + 1, absorbed=True)
+    start = 0
+    for _ in range(n):
+        chunk = jnp.asarray([ids[start:]], jnp.int32)
+        pos = jnp.arange(start, len(ids))[None].astype(jnp.int32)
+        logits, cache = deepseek_forward(
+            weights, cfg, chunk, pos, cache,
+            jnp.asarray([start], jnp.int32), backend="xla",
+            logits_last_only=True, absorbed=True,
+        )
+        tok = int(jnp.argmax(logits[0, -1]))
+        out.append(tok)
+        start = len(ids)
+        ids.append(tok)
+    return out
+
+
+def test_deepseek_engine_parity():
+    from mistralrs_tpu.engine.adapters import DeepseekAdapter
+
+    cfg, sd = _tiny_deepseek()
+    weights = deepseek_weights_from_state_dict(sd, cfg, absorbed=True)
+    adapter = DeepseekAdapter(cfg, weights, backend="xla")
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=8, max_batch=4,
+        prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    rng = np.random.default_rng(3)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)]
+        for n in (5, 11, 19)  # 19 > prefill_chunk → chunked prefill
+    ]
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=6))
+        for p in prompts
+    ]
+    eng.run_to_completion()
+    for p, s in zip(prompts, seqs):
+        assert s.output_ids == _ref_greedy(cfg, weights, p, 6), (
+            p, s.output_ids
+        )
+
+
+def test_deepseek_engine_preemption():
+    """Block pressure: preempted MLA sequences recompute correctly."""
+    from mistralrs_tpu.engine.adapters import DeepseekAdapter
+
+    cfg, sd = _tiny_deepseek()
+    weights = deepseek_weights_from_state_dict(sd, cfg, absorbed=True)
+    adapter = DeepseekAdapter(cfg, weights, backend="xla")
+    eng = Engine(
+        cfg, weights, num_blocks=7, block_size=8, max_batch=4,
+        prefill_chunk=16, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    rng = np.random.default_rng(5)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, 10)] for _ in range(3)
+    ]
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=12))
+        for p in prompts
+    ]
+    fin = eng.run_to_completion()
+    assert len(fin) == 3
+    for p, s in zip(prompts, seqs):
+        # generated_ids, not output_ids: preemption-recompute folds generated
+        # tokens into prompt_ids
+        assert s.generated_ids == _ref_greedy(cfg, weights, p, 12)
+    assert eng.stats["preemptions"] > 0
