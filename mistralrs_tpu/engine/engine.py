@@ -221,7 +221,7 @@ class Engine:
                                    groups=self.dp)
         self.scheduler.on_preempt = self._extend_prompt_embeds
         if adapter is not None:
-            self.cache = adapter.create_cache(num_blocks, block_size)
+            self.cache = adapter.create_cache(num_blocks, block_size, max_batch)
         else:
             self.cache = PagedKVCache.create(
                 cfg, num_blocks, block_size, dtype=compute_dtype,

@@ -53,6 +53,7 @@ class Qwen3NextConfig:
     partial_rotary_factor: float = 0.25
     tie_word_embeddings: bool = False
     eos_token_ids: tuple[int, ...] = ()
+    max_position_embeddings: int = 32768
 
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Qwen3NextConfig":
@@ -83,6 +84,7 @@ class Qwen3NextConfig:
                 tuple(eos) if isinstance(eos, (list, tuple))
                 else ((eos,) if eos is not None else ())
             ),
+            max_position_embeddings=d.get("max_position_embeddings", 32768),
         )
 
     @property
@@ -318,6 +320,196 @@ def qwen3next_forward(
         conv=jnp.stack(convs) if convs else cache.conv,
         rec=jnp.stack(recs) if recs else cache.rec,
     )
+    return logits, new_cache
+
+
+def make_paged_cache(cfg: Qwen3NextConfig, num_blocks: int, block_size: int,
+                     n_slots: int, dtype=jnp.float32) -> dict:
+    """Hybrid engine cache (analog of the reference's
+    `kv_cache/hybrid_cache.rs`): paged KV pools for the full-attention
+    layers + per-SLOT conv/recurrent state pools for the GDN layers.
+
+    Pools carry one trailing trash row/slot for dropped writes (index -1)."""
+    n_full = sum(t == "full_attention" for t in cfg.layer_types)
+    n_lin = cfg.num_layers - n_full
+    s_total = (num_blocks + 1) * block_size
+    return {
+        "k": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), dtype),
+        "v": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), dtype),
+        "conv": jnp.zeros((n_lin, n_slots + 1, cfg.conv_dim, cfg.conv_kernel), dtype),
+        "rec": jnp.zeros((n_lin, n_slots + 1, cfg.n_v_heads, cfg.d_k, cfg.d_v),
+                         jnp.float32),
+    }
+
+
+def _gdn_mixer_paged(cfg, lw, x, conv_prev, rec_prev, row_len, decode):
+    """GDN mixer over per-slot state with chunk continuation + pad masking.
+
+    conv_prev [B, conv_dim, K] holds the last K inputs before this chunk
+    (zeroed on reset); rec_prev [B, n_v, d_k, d_v]. row_len [B] = valid
+    tokens in this chunk (0 for pad rows). Pad positions leave the
+    recurrent state untouched (beta=0, g=0)."""
+    b, t, _ = x.shape
+    K = cfg.conv_kernel
+    qkvz = x @ lw["in_proj_qkvz"].T
+    ba = x @ lw["in_proj_ba"].T
+    q, k, v, z, beta_in, a_in = _split_qkvz_ba(cfg, qkvz, ba)
+    mixed = jnp.concatenate(
+        [q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1)], -1
+    )
+    w = lw["conv_w"]  # [conv_dim, K]
+    if decode:
+        state = jnp.concatenate(
+            [conv_prev[..., 1:], jnp.swapaxes(mixed, 1, 2)], axis=-1
+        )
+        conv_out = jnp.sum(state * w[None], axis=-1)[:, None, :]
+        new_conv = state
+    else:
+        # timeline = [prev K inputs ‖ this chunk]; conv over it is exact for
+        # both fresh prompts (prev = zeros) and chunk continuations
+        timeline = jnp.concatenate([jnp.swapaxes(conv_prev, 1, 2), mixed], 1)
+        conv_out = jnp.zeros_like(mixed)
+        for j in range(K):
+            conv_out = conv_out + timeline[:, j + 1 : j + 1 + t, :] * w[:, j]
+        # new conv state = last K inputs at the row's true length
+        idx = (row_len[:, None] + jnp.arange(K)[None, :])[..., None]
+        new_conv = jnp.swapaxes(
+            jnp.take_along_axis(timeline, idx, axis=1), 1, 2
+        )
+    mixed_act = jax.nn.silu(conv_out)
+    kd = cfg.key_dim
+    q = mixed_act[..., :kd].reshape(b, t, cfg.n_k_heads, cfg.d_k)
+    k = mixed_act[..., kd : 2 * kd].reshape(b, t, cfg.n_k_heads, cfg.d_k)
+    v = mixed_act[..., 2 * kd :].reshape(b, t, cfg.n_v_heads, cfg.d_v)
+
+    valid = (jnp.arange(t)[None, :] < row_len[:, None]).astype(jnp.float32)
+    beta = jax.nn.sigmoid(beta_in.astype(jnp.float32)) * valid[..., None]
+    g = -jnp.exp(lw["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        a_in.astype(jnp.float32) + lw["dt_bias"].astype(jnp.float32)
+    )
+    g = g * valid[..., None]
+    r = cfg.n_v_heads // cfg.n_k_heads
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+    q = _l2norm(q.astype(jnp.float32)) * (cfg.d_k**-0.5)
+    k = _l2norm(k.astype(jnp.float32))
+    out, new_rec = _delta_rule_scan(q, k, v.astype(jnp.float32), g, beta,
+                                    rec_prev)
+    normed = rms_norm(out, lw["gdn_norm"], cfg.rms_norm_eps)
+    normed = normed * jax.nn.silu(z.astype(jnp.float32))
+    out = normed.reshape(b, t, cfg.value_dim).astype(x.dtype)
+    return out @ lw["out_proj"].T, new_conv, new_rec
+
+
+def qwen3next_forward_paged(
+    weights: dict,
+    cfg: Qwen3NextConfig,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T]
+    cache: dict,  # make_paged_cache pools
+    block_tables: jax.Array,  # [B, W] int32
+    slot_mapping: jax.Array,  # [B, T] int32 KV write slots (< 0 → dropped)
+    kv_lens: jax.Array,  # [B] lengths AFTER this step's writes
+    slot_ids: jax.Array,  # [B] engine decode slot per row (< 0 → trash)
+    resets: jax.Array,  # [B] 1 → zero conv/rec state before this chunk
+    *,
+    block_size: int,
+    decode: bool = False,
+    compute_dtype=jnp.float32,
+    logits_last_only: bool = True,
+    last_indices: Optional[jax.Array] = None,
+):
+    """Engine-servable hybrid step (prefill chunk or decode): paged KV for
+    full-attention layers, slot-keyed conv/recurrent pools for GDN layers.
+    Mirrors `forward_paged` (models/llama.py) batch/slot/table conventions;
+    the reference serves this arch via the Pipeline trait + hybrid cache
+    (`mistralrs-core/src/kv_cache/hybrid_cache.rs`)."""
+    b, t = input_ids.shape
+    h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
+    rot = int(cfg.head_dim * cfg.partial_rotary_factor)
+    inv = rope_frequencies(rot, cfg.rope_theta, None)
+    cos, sin = rope_cos_sin(positions, inv)
+
+    n_lin = cache["conv"].shape[0]
+    trash_slot = cache["conv"].shape[1] - 1
+    slot_safe = jnp.where(slot_ids < 0, trash_slot, slot_ids)
+    reset_keep = (1.0 - resets.astype(jnp.float32))
+    if last_indices is not None:
+        row_len = jnp.where(slot_ids < 0, 0, last_indices.astype(jnp.int32) + 1)
+    else:
+        row_len = jnp.where(slot_ids < 0, 0, t)
+
+    kv_trash = cache["k"].shape[1] - 1
+    flat_slots = jnp.where(
+        slot_mapping.reshape(b * t) < 0, kv_trash, slot_mapping.reshape(b * t)
+    )
+    bt_safe = jnp.maximum(block_tables, 0)
+    gather_slots = (
+        bt_safe[:, :, None] * block_size + jnp.arange(block_size)[None, None, :]
+    ).reshape(b, -1)  # [B, S]
+
+    new_cache = {k: v for k, v in cache.items()}
+    ai = ci = 0
+    for li, lt in enumerate(cfg.layer_types):
+        lw = weights["layers"][li]
+        x = rms_norm_gemma(h, lw["attn_norm"], cfg.rms_norm_eps)
+        if lt == "full_attention":
+            qg = (x @ lw["wq"].T).reshape(b, t, cfg.num_heads, 2 * cfg.head_dim)
+            q, gate = qg[..., : cfg.head_dim], qg[..., cfg.head_dim :]
+            k = (x @ lw["wk"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+            v = (x @ lw["wv"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+            q = rms_norm_gemma(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm_gemma(k, lw["k_norm"], cfg.rms_norm_eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            kp = new_cache["k"].at[ai, flat_slots].set(
+                k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim).astype(
+                    new_cache["k"].dtype
+                )
+            )
+            vp = new_cache["v"].at[ai, flat_slots].set(
+                v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim).astype(
+                    new_cache["v"].dtype
+                )
+            )
+            new_cache["k"], new_cache["v"] = kp, vp
+            kk = kp[ai][gather_slots].astype(compute_dtype)  # [B, S, n_kv, hd]
+            vv = vp[ai][gather_slots].astype(compute_dtype)
+            attn = sdpa(q, kk, vv, q_positions=positions, kv_len=kv_lens)
+            attn = attn * jax.nn.sigmoid(gate)
+            out = attn.reshape(b, t, -1) @ lw["wo"].T
+            ai += 1
+        else:
+            conv_prev = (
+                new_cache["conv"][ci][slot_safe]
+                * reset_keep[:, None, None].astype(new_cache["conv"].dtype)
+            )
+            rec_prev = new_cache["rec"][ci][slot_safe] * reset_keep[:, None, None, None]
+            out, nconv, nrec = _gdn_mixer_paged(
+                cfg, lw, x, conv_prev, rec_prev, row_len, decode
+            )
+            new_cache["conv"] = new_cache["conv"].at[ci, slot_safe].set(
+                nconv.astype(new_cache["conv"].dtype)
+            )
+            new_cache["rec"] = new_cache["rec"].at[ci, slot_safe].set(nrec)
+            ci += 1
+        h = h + out
+        x = rms_norm_gemma(h, lw["ffn_norm"], cfg.rms_norm_eps)
+        h = h + _moe(cfg, lw, x)
+
+    h = rms_norm_gemma(h, weights["final_norm"], cfg.rms_norm_eps)
+    if logits_last_only:
+        if last_indices is not None:
+            h = jnp.take_along_axis(
+                h, last_indices.astype(jnp.int32)[:, None, None], axis=1
+            )
+        else:
+            h = h[:, -1:, :]
+    lm_head = weights.get("lm_head")
+    if lm_head is None:
+        lm_head = weights["embed"]
+    logits = (h @ jnp.asarray(lm_head, compute_dtype).T).astype(jnp.float32)
     return logits, new_cache
 
 

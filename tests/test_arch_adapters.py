@@ -147,3 +147,94 @@ def test_deepseek_engine_preemption():
         # tokens into prompt_ids
         assert s.generated_ids == _ref_greedy(cfg, weights, p, 12)
     assert eng.stats["preemptions"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-Next hybrid (GDN + full attention) via the engine
+# ---------------------------------------------------------------------------
+
+
+def _tiny_qwen3next():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from mistralrs_tpu.models.qwen3next import (
+        Qwen3NextConfig,
+        qwen3next_weights_from_state_dict,
+    )
+
+    hf_cfg = transformers.Qwen3NextConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,
+        layer_types=["linear_attention", "full_attention",
+                     "linear_attention", "full_attention"],
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=3,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, decoder_sparse_step=1,
+        mlp_only_layers=[], norm_topk_prob=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    torch.manual_seed(7)
+    model = transformers.Qwen3NextForCausalLM(hf_cfg).eval()
+    cfg = Qwen3NextConfig.from_hf(hf_cfg.to_dict())
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    return cfg, qwen3next_weights_from_state_dict(sd, cfg)
+
+
+def test_qwen3next_engine_parity():
+    """Engine-served hybrid (chunked prefill + per-slot GDN state) matches
+    the standalone forward, including a prompt longer than prefill_chunk."""
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from mistralrs_tpu.models.qwen3next import qwen3next_greedy_generate
+
+    cfg, weights = _tiny_qwen3next()
+    adapter = Qwen3NextAdapter(cfg, weights)
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=4, max_batch=4,
+        prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    rng = np.random.default_rng(9)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)]
+        for n in (5, 11)  # 11 > prefill_chunk → GDN state across chunks
+    ]
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=6))
+        for p in prompts
+    ]
+    eng.run_to_completion()
+    for p, s in zip(prompts, seqs):
+        ref = qwen3next_greedy_generate(weights, cfg, p, 6)
+        assert s.generated_ids[: len(ref)] == ref, (p, s.generated_ids, ref)
+
+
+def test_qwen3next_engine_preemption():
+    """Recompute-preemption replays the recurrent state correctly (reset=1
+    zeroes the slot's conv/rec pools before the re-prefill)."""
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from mistralrs_tpu.models.qwen3next import qwen3next_greedy_generate
+
+    cfg, weights = _tiny_qwen3next()
+    adapter = Qwen3NextAdapter(cfg, weights)
+    eng = Engine(
+        cfg, weights, num_blocks=9, block_size=4, max_batch=4,
+        prefill_chunk=16, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    rng = np.random.default_rng(13)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, 8)] for _ in range(3)
+    ]
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=10))
+        for p in prompts
+    ]
+    fin = eng.run_to_completion()
+    assert len(fin) == 3
+    for p, s in zip(prompts, seqs):
+        ref = qwen3next_greedy_generate(weights, cfg, p, 10)
+        assert s.generated_ids[: len(ref)] == ref, (p, s.generated_ids, ref)
+    assert eng.stats["preemptions"] > 0
