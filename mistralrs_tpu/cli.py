@@ -89,8 +89,11 @@ def _build_engine(args):
             override = f.read()
     pipe = load_pipeline(args.model, isq=args.isq, chat_template_override=override)
     from .models.llama import fuse_projections
+    from .pipeline import make_adapter
 
-    pipe.weights = fuse_projections(pipe.weights, pipe.cfg)
+    adapter = make_adapter(pipe.cfg, pipe.weights)
+    if adapter is None:
+        pipe.weights = fuse_projections(pipe.weights, pipe.cfg)
     max_len = args.max_seq_len or min(pipe.cfg.max_position_embeddings, 8192)
     num_blocks = args.num_kv_blocks or (
         (max_len // args.block_size) * max(2, args.max_batch // 2)
@@ -111,6 +114,7 @@ def _build_engine(args):
         tokenizer=pipe.tokenizer,
         draft=draft,
         gamma=getattr(args, "gamma", 4),
+        adapter=adapter,
     )
     return pipe, eng
 

@@ -115,6 +115,84 @@ class Qwen3NextAdapter:
         )
 
 
+class Lfm2Adapter:
+    """Serve LFM2 (short-conv / full-attention hybrid) via the engine.
+
+    Paged KV for attention layers; conv windows in per-slot pools keyed by
+    the engine's fixed decode slot. Prefix caching off: conv state cannot
+    be revived from KV blocks."""
+
+    supports_prefix_cache = False
+    supports_embeds = False
+
+    def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
+        self.cfg = cfg
+        self.weights = weights
+        self.compute_dtype = compute_dtype
+        self.backend = backend
+        self._fcfg = _hashable(cfg)
+
+    def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
+        from ..models.lfm2 import make_paged_cache
+
+        self._block_size = block_size
+        return make_paged_cache(
+            self.cfg, num_blocks, block_size, n_slots, dtype=self.compute_dtype
+        )
+
+    def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
+                last_indices, slot_ids, resets, embeds=None):
+        return _lfm2_fwd(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map, kv_lens, slot_ids, resets, last_indices,
+            self._block_size, self.compute_dtype,
+        )
+
+    def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
+               samp_state, key):
+        return _lfm2_decode(
+            self.weights, self._fcfg, tokens, positions, cache, bt,
+            slot_map, kv_lens, samp_state, key,
+            self._block_size, self.compute_dtype,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _lfm2_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+              slot_ids, resets, last_indices, block_size, compute_dtype):
+    from ..models.lfm2 import lfm2_forward_paged
+
+    return lfm2_forward_paged(
+        weights, cfg, ids, positions, cache, bt,
+        slot_map.reshape(ids.shape), kv_lens, slot_ids, resets,
+        block_size=block_size, decode=False, compute_dtype=compute_dtype,
+        logits_last_only=True, last_indices=last_indices,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _lfm2_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
+                 kv_lens, samp_state, key, block_size, compute_dtype):
+    from ..models.lfm2 import lfm2_forward_paged
+
+    b = tokens.shape[0]
+    slot_ids = jnp.where(slot_map >= 0, jnp.arange(b, dtype=jnp.int32), -1)
+    logits, cache = lfm2_forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, bt,
+        slot_map[:, None], kv_lens, slot_ids, jnp.zeros((b,), jnp.int32),
+        block_size=block_size, decode=True, compute_dtype=compute_dtype,
+        logits_last_only=True,
+    )
+    new_tokens, logprobs, tops, samp_state = sample(
+        logits[:, -1], samp_state, key
+    )
+    return new_tokens, logprobs, tops, cache, samp_state
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
 )

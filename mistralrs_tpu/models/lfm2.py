@@ -218,6 +218,171 @@ def lfm2_forward(
     return logits, new_cache
 
 
+def make_paged_cache(cfg: Lfm2Config, num_blocks: int, block_size: int,
+                     n_slots: int, dtype=jnp.float32) -> dict:
+    """Hybrid engine cache (analog of the reference's
+    `kv_cache/hybrid_cache.rs`): paged KV pools for attention layers +
+    per-SLOT conv windows for the short-conv layers. One trailing trash
+    row/slot absorbs dropped writes (index -1)."""
+    n_attn = sum(t == "full_attention" for t in cfg.layer_types)
+    n_conv = cfg.num_layers - n_attn
+    s_total = (num_blocks + 1) * block_size
+    return {
+        "k": jnp.zeros((n_attn, s_total, cfg.num_kv_heads, cfg.head_dim), dtype),
+        "v": jnp.zeros((n_attn, s_total, cfg.num_kv_heads, cfg.head_dim), dtype),
+        "conv": jnp.zeros(
+            (n_conv, n_slots + 1, cfg.hidden_size, cfg.conv_l_cache), dtype
+        ),
+    }
+
+
+def _conv_mixer_paged(cfg, lw, x, conv_prev, row_len, decode):
+    """Short-conv mixer over per-slot state with chunk continuation.
+
+    conv_prev [B, H, L] = last L gated inputs before this chunk (zeroed on
+    reset); row_len [B] = valid tokens in this chunk. The conv runs over
+    the concatenated [prev ‖ chunk] timeline so chunked prefill is exact;
+    the new state is gathered at each row's true length."""
+    bcx = x @ lw["in_proj"].T
+    if lw.get("in_proj_bias") is not None:
+        bcx = bcx + lw["in_proj_bias"]
+    h = cfg.hidden_size
+    b_g, c_g, xin = bcx[..., :h], bcx[..., h : 2 * h], bcx[..., 2 * h :]
+    bx = b_g * xin  # [B, T, H]
+    w = lw["conv_w"]  # [H, L]
+    L = cfg.conv_l_cache
+    t = bx.shape[1]
+    if decode:
+        state = jnp.concatenate(
+            [conv_prev[..., 1:], jnp.swapaxes(bx, 1, 2)], axis=-1
+        )
+        conv_out = jnp.sum(state * w[None], axis=-1)[:, None, :]
+        new_state = state
+    else:
+        timeline = jnp.concatenate([jnp.swapaxes(conv_prev, 1, 2), bx], 1)
+        conv_out = jnp.zeros_like(bx)
+        for j in range(L):
+            conv_out = conv_out + timeline[:, j + 1 : j + 1 + t, :] * w[:, j]
+        idx = (row_len[:, None] + jnp.arange(L)[None, :])[..., None]
+        new_state = jnp.swapaxes(
+            jnp.take_along_axis(timeline, idx, axis=1), 1, 2
+        )
+    if lw.get("conv_b") is not None:
+        conv_out = conv_out + lw["conv_b"]
+    y = c_g * conv_out
+    out = y @ lw["out_proj"].T
+    if lw.get("out_proj_bias") is not None:
+        out = out + lw["out_proj_bias"]
+    return out, new_state
+
+
+def lfm2_forward_paged(
+    weights: dict,
+    cfg: Lfm2Config,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T]
+    cache: dict,  # make_paged_cache pools
+    block_tables: jax.Array,  # [B, W] int32
+    slot_mapping: jax.Array,  # [B, T] int32 (< 0 → dropped)
+    kv_lens: jax.Array,  # [B] lengths AFTER this step's writes
+    slot_ids: jax.Array,  # [B] engine decode slot per row (< 0 → trash)
+    resets: jax.Array,  # [B] 1 → zero conv state before this chunk
+    *,
+    block_size: int,
+    decode: bool = False,
+    compute_dtype=jnp.float32,
+    logits_last_only: bool = True,
+    last_indices: Optional[jax.Array] = None,
+):
+    """Engine-servable LFM2 hybrid step (prefill chunk or decode). Mirrors
+    `forward_paged` (models/llama.py) batch/slot/table conventions; the
+    reference serves this arch via the Pipeline trait + hybrid cache
+    (`mistralrs-core/src/models/lfm2.rs`, `kv_cache/hybrid_cache.rs`)."""
+    b, t = input_ids.shape
+    h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
+    inv = rope_frequencies(cfg.head_dim, cfg.rope_theta, None)
+    cos, sin = rope_cos_sin(positions, inv)
+
+    trash_slot = cache["conv"].shape[1] - 1
+    slot_safe = jnp.where(slot_ids < 0, trash_slot, slot_ids)
+    reset_keep = (1.0 - resets.astype(jnp.float32))
+    if decode:
+        row_len = jnp.where(slot_ids < 0, 0, t)
+    elif last_indices is not None:
+        row_len = jnp.where(slot_ids < 0, 0, last_indices.astype(jnp.int32) + 1)
+    else:
+        row_len = jnp.where(slot_ids < 0, 0, t)
+
+    kv_trash = cache["k"].shape[1] - 1
+    flat_slots = jnp.where(
+        slot_mapping.reshape(b * t) < 0, kv_trash, slot_mapping.reshape(b * t)
+    )
+    bt_safe = jnp.maximum(block_tables, 0)
+    gather_slots = (
+        bt_safe[:, :, None] * block_size + jnp.arange(block_size)[None, None, :]
+    ).reshape(b, -1)  # [B, S]
+
+    new_cache = {k: v for k, v in cache.items()}
+    ai = ci = 0
+    for li, lt in enumerate(cfg.layer_types):
+        lw = weights["layers"][li]
+        x = rms_norm(h, lw["operator_norm"], cfg.norm_eps)
+        if lt == "full_attention":
+            q = (x @ lw["wq"].T).reshape(b, t, cfg.num_heads, cfg.head_dim)
+            k = (x @ lw["wk"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+            v = (x @ lw["wv"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+            q = rms_norm(q, lw["q_norm"], cfg.norm_eps)
+            k = rms_norm(k, lw["k_norm"], cfg.norm_eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            kp = new_cache["k"].at[ai, flat_slots].set(
+                k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim).astype(
+                    new_cache["k"].dtype
+                )
+            )
+            vp = new_cache["v"].at[ai, flat_slots].set(
+                v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim).astype(
+                    new_cache["v"].dtype
+                )
+            )
+            new_cache["k"], new_cache["v"] = kp, vp
+            kk = kp[ai][gather_slots].astype(compute_dtype)
+            vv = vp[ai][gather_slots].astype(compute_dtype)
+            attn = sdpa(q, kk, vv, q_positions=positions, kv_len=kv_lens)
+            out = attn.reshape(b, t, -1) @ lw["wo"].T
+            ai += 1
+        else:
+            conv_prev = (
+                new_cache["conv"][ci][slot_safe]
+                * reset_keep[:, None, None].astype(new_cache["conv"].dtype)
+            )
+            out, nstate = _conv_mixer_paged(
+                cfg, lw, x, conv_prev, row_len, decode
+            )
+            new_cache["conv"] = new_cache["conv"].at[ci, slot_safe].set(
+                nstate.astype(new_cache["conv"].dtype)
+            )
+            ci += 1
+        h = h + out
+        x = rms_norm(h, lw["ffn_norm"], cfg.norm_eps)
+        mlp = (jax.nn.silu(x @ lw["w1"].T) * (x @ lw["w3"].T)) @ lw["w2"].T
+        h = h + mlp
+
+    h = rms_norm(h, weights["final_norm"], cfg.norm_eps)
+    if logits_last_only:
+        if last_indices is not None:
+            h = jnp.take_along_axis(
+                h, last_indices.astype(jnp.int32)[:, None, None], axis=1
+            )
+        else:
+            h = h[:, -1:, :]
+    lm_head = weights.get("lm_head")
+    if lm_head is None:
+        lm_head = weights["embed"]
+    logits = (h @ jnp.asarray(lm_head, compute_dtype).T).astype(jnp.float32)
+    return logits, new_cache
+
+
 def lfm2_weights_from_state_dict(
     sd: Mapping[str, np.ndarray], cfg: Lfm2Config, dtype=jnp.float32
 ) -> dict:

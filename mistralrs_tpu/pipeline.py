@@ -53,6 +53,66 @@ class Pipeline:
     metadata: dict[str, Any]
 
 
+# HF model_type → bespoke (config, loader). These archs don't fit the
+# unified llama-family decoder: they serve through engine arch adapters.
+_SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2")
+
+
+def _load_specialized(model_type: str, path: Path, dtype):
+    import json
+
+    import numpy as np
+
+    from .models.hf_loader import load_safetensors_dir
+
+    hf_cfg = json.loads((path / "config.json").read_text())
+    sd = load_safetensors_dir(path)
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    if model_type in ("deepseek_v2", "deepseek_v3"):
+        from .models.deepseek import (
+            DeepseekConfig,
+            deepseek_weights_from_state_dict,
+        )
+
+        cfg = DeepseekConfig.from_hf(hf_cfg)
+        return cfg, deepseek_weights_from_state_dict(sd, cfg, absorbed=True)
+    if model_type == "qwen3_next":
+        from .models.qwen3next import (
+            Qwen3NextConfig,
+            qwen3next_weights_from_state_dict,
+        )
+
+        cfg = Qwen3NextConfig.from_hf(hf_cfg)
+        return cfg, qwen3next_weights_from_state_dict(sd, cfg)
+    if model_type == "lfm2":
+        from .models.lfm2 import Lfm2Config, lfm2_weights_from_state_dict
+
+        cfg = Lfm2Config.from_hf(hf_cfg)
+        return cfg, lfm2_weights_from_state_dict(sd, cfg)
+    raise ValueError(f"unhandled specialized arch {model_type!r}")
+
+
+def make_adapter(cfg, weights, compute_dtype=jnp.float32):
+    """Build the engine arch adapter for a specialized config, or None for
+    the unified llama-family decoder (which serves natively)."""
+    from .engine.adapters import (
+        DeepseekAdapter,
+        Lfm2Adapter,
+        Qwen3NextAdapter,
+    )
+    from .models.deepseek import DeepseekConfig
+    from .models.lfm2 import Lfm2Config
+    from .models.qwen3next import Qwen3NextConfig
+
+    if isinstance(cfg, DeepseekConfig):
+        return DeepseekAdapter(cfg, weights, compute_dtype=compute_dtype)
+    if isinstance(cfg, Qwen3NextConfig):
+        return Qwen3NextAdapter(cfg, weights, compute_dtype=compute_dtype)
+    if isinstance(cfg, Lfm2Config):
+        return Lfm2Adapter(cfg, weights, compute_dtype=compute_dtype)
+    return None
+
+
 def load_pipeline(
     model_path: str,
     *,
@@ -83,6 +143,28 @@ def load_pipeline(
         )
         return Pipeline(cfg, weights, tokenizer, ct, path.stem, md)
     if path.is_dir():
+        import json
+
+        cfg_file = path / "config.json"
+        model_type = ""
+        if cfg_file.exists():
+            model_type = json.loads(cfg_file.read_text()).get("model_type", "")
+        if model_type in _SPECIALIZED_ARCHS:
+            # specialized families (MLA / GDN / conv hybrids) have bespoke
+            # configs + forwards and serve via engine arch adapters
+            # (engine/adapters.py) — the analog of the reference's per-arch
+            # Pipeline impls (mistralrs-core/src/pipeline/normal.rs)
+            cfg, weights = _load_specialized(model_type, path, dtype)
+            try:
+                tokenizer = from_hf_dir(path)
+            except FileNotFoundError:
+                tokenizer = None
+            ct = resolve_chat_template(
+                override=chat_template_override, hf_dir=path,
+                arch=model_type,
+            )
+            hf_cfg = json.loads(cfg_file.read_text())
+            return Pipeline(cfg, weights, tokenizer, ct, path.name, hf_cfg)
         cfg, weights, hf_cfg = load_hf_model(
             path, dtype=dtype, isq=isq_t
         )

@@ -100,10 +100,12 @@ class ModelRegistry:
         engine_options: Optional[dict[str, Any]] = None,
     ) -> ModelInstance:
         """Load a model from disk and register it (the /v1/models/load analog)."""
-        from ..pipeline import load_pipeline
+        from ..pipeline import load_pipeline, make_adapter
 
         pipe = load_pipeline(path, isq=isq)
-        engine = Engine(pipe.cfg, pipe.weights, **(engine_options or {}))
+        adapter = make_adapter(pipe.cfg, pipe.weights)
+        engine = Engine(pipe.cfg, pipe.weights, adapter=adapter,
+                        **(engine_options or {}))
         inst = ModelInstance(
             model_id=model_id,
             engine=engine,

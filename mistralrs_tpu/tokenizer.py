@@ -100,7 +100,10 @@ def from_hf_dir(path: str | Path) -> TokenizerWrapper:
             eos_ids = (eos,)
         elif isinstance(eos, list):
             eos_ids = tuple(eos)
-    return from_file(path / "tokenizer.json", bos_id=bos_id, eos_ids=eos_ids)
+    tok_path = path / "tokenizer.json"
+    if not tok_path.exists():
+        raise FileNotFoundError(tok_path)
+    return from_file(tok_path, bos_id=bos_id, eos_ids=eos_ids)
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,127 @@ def test_qwen3next_engine_preemption():
         ref = qwen3next_greedy_generate(weights, cfg, p, 10)
         assert s.generated_ids[: len(ref)] == ref, (p, s.generated_ids, ref)
     assert eng.stats["preemptions"] > 0
+
+
+# ---------------------------------------------------------------------------
+# LFM2 hybrid (short conv + full attention) via the engine
+# ---------------------------------------------------------------------------
+
+
+def _tiny_lfm2():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from mistralrs_tpu.models.lfm2 import (
+        Lfm2Config,
+        lfm2_weights_from_state_dict,
+    )
+
+    hf_cfg = transformers.Lfm2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        conv_L_cache=3, max_position_embeddings=64,
+        block_auto_adjust_ff_dim=False, pad_token_id=0,
+    )
+    torch.manual_seed(20)
+    model = transformers.Lfm2ForCausalLM(hf_cfg).eval()
+    cfg = Lfm2Config.from_hf(hf_cfg.to_dict())
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    return cfg, lfm2_weights_from_state_dict(sd, cfg)
+
+
+def test_lfm2_engine_parity():
+    """Engine-served LFM2 (chunked prefill crossing conv state) matches the
+    standalone hybrid forward."""
+    from mistralrs_tpu.engine.adapters import Lfm2Adapter
+    from mistralrs_tpu.models.lfm2 import lfm2_greedy_generate
+
+    cfg, weights = _tiny_lfm2()
+    adapter = Lfm2Adapter(cfg, weights)
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=4, max_batch=4,
+        prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    rng = np.random.default_rng(17)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)]
+        for n in (4, 13)  # 13 > prefill_chunk → conv state across chunks
+    ]
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=6))
+        for p in prompts
+    ]
+    eng.run_to_completion()
+    for p, s in zip(prompts, seqs):
+        ref = lfm2_greedy_generate(weights, cfg, p, 6)
+        assert s.generated_ids[: len(ref)] == ref, (p, s.generated_ids, ref)
+
+
+def test_lfm2_engine_preemption():
+    from mistralrs_tpu.engine.adapters import Lfm2Adapter
+    from mistralrs_tpu.models.lfm2 import lfm2_greedy_generate
+
+    cfg, weights = _tiny_lfm2()
+    adapter = Lfm2Adapter(cfg, weights)
+    eng = Engine(
+        cfg, weights, num_blocks=9, block_size=4, max_batch=4,
+        prefill_chunk=16, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    rng = np.random.default_rng(19)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, 8)] for _ in range(3)
+    ]
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=10))
+        for p in prompts
+    ]
+    fin = eng.run_to_completion()
+    assert len(fin) == 3
+    for p, s in zip(prompts, seqs):
+        ref = lfm2_greedy_generate(weights, cfg, p, 10)
+        assert s.generated_ids[: len(ref)] == ref, (p, s.generated_ids, ref)
+    assert eng.stats["preemptions"] > 0
+
+
+def test_load_pipeline_specialized_arch(tmp_path):
+    """`load_pipeline` auto-detects specialized archs from config.json and
+    `make_adapter` serves them through the engine (the analog of the
+    reference's AutoLoader arch dispatch, pipeline/auto.rs)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.numpy import save_file
+
+    from mistralrs_tpu.pipeline import load_pipeline, make_adapter
+    from mistralrs_tpu.models.lfm2 import lfm2_greedy_generate
+
+    hf_cfg = transformers.Lfm2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["conv", "full_attention"],
+        conv_L_cache=3, max_position_embeddings=64,
+        block_auto_adjust_ff_dim=False, pad_token_id=0,
+    )
+    torch.manual_seed(23)
+    model = transformers.Lfm2ForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    d = tmp_path / "lfm2-tiny"
+    d.mkdir()
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(
+        __import__("json").dumps({**hf_cfg.to_dict(), "model_type": "lfm2"})
+    )
+
+    pipe = load_pipeline(str(d))
+    adapter = make_adapter(pipe.cfg, pipe.weights)
+    assert adapter is not None
+    eng = Engine(
+        pipe.cfg, pipe.weights, num_blocks=32, block_size=4, max_batch=2,
+        prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    prompt = [3, 17, 40, 9, 22]
+    seq = eng.add_request(prompt, SamplingParams(temperature=0.0, max_tokens=5))
+    eng.run_to_completion()
+    ref = lfm2_greedy_generate(pipe.weights, pipe.cfg, prompt, 5)
+    assert seq.generated_ids[: len(ref)] == ref
