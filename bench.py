@@ -94,6 +94,10 @@ def build_weights(cfg: ModelConfig, seed: int = 0) -> tuple[dict, int]:
 
 
 def main():
+    import os
+
+    if os.environ.get("MRSTPU_BENCH_CPU"):  # force the CPU smoke config
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     smoke = not on_tpu
     cfg = llama8b_cfg(smoke=smoke)
@@ -158,6 +162,60 @@ def main():
     step_time = (t2 - t1) / (n2 - n1)
     tps = B / step_time
 
+    # ---- prefill throughput (MXU-bound half of the north star) ----------
+    # One sequence, 512-token chunks through the same paged forward;
+    # chained by feeding argmax back as the first token (prevents elision).
+    PT = 128 if smoke else 512
+    p_bt = block_tables[:1]
+    p_slots = (
+        p_bt[0, jnp.arange(PT) // BS] * BS + jnp.arange(PT) % BS
+    ).astype(jnp.int32)[None, :]
+    p_pos = jnp.arange(PT, dtype=jnp.int32)[None, :]
+
+    def make_prefill_chain(n_steps):
+        @jax.jit
+        def chain(weights, cache, seed_tok):
+            def body(carry, _):
+                cache, tok = carry
+                ids = jnp.full((1, PT), 7, jnp.int32).at[0, 0].set(tok)
+                logits, cache = forward_paged(
+                    weights, fcfg, ids, p_pos, cache, p_bt, p_slots,
+                    jnp.full((1,), PT, jnp.int32),
+                    block_size=BS, logits_last_only=True,
+                )
+                return (cache, jnp.argmax(logits[0, -1]).astype(jnp.int32)), None
+
+            (cache, tok), _ = jax.lax.scan(
+                body, (cache, seed_tok), None, length=n_steps
+            )
+            return tok
+
+        return chain
+
+    p1, p2 = (1, 3) if smoke else (2, 6)
+    g1, g2 = make_prefill_chain(p1), make_prefill_chain(p2)
+    seed_tok = jnp.int32(1)
+
+    def prun(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(weights, cache, seed_tok)
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    prun(g1)
+    prun(g2)
+    pt1, pt2 = prun(g1), prun(g2)
+    prefill_time = (pt2 - pt1) / (p2 - p1)
+    prefill_tps = PT / prefill_time
+    # MFU vs v5e 197 TFLOP/s bf16 peak: 2 * params * tokens (attention
+    # excluded — it's <2% at 512)
+    params = weight_bytes * 8 / 4.5  # Q4_K ≈ 4.5 bits/param stored
+    mfu = (2 * params * PT / prefill_time) / 197e12
+    ttft_ms = (prefill_time + step_time) * 1e3  # 512-tok prompt + 1st decode
+
     # roofline: weight bytes + KV read+write traffic per decode step
     kv_bytes_per_step = (
         cfg.num_layers * B * CTX * cfg.num_kv_heads * cfg.head_dim * 2 * 2
@@ -171,6 +229,9 @@ def main():
         "value": round(tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(tps / roofline_tps, 3),
+        "prefill_tps": round(prefill_tps, 1),
+        "prefill_mfu": round(mfu, 3),
+        "ttft_ms_512tok": round(ttft_ms, 1),
     }
     print(json.dumps(result))
 

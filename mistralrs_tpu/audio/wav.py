@@ -9,10 +9,13 @@ import numpy as np
 
 
 def write_wav(path, samples: np.ndarray, sample_rate: int = 44100) -> None:
-    """samples: float array in [-1, 1] → 16-bit PCM mono WAV."""
+    """samples: float array in [-1, 1] → 16-bit PCM mono WAV.
+
+    ``path`` may be a filesystem path or a binary file-like object."""
     pcm = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
     pcm = (pcm * 32767.0).astype("<i2").tobytes()
-    with open(path, "wb") as f:
+
+    def dump(f):
         f.write(b"RIFF")
         f.write(struct.pack("<I", 36 + len(pcm)))
         f.write(b"WAVEfmt ")
@@ -21,3 +24,9 @@ def write_wav(path, samples: np.ndarray, sample_rate: int = 44100) -> None:
         f.write(b"data")
         f.write(struct.pack("<I", len(pcm)))
         f.write(pcm)
+
+    if hasattr(path, "write"):
+        dump(path)
+    else:
+        with open(path, "wb") as f:
+            dump(f)

@@ -266,3 +266,93 @@ def dia_weights_from_state_dict(
         "dec_norm": g("model.decoder.norm.weight"),
         "logits_dense": g("logits_dense.weight"),
     }
+
+
+# --------------------------------------------------------------------------
+# end-to-end TTS driver (the analog of the reference's Dia generate loop,
+# `mistralrs-core/src/speech_models/dia/mod.rs` generation)
+# --------------------------------------------------------------------------
+
+
+def dia_text_ids(cfg: DiaConfig, text: str, pad_to: int = 0) -> np.ndarray:
+    """Dia's byte-level text encoding ([S1]/[S2] turn markers become the
+    0x01/0x02 control bytes, reference speech_models/dia/setup)."""
+    raw = text.replace("[S1]", "\x01").replace("[S2]", "\x02")
+    ids = list(raw.encode("utf-8"))
+    ids = [i % cfg.enc_vocab for i in ids]
+    if pad_to > len(ids):
+        ids = ids + [0] * (pad_to - len(ids))
+    return np.asarray([ids], np.int32)
+
+
+def dia_tts(
+    params: dict,
+    cfg: DiaConfig,
+    text: str,
+    *,
+    max_tokens: int = 1024,
+    temperature: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Text → DAC codebook codes [T, C] (delay pattern reverted, EOS/BOS
+    rows stripped). Feed to `audio.dac.dac_decode_codes` for waveform."""
+    import jax.random as jrandom
+
+    delays = cfg.delay_pattern or tuple(range(cfg.num_channels))
+    max_delay = max(delays)
+    text_ids = dia_text_ids(cfg, text)
+    enc = dia_encode(params, cfg, jnp.asarray(text_ids))
+    ckv = dia_cross_kv(params, cfg, enc)
+
+    cap = max_tokens + max_delay + 2
+    caches = [
+        (
+            jnp.zeros((1, cap, cfg.dec_kv_heads, cfg.dec_head_dim), jnp.float32),
+            jnp.zeros((1, cap, cfg.dec_kv_heads, cfg.dec_head_dim), jnp.float32),
+        )
+        for _ in range(cfg.dec_layers)
+    ]
+    frame = np.full((1, 1, cfg.num_channels), cfg.bos_token_id, np.int32)
+    key = jrandom.PRNGKey(seed)
+    out_frames: list[np.ndarray] = []
+    eos_t: Optional[int] = None
+    for t in range(cap - 1):
+        logits, caches = dia_decode(
+            params, cfg, jnp.asarray(frame), ckv,
+            jnp.asarray([[t]], jnp.int32), self_kv=caches,
+            kv_start=jnp.asarray([t], jnp.int32),
+        )
+        row = logits[0, 0]  # [C, V]
+        if temperature > 0:
+            key, sub = jrandom.split(key)
+            toks = np.array(
+                jrandom.categorical(sub, row / temperature, axis=-1)
+            )
+        else:
+            toks = np.array(jnp.argmax(row, axis=-1))
+        # delay gating: channel c only starts producing at step delays[c]
+        for c, d in enumerate(delays):
+            if t < d:
+                toks[c] = cfg.bos_token_id
+            elif eos_t is not None and t >= eos_t + d:
+                toks[c] = cfg.pad_token_id
+        if eos_t is None and toks[0] == cfg.eos_token_id:
+            eos_t = t
+        out_frames.append(toks.copy())
+        frame = toks[None, None, :]
+        if eos_t is not None and t >= eos_t + max_delay:
+            break
+        if eos_t is None and t + 1 >= max_tokens:
+            eos_t = t + 1  # length cap: drain the delay tail
+    delayed = np.stack(out_frames, axis=0)  # [T, C] delayed layout
+    # frame-align: channel c's true frame t sits at delayed row t + d_c
+    T = len(out_frames) - max_delay
+    if T <= 0:
+        return np.zeros((0, cfg.num_channels), np.int32)
+    aligned = np.zeros((T, cfg.num_channels), np.int32)
+    for c, d in enumerate(delays):
+        aligned[:, c] = delayed[d : d + T, c]
+    # strip EOS/PAD/BOS rows (any special token ends the usable stream)
+    special = (aligned >= cfg.eos_token_id).any(axis=1)
+    end = int(np.argmax(special)) if special.any() else T
+    return aligned[:end]

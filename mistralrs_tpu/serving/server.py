@@ -97,6 +97,10 @@ class ServerState:
         self.metrics = Metrics()
         self.created = int(time.time())
         self._started = False
+        # non-text generators (route_registry.rs: image_generation /
+        # speech_generation routes)
+        self.flux = None  # diffusion.pipeline.FluxPipeline
+        self.speech = None  # {"params","cfg","dac_params","dac_cfg","sample_rate"}
         if engine is not None:
             self.registry.register(
                 ModelInstance(
@@ -715,8 +719,160 @@ def build_app(state: ServerState) -> web.Application:
         prompt = inst.chat_template.render(msgs, add_generation_prompt=True)
         return web.json_response({"input_tokens": len(inst.tokenizer.encode(prompt))})
 
+    # -- non-text generation (route_registry.rs:27-107 image/speech) --------
+
+    @routes.post("/v1/images/generations")
+    async def images_generations(request: web.Request):
+        """OpenAI images API over the FLUX diffusion pipeline."""
+        if state.flux is None:
+            return web.json_response(
+                {"error": {"message": "no diffusion model loaded"}}, status=400
+            )
+        body = await request.json()
+        prompt = body.get("prompt") or ""
+        n = int(body.get("n", 1))
+        size = body.get("size") or "1024x1024"
+        try:
+            w, h = (int(v) for v in size.lower().split("x"))
+        except ValueError:
+            return web.json_response(
+                {"error": {"message": f"bad size {size!r} (want WxH)"}},
+                status=400,
+            )
+        steps = int(body.get("steps", body.get("num_inference_steps", 4)))
+        seed = int(body.get("seed", 0))
+
+        def run():
+            import base64
+            import io
+
+            txt, pooled = state.flux.encode_prompt(prompt)
+            images = []
+            for i in range(n):
+                img = state.flux.generate(
+                    txt, pooled, height=h, width=w, num_steps=steps,
+                    seed=seed + i,
+                )[0]
+                buf = io.BytesIO()
+                _write_png(buf, img)
+                images.append(
+                    {"b64_json": base64.b64encode(buf.getvalue()).decode()}
+                )
+            return images
+
+        images = await asyncio.get_event_loop().run_in_executor(None, run)
+        return web.json_response({"created": int(time.time()), "data": images})
+
+    @routes.post("/v1/audio/speech")
+    async def audio_speech(request: web.Request):
+        """OpenAI speech API over the Dia TTS model + DAC vocoder."""
+        if state.speech is None:
+            return web.json_response(
+                {"error": {"message": "no speech model loaded"}}, status=400
+            )
+        body = await request.json()
+        text = body.get("input") or ""
+        temperature = float(body.get("temperature", 0.0))
+        max_tokens = int(body.get("max_tokens", 1024))
+
+        def run():
+            import io
+
+            import numpy as np
+
+            from ..audio.dac import dac_decode_codes
+            from ..audio.wav import write_wav
+            from ..models.dia import dia_tts
+
+            sp = state.speech
+            codes = dia_tts(
+                sp["params"], sp["cfg"], text,
+                max_tokens=max_tokens, temperature=temperature,
+            )
+            if codes.shape[0] == 0:
+                samples = np.zeros((1,), np.float32)
+            else:
+                import jax.numpy as jnp
+
+                samples = np.asarray(
+                    dac_decode_codes(
+                        sp["dac_params"], sp["dac_cfg"],
+                        jnp.asarray(codes.T[None], jnp.int32),
+                    )
+                ).reshape(-1)
+            buf = io.BytesIO()
+            write_wav(buf, samples, sample_rate=sp.get("sample_rate", 44100))
+            return buf.getvalue()
+
+        wav = await asyncio.get_event_loop().run_in_executor(None, run)
+        return web.Response(body=wav, content_type="audio/wav")
+
+    # -- dynamic LoRA management (adapter/selection.rs analogs) -------------
+
+    @routes.get("/v1/lora")
+    async def lora_list(request: web.Request):
+        out = []
+        for inst in state.registry.list():
+            adapters = sorted(
+                k[: -len("_lora")]
+                for k in inst.engine.weights.get("layers", {})
+                if k.endswith("_lora")
+            )
+            out.append({"model": inst.model_id, "attached_targets": adapters})
+        return web.json_response({"data": out})
+
+    @routes.post("/v1/lora/load")
+    async def lora_load(request: web.Request):
+        body = await request.json()
+        inst = _resolve_or_404(body.get("model"))
+        path = body.get("path")
+        if not path:
+            return web.json_response(
+                {"error": {"message": "path required"}}, status=400
+            )
+
+        def run():
+            from ..lora import attach_dynamic_lora, load_adapter
+
+            cfg, adapter = load_adapter(path)
+            inst.engine.weights = attach_dynamic_lora(
+                inst.engine.weights, cfg, adapter,
+                inst.engine.cfg.num_layers,
+                dtype=inst.engine.compute_dtype,
+            )
+
+        await asyncio.get_event_loop().run_in_executor(None, run)
+        return web.json_response({"status": "ok", "model": inst.model_id})
+
+    @routes.post("/v1/lora/unload")
+    async def lora_unload(request: web.Request):
+        body = await request.json()
+        inst = _resolve_or_404(body.get("model"))
+        from ..lora import detach_dynamic_lora
+
+        inst.engine.weights = detach_dynamic_lora(inst.engine.weights)
+        return web.json_response({"status": "ok", "model": inst.model_id})
+
     app.add_routes(routes)
     return app
+
+
+def _write_png(buf, img) -> None:
+    """Minimal PNG writer (RGB8) — no imaging dependency in the image."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    buf.write(b"\x89PNG\r\n\x1a\n")
+    buf.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+    buf.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+    buf.write(chunk(b"IEND", b""))
 
 
 def _trim_stop_strings(text: str, stops) -> str:

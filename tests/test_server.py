@@ -232,3 +232,137 @@ async def test_web_ui(client):
     assert "text/html" in r.headers["Content-Type"]
     html = await r.text()
     assert "/v1/chat/completions" in html and "stream: true" in html
+
+
+# ---------------------------------------------------------------------------
+# non-text generation + LoRA management routes (route_registry.rs:27-107)
+# ---------------------------------------------------------------------------
+
+
+async def test_images_generations_route(aiohttp_client, server_state):
+    class StubFlux:
+        def encode_prompt(self, prompt):
+            return np.zeros((1, 4, 8), np.float32), np.zeros((1, 8), np.float32)
+
+        def generate(self, txt, pooled, *, height, width, num_steps, seed):
+            rng = np.random.default_rng(seed)
+            return rng.integers(0, 255, (1, height, width, 3), dtype=np.uint8)
+
+    server_state.flux = StubFlux()
+    client = await aiohttp_client(build_app(server_state))
+    r = await client.post(
+        "/v1/images/generations",
+        json={"prompt": "a cat", "size": "32x32", "n": 2, "steps": 1},
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert len(data["data"]) == 2
+    import base64
+
+    png = base64.b64decode(data["data"][0]["b64_json"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+async def test_images_route_no_model(aiohttp_client, server_state):
+    client = await aiohttp_client(build_app(server_state))
+    r = await client.post("/v1/images/generations", json={"prompt": "x"})
+    assert r.status == 400
+
+
+async def test_audio_speech_route(aiohttp_client, server_state):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import dataclasses
+
+    from mistralrs_tpu.audio import DacDecoderConfig, dac_params_from_state_dict
+    from mistralrs_tpu.models.dia import DiaConfig, dia_weights_from_state_dict
+
+    hf_cfg = transformers.DiaConfig(
+        encoder_config=transformers.DiaEncoderConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, intermediate_size=64, head_dim=8,
+            vocab_size=64, max_position_embeddings=64),
+        decoder_config=transformers.DiaDecoderConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=64, head_dim=8,
+            vocab_size=40, num_channels=3, cross_hidden_size=32,
+            cross_num_attention_heads=4, cross_num_key_value_heads=2,
+            cross_head_dim=8, max_position_embeddings=32),
+        delay_pattern=[0, 1, 2],
+    )
+    torch.manual_seed(90)
+    dia_model = transformers.DiaForConditionalGeneration(hf_cfg).eval()
+    cfg = DiaConfig.from_hf(hf_cfg.to_dict())
+    # tiny vocab: remap the special ids into range
+    cfg = dataclasses.replace(
+        cfg, eos_token_id=36, pad_token_id=37, bos_token_id=38
+    )
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in dia_model.state_dict().items()}
+    params = dia_weights_from_state_dict(sd, cfg)
+
+    dac_cfg_hf = transformers.DacConfig(
+        encoder_hidden_size=16, decoder_hidden_size=32, hidden_size=24,
+        n_codebooks=3, codebook_size=32, codebook_dim=4,
+        upsampling_ratios=[4, 2], downsampling_ratios=[2, 4],
+        sampling_rate=16000,
+    )
+    torch.manual_seed(91)
+    dac_model = transformers.DacModel(dac_cfg_hf).eval()
+    dac_cfg = DacDecoderConfig.from_hf(dac_cfg_hf.to_dict())
+    dac_params = dac_params_from_state_dict(
+        {k: v.detach().numpy().astype(np.float32)
+         for k, v in dac_model.state_dict().items()},
+        dac_cfg,
+    )
+    server_state.speech = {
+        "params": params, "cfg": cfg, "dac_params": dac_params,
+        "dac_cfg": dac_cfg, "sample_rate": 16000,
+    }
+    client = await aiohttp_client(build_app(server_state))
+    r = await client.post(
+        "/v1/audio/speech", json={"input": "[S1] hi", "max_tokens": 8}
+    )
+    assert r.status == 200
+    wav = await r.read()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+
+
+async def test_lora_routes(aiohttp_client, server_state, tmp_path):
+    from safetensors.numpy import save_file
+
+    # tiny PEFT-style adapter targeting wq on layer 0
+    d = tmp_path / "adapter"
+    d.mkdir()
+    (d / "adapter_config.json").write_text(
+        json.dumps({"r": 2, "lora_alpha": 4.0})
+    )
+    H = CFG.hidden_size
+    save_file(
+        {
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+                np.ones((2, H), np.float32) * 0.01,
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight":
+                np.ones((CFG.num_heads * CFG.head_dim, 2), np.float32) * 0.01,
+        },
+        str(d / "adapter_model.safetensors"),
+    )
+    client = await aiohttp_client(build_app(server_state))
+    r = await client.get("/v1/lora")
+    assert (await r.json())["data"][0]["attached_targets"] == []
+    r = await client.post("/v1/lora/load", json={"path": str(d)})
+    assert r.status == 200, await r.text()
+    r = await client.get("/v1/lora")
+    data = await r.json()
+    assert data["data"][0]["attached_targets"], data
+    # generation still works with the adapter attached
+    r = await client.post(
+        "/v1/chat/completions",
+        json={"messages": [{"role": "user", "content": "hi"}],
+              "max_tokens": 4, "temperature": 0},
+    )
+    assert r.status == 200
+    r = await client.post("/v1/lora/unload", json={})
+    assert r.status == 200
+    r = await client.get("/v1/lora")
+    assert (await r.json())["data"][0]["attached_targets"] == []
