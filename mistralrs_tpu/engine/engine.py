@@ -328,10 +328,11 @@ class Engine:
         self.scheduler.add(seq)
         return seq
 
-    def abort(self, request_id: str) -> None:
+    def abort(self, request_id: str) -> Optional[Sequence]:
         seq = self.scheduler.abort(request_id)
         if seq is not None and seq.slot is not None:
             self._slot_seq[seq.slot] = None
+        return seq
 
     # -- stepping ------------------------------------------------------------
 

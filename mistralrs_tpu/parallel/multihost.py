@@ -141,7 +141,11 @@ def run_replicated_engine(
     decode_request: Callable[[dict], tuple[list[int], Any]],
 ) -> None:
     """Worker-host loop: mirror every replicated request into the local
-    engine with a null responder, then step in lockstep with host 0."""
+    engine with a null responder, then step in lockstep with host 0.
+
+    NOTE: prefer :class:`LockstepDriver` — this free-running loop admits
+    requests asynchronously, so a worker can schedule a step before a
+    request lands that host 0 already included (schedule divergence)."""
     def feeder():
         for req in replicator.recv_loop():
             prompt_ids, params = decode_request(req)
@@ -151,3 +155,83 @@ def run_replicated_engine(
     while True:
         if engine.has_work:
             engine.step()
+
+
+class LockstepDriver:
+    """Deterministic multi-host engine stepping (the analog of the
+    reference's daemon replicator + lockstep scheduling,
+    `mistralrs-core/src/distributed.rs:174-345`).
+
+    Admission is COUPLED to stepping: host 0 drains its pending submissions,
+    broadcasts them in one STEP message, admits them locally, then steps;
+    workers block on the STEP message, admit the identical batch in the
+    identical order, then step. Every rank's scheduler therefore sees the
+    same request stream at the same step boundary — the free-running
+    feeder-thread race is gone, and the jitted step's collectives stay in
+    lockstep. Aborts replicate through the same channel.
+    """
+
+    def __init__(self, replicator: RequestReplicator, engine,
+                 decode_request: Optional[Callable[[dict], tuple]] = None):
+        self.rep = replicator
+        self.engine = engine
+        self.decode_request = decode_request
+        self._pending: list[dict] = []
+        self._pending_aborts: list[str] = []
+        self._lock = threading.Lock()
+        self.step_id = 0
+
+    # -- host 0 --------------------------------------------------------------
+
+    def submit(self, request: dict, prompt_ids, params) -> Any:
+        """Queue a request (admitted at the next step on ALL ranks).
+        Returns the local Sequence for response streaming."""
+        with self._lock:
+            self._pending.append(dict(request))
+        seq = self.engine.add_request(
+            prompt_ids, params, request_id=request.get("request_id")
+        )
+        return seq
+
+    def abort(self, request_id: str) -> None:
+        with self._lock:
+            self._pending_aborts.append(request_id)
+        self.engine.abort(request_id)
+
+    def step(self) -> list:
+        """One lockstep engine step on host 0: broadcast, then step."""
+        with self._lock:
+            new, aborts = self._pending, self._pending_aborts
+            self._pending, self._pending_aborts = [], []
+        self.rep.broadcast(
+            {"kind": "step", "step_id": self.step_id, "requests": new,
+             "aborts": aborts}
+        )
+        self.step_id += 1
+        return self.engine.step()
+
+    def shutdown(self) -> None:
+        self.rep.broadcast({"kind": "stop"})
+
+    # -- workers -------------------------------------------------------------
+
+    def run_worker(self) -> list:
+        """Blocking worker loop: admit each STEP message's batch, step.
+        Returns every sequence finished over the session."""
+        assert self.decode_request is not None
+        finished = []
+        for msg in self.rep.recv_loop():
+            if msg.get("kind") == "stop":
+                return finished
+            for req in msg.get("requests", ()):
+                prompt_ids, params = self.decode_request(req)
+                self.engine.add_request(
+                    prompt_ids, params, request_id=req.get("request_id")
+                )
+            for rid in msg.get("aborts", ()):
+                seq = self.engine.abort(rid)
+                if seq is not None:
+                    finished.append(seq)
+            self.step_id = msg["step_id"] + 1
+            finished.extend(self.engine.step())
+        return finished
