@@ -31,12 +31,13 @@ from ..ops.attention import sdpa
 from ..ops.norms import layer_norm, rms_norm, rms_norm_gemma
 from ..ops.rope import (
     apply_rope,
+    mrope_cos_sin,
     rope_cos_sin,
     rope_frequencies,
     yarn_attention_factor,
 )
 from ..lora import apply_lora_delta
-from ..quant.linear import Weight, embedding_lookup, linear
+from ..quant.linear import LayerSlice, Weight, embedding_lookup, linear
 from ..quant.qtensor import QTensor
 from .config import ModelConfig
 
@@ -44,6 +45,8 @@ from .config import ModelConfig
 def _local_view(w):
     """Inside shard_map, a row-parallel QTensor's local shard is one packing
     chunk — reset the chunk count so the Pallas kernel sees plain packing."""
+    if isinstance(w, LayerSlice) and w.qt.chunks > 1:
+        return LayerSlice(_dc_replace(w.qt, chunks=1), w.layer)
     if isinstance(w, QTensor) and w.chunks > 1:
         return _dc_replace(w, chunks=1)
     return w
@@ -693,6 +696,7 @@ def forward_paged(
     force_gather: bool = False,
     input_embeds: Optional[jax.Array] = None,  # [B, T, H] (multimodal merge)
     last_indices: Optional[jax.Array] = None,  # [B] per-row last VALID index
+    rope_positions3: Optional[jax.Array] = None,  # [3, B, T] M-RoPE streams
 ):
     """Decoder step over the paged KV cache (decode or chunked prefill).
 
@@ -716,7 +720,17 @@ def forward_paged(
         elif cfg.embedding_multiplier:  # granite
             h = h * jnp.asarray(cfg.embedding_multiplier, h.dtype)
 
-    cos_g, sin_g, cos_lo, sin_lo = _rope_sets(cfg, positions)
+    if rope_positions3 is not None and cfg.mrope_section:
+        # M-RoPE (qwen2-vl family): rotary angles come from the 3 position
+        # streams; attention masking keeps the plain token-index `positions`
+        inv = 1.0 / (
+            cfg.rope_theta
+            ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim)
+        )
+        cos_g, sin_g = mrope_cos_sin(rope_positions3, inv, cfg.mrope_section)
+        cos_lo, sin_lo = cos_g, sin_g
+    else:
+        cos_g, sin_g, cos_lo, sin_lo = _rope_sets(cfg, positions)
     windows = weights["layer_windows"]
     flat_slots = slot_mapping.reshape(-1)
     has_scales = cache.k_scale is not None
@@ -744,14 +758,20 @@ def forward_paged(
     if rope_flags is None:
         rope_flags = jnp.ones_like(windows)
 
-    def body(carry, xs):
+    def body(carry, xs, heavy=None):
         if has_scales:
             hh, kp, vp, ksp, vsp = carry
-            lw, win, ur, li = xs
+            lw, win, ur, li, si = xs
         else:
             hh, kp, vp = carry
             ksp = vsp = None
-            lw, win, ur, li = xs
+            lw, win, ur, li, si = xs
+        if heavy:
+            # stacked quantized planes stay OUT of the scan xs (slicing them
+            # per step copies ~every weight byte twice more); the kernel
+            # indexes the segment-local layer via scalar prefetch
+            lw = dict(lw)
+            lw.update({name: LayerSlice(qt, si) for name, qt in heavy.items()})
         x = _maybe_norm(
             hh, lw["attn_norm"], cfg.rms_norm_eps, gemma,
             lw.get("attn_norm_bias"), cfg.norm_type,
@@ -870,9 +890,12 @@ def forward_paged(
     off = 0
     for seg in segments:
         n_seg = jax.tree_util.tree_leaves(seg)[0].shape[0]
-        xs = (seg, windows[off : off + n_seg], rope_flags[off : off + n_seg],
-              layer_ids[off : off + n_seg])
-        carry, _ = jax.lax.scan(body, carry, xs)
+        heavy = {k: v for k, v in seg.items() if isinstance(v, QTensor)}
+        light = {k: v for k, v in seg.items() if k not in heavy}
+        xs = (light, windows[off : off + n_seg], rope_flags[off : off + n_seg],
+              layer_ids[off : off + n_seg],
+              jnp.arange(n_seg, dtype=jnp.int32))
+        carry, _ = jax.lax.scan(partial(body, heavy=heavy), carry, xs)
         off += n_seg
     if has_scales:
         h, kp, vp, ksp, vsp = carry

@@ -23,6 +23,7 @@ matmul. Tests assert the Pallas kernels match it on CPU via interpret mode.
 from __future__ import annotations
 
 import functools
+from dataclasses import replace as _dc_replace
 from typing import Optional
 
 import jax
@@ -280,6 +281,208 @@ def _w8_matmul(
 
 
 # ---------------------------------------------------------------------------
+# stacked (layer-indexed) kernels
+# ---------------------------------------------------------------------------
+#
+# A decoder's layer loop is a `lax.scan`; if the stacked [L, ...] weight
+# planes ride the scan as `xs`, XLA materializes a dynamic-slice COPY of
+# every layer's weights before each pallas_call — ~3x HBM traffic on the
+# decode hot path (measured: 13.9 ms vs 8.3 ms for the llama3-8b Q4_K
+# matmul chain). These variants instead take the FULL stacked tensors plus
+# a scalar-prefetch layer index that offsets the BlockSpec index maps, so
+# tiles stream straight from the stacked HBM buffer (same trick as the
+# fused paged-attention kernel's layer argument). The analog of the
+# reference keeping all layers' quantized weights resident and indexing
+# per layer (`mistralrs-quant/src/gguf/mod.rs`).
+
+
+def _w4_matmul_l_kernel(
+    l_ref, x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, b_lo_ref, b_hi_ref,
+    o_ref, acc_ref, *, group_size, dequant_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[0].astype(jnp.int32) & 0xFF
+    w_lo = _dequant(p & 15, s_lo_ref, b_lo_ref, group_size, dequant_dtype)
+    w_hi = _dequant(p >> 4, s_hi_ref, b_hi_ref, group_size, dequant_dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_lo_ref[...], w_lo, _DN, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(x_hi_ref[...], w_hi, _DN, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "dequant_dtype", "out_dtype", "interpret"),
+)
+def _w4_matmul_l(
+    x, packed, scale, bias, layer,
+    *, group_size, dequant_dtype, out_dtype, interpret,
+):
+    """w4 matmul against layer `layer` of stacked planes.
+
+    packed [L, Kst, N] u8, scale/bias [L, G, N]; layer a traced i32 scalar.
+    """
+    m, k = x.shape
+    nl, k2, n = packed.shape
+    tm, tn, tk = _pick_tiles(m, n, k2, group_size)
+    mp = _round_up(m, tm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    grid = (mp // tm, _cdiv(n, tn), k2 // tk)
+    gpt = tk // group_size
+    khalf = k2 // tk
+    g2 = scale.shape[1] // 2
+
+    scale4 = scale.reshape(nl, 2, g2, n)
+    bias4 = None if bias is None else bias.reshape(nl, 2, g2, n)
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            l, x_lo, x_hi, p, s_lo, s_hi, b_lo, b_hi, o, acc = refs
+        else:
+            l, x_lo, x_hi, p, s_lo, s_hi, o, acc = refs
+            b_lo = b_hi = None
+        _w4_matmul_l_kernel(
+            l, x_lo, x_hi, p, s_lo, s_hi, b_lo, b_hi, o, acc,
+            group_size=group_size, dequant_dtype=dequant_dtype,
+        )
+
+    s_lo_spec = pl.BlockSpec((1, 1, gpt, tn), lambda i, j, kk, l: (l[0], 0, kk, j))
+    s_hi_spec = pl.BlockSpec((1, 1, gpt, tn), lambda i, j, kk, l: (l[0], 1, kk, j))
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk, l: (i, kk)),
+        pl.BlockSpec((tm, tk), lambda i, j, kk, l: (i, khalf + kk)),
+        pl.BlockSpec((1, tk, tn), lambda i, j, kk, l: (l[0], kk, j)),
+        s_lo_spec,
+        s_hi_spec,
+    ]
+    args = [x, x, packed, scale4, scale4]
+    if has_bias:
+        in_specs += [s_lo_spec, s_hi_spec]
+        args += [bias4, bias4]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * n * k2,
+            bytes_accessed=n * k2 + 2 * scale.size * 4 // nl
+            + mp * k2 * 2 * 2 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *args)
+    return out[:m] if mp != m else out
+
+
+def _w8_matmul_l_kernel(
+    l_ref, x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref,
+    *, group_size, dequant_dtype, signed,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.int32)
+    if not signed:
+        q = q & 0xFF
+    w = _dequant(q, s_ref, b_ref, group_size, dequant_dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, _DN, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "dequant_dtype", "out_dtype", "signed", "interpret"),
+)
+def _w8_matmul_l(
+    x, codes, scale, bias, layer,
+    *, group_size, dequant_dtype, out_dtype, signed, interpret,
+):
+    m, k = x.shape
+    nl, _, n = codes.shape
+    tm, tn, tk = _pick_tiles(m, n, k, group_size)
+    mp = _round_up(m, tm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    grid = (mp // tm, _cdiv(n, tn), k // tk)
+    gpt = tk // group_size
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            l, x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref = refs
+        else:
+            l, x_ref, q_ref, s_ref, o_ref, acc_ref = refs
+            b_ref = None
+        _w8_matmul_l_kernel(
+            l, x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref,
+            group_size=group_size, dequant_dtype=dequant_dtype, signed=signed,
+        )
+
+    s_spec = pl.BlockSpec((1, gpt, tn), lambda i, j, kk, l: (l[0], kk, j))
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk, l: (i, kk)),
+        pl.BlockSpec((1, tk, tn), lambda i, j, kk, l: (l[0], kk, j)),
+        s_spec,
+    ]
+    args = [x, codes, scale]
+    if has_bias:
+        in_specs.append(s_spec)
+        args.append(bias)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=n * k + scale.size * 4 // nl + mp * k * 2 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *args)
+    return out[:m] if mp != m else out
+
+
+# ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
@@ -296,16 +499,55 @@ def quant_matmul(
     dequant_dtype=jnp.bfloat16,
     backend: Optional[str] = None,
     interpret: bool = False,
+    layer: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Compute ``x @ w.T`` for quantized ``w = [N, K]``; ``x`` is ``[..., K]``.
 
     Accumulation is always f32 on the MXU; ``dequant_dtype`` is the precision
     weights are dequantized to in VMEM (bf16 = MXU-native).
+
+    With ``layer`` (a traced i32 scalar), ``qt`` holds STACKED per-layer
+    planes ``[L, ...]`` and the matmul runs against layer ``layer`` without
+    materializing a slice (scalar-prefetch indexing in the kernel) — the
+    decoder scan's hot path.
     """
     if backend is None:
         backend = _default_backend()
     out_dtype = out_dtype or x.dtype
     *batch, k = x.shape
+    if layer is not None:
+        k2, n = qt.data.shape[1], qt.data.shape[2]
+        if backend == "xla":
+            qt2 = _dc_replace(
+                qt,
+                data=jax.lax.dynamic_index_in_dim(qt.data, layer, 0, False),
+                scale=jax.lax.dynamic_index_in_dim(qt.scale, layer, 0, False),
+                bias=(
+                    None if qt.bias is None else
+                    jax.lax.dynamic_index_in_dim(qt.bias, layer, 0, False)
+                ),
+            )
+            return _matmul_xla(x, qt2, dequant_dtype).astype(out_dtype)
+        x2 = x.reshape(-1, k).astype(dequant_dtype)
+        if qt.packed:
+            if qt.chunks != 1:
+                raise ValueError(
+                    "Pallas path needs single-chunk packing: inside shard_map "
+                    "use parallel.tp.local_view() on row-parallel weights"
+                )
+            out = _w4_matmul_l(
+                x2, qt.data, qt.scale, qt.bias, layer,
+                group_size=qt.group_size, dequant_dtype=dequant_dtype,
+                out_dtype=out_dtype, interpret=interpret,
+            )
+        else:
+            out = _w8_matmul_l(
+                x2, qt.data, qt.scale, qt.bias, layer,
+                group_size=qt.group_size, dequant_dtype=dequant_dtype,
+                out_dtype=out_dtype, signed=qt.data.dtype == jnp.int8,
+                interpret=interpret,
+            )
+        return out.reshape(*batch, n)
     n = qt.out_features
     if k != qt.in_features:
         raise ValueError(f"x K={k} != weight K={qt.in_features}")

@@ -6,6 +6,7 @@ one entry point regardless of whether the weight is a planar-quantized
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional, Union
 
 import jax
@@ -18,6 +19,19 @@ from .qtensor import QTensor
 Weight = Union[QTensor, Fp8Tensor, jax.Array]
 
 
+@dataclass
+class LayerSlice:
+    """Layer ``layer`` of a STACKED ``[L, ...]`` quantized weight.
+
+    Built inside a decoder's layer scan so the matmul kernel indexes the
+    stacked HBM planes directly (scalar-prefetch BlockSpec offset) instead
+    of the scan materializing a per-layer dynamic-slice copy — the copy
+    triples weight HBM traffic on the decode hot path."""
+
+    qt: QTensor  # stacked planes [L, ...]
+    layer: jax.Array  # traced i32 scalar
+
+
 def linear(
     x: jax.Array,
     w: Weight,
@@ -26,7 +40,9 @@ def linear(
     backend: Optional[str] = None,
 ) -> jax.Array:
     """``x @ w.T (+ bias)`` with ``w`` of shape [out, in] (HF convention)."""
-    if isinstance(w, QTensor):
+    if isinstance(w, LayerSlice):
+        out = quant_matmul(x, w.qt, layer=w.layer, backend=backend)
+    elif isinstance(w, QTensor):
         out = quant_matmul(x, w, backend=backend)
     elif isinstance(w, Fp8Tensor):
         out = fp8_matmul(x, w)

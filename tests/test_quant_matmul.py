@@ -132,3 +132,45 @@ def test_fused_projection_concat_quantized():
     f0 = jax.tree_util.tree_map(lambda x: x[0], fused)
     got = np.asarray(f0.dequantize())
     np.testing.assert_array_equal(got, np.concatenate(refs, axis=0))
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q6_K])
+def test_stacked_layer_matmul_matches_sliced(t):
+    """Layer-indexed kernels over stacked [L, ...] planes (the decoder scan
+    hot path: no per-layer weight slice copies) match the per-layer 2-D
+    kernels exactly, on both the pallas(interpret) and xla paths."""
+    import dataclasses
+
+    L, n, k = 3, 256, 512
+    qts = [
+        QTensor.from_gguf_raw(_random_raw(t, n, k, seed=10 + i), t, (n, k))
+        for i in range(L)
+    ]
+    stacked = dataclasses.replace(
+        qts[0],
+        data=jnp.stack([q.data for q in qts]),
+        scale=jnp.stack([q.scale for q in qts]),
+        bias=(
+            None if qts[0].bias is None
+            else jnp.stack([q.bias for q in qts])
+        ),
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((5, k), dtype=np.float32) * 0.1,
+                    jnp.bfloat16)
+    for li in range(L):
+        ref = quant_matmul(x, qts[li], backend="xla", out_dtype=jnp.float32)
+        got_x = quant_matmul(
+            x, stacked, backend="xla", layer=jnp.int32(li),
+            out_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_x), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+        got_p = quant_matmul(
+            x, stacked, backend="pallas", interpret=True,
+            layer=jnp.int32(li), out_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_p), np.asarray(ref), rtol=2e-2, atol=2e-2
+        )
