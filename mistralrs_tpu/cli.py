@@ -167,7 +167,8 @@ def cmd_serve(args):
     if pipe.tokenizer is None:
         print("error: model has no tokenizer; `serve` needs one", file=sys.stderr)
         return 1
-    state = ServerState(eng, pipe.tokenizer, pipe.chat_template, pipe.model_id)
+    state = ServerState(eng, pipe.tokenizer, pipe.chat_template, pipe.model_id,
+                        vlm=pipe.vlm)
     print(f"serving {pipe.model_id} on {args.host}:{args.port}", flush=True)
     serve(state, host=args.host, port=args.port)
     return 0

@@ -52,12 +52,12 @@ def _bucket(n: int, buckets=_PREFILL_BUCKETS) -> int:
 )
 def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
                 kv_lens, last_indices, block_size, backend, compute_dtype,
-                input_embeds=None):
+                input_embeds=None, rope_pos3=None):
     return forward_paged(
         weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
         block_size=block_size, backend=backend, logits_last_only=True,
         compute_dtype=compute_dtype, input_embeds=input_embeds,
-        last_indices=last_indices,
+        last_indices=last_indices, rope_positions3=rope_pos3,
     )
 
 
@@ -65,11 +65,13 @@ def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
 def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
-               kv_lens, samp_state, key, block_size, backend, compute_dtype):
+               kv_lens, samp_state, key, block_size, backend, compute_dtype,
+               rope_pos3=None):
     logits, cache = forward_paged(
         weights, cfg, tokens[:, None], positions[:, None], cache, block_tables,
         slot_map[:, None], kv_lens, block_size=block_size, backend=backend,
         logits_last_only=True, compute_dtype=compute_dtype,
+        rope_positions3=rope_pos3,
     )
     new_tokens, logprobs, tops, samp_state = sample(logits[:, -1], samp_state, key)
     return new_tokens, logprobs, tops, cache, samp_state
@@ -178,11 +180,14 @@ class Engine:
         # -- mesh-sharded serving (the analog of the reference's TP engine:
         # Row/ColumnParallel layers driven by the engine loop,
         # distributed/layers.rs:58 + engine/mod.rs:962) ---------------------
+        self.mrope = bool(getattr(cfg, "mrope_section", ()))
         self.mesh = mesh
         self.dp = 1
         self._tp_fwd = None
         self._tp_fwd_embeds = None
         if mesh is not None:
+            if self.mrope:
+                raise NotImplementedError("M-RoPE serving with a mesh")
             from ..parallel.tp import (
                 DP_AXIS, TP_AXIS, paged_tp_forward_fn, shard_weights,
             )
@@ -289,6 +294,7 @@ class Engine:
         on_tokens=None,
         priority: int = 0,
         prompt_embeds=None,  # [T, H]: precomputed merged embeddings (VLM)
+        mrope_positions=None,  # [3, T] np: M-RoPE streams (qwen2-vl family)
     ) -> Sequence:
         params = params or SamplingParams()
         if len(prompt_ids) >= self.max_model_len:
@@ -325,6 +331,15 @@ class Engine:
                 np.asarray(prompt_embeds).tobytes(), digest_size=8
             ).hexdigest()
             seq.extra_hash = (digest,)
+        if mrope_positions is not None:
+            mp = np.asarray(mrope_positions, np.int32)
+            if mp.shape != (3, len(prompt_ids)):
+                raise ValueError(f"mrope_positions shape {mp.shape} != (3, T)")
+            seq.mrope_positions = mp  # type: ignore[attr-defined]
+            # decode positions: all 3 streams advance together from
+            # max(prompt streams) + 1 — a per-sequence offset vs the token
+            # index (vLLM's mrope_position_delta)
+            seq.rope_delta = int(mp.max()) + 1 - len(prompt_ids)  # type: ignore[attr-defined]
         self.scheduler.add(seq)
         return seq
 
@@ -483,6 +498,16 @@ class Engine:
                 bt[row, : len(table)] = table
                 kv_lens[row] = sp.start + sp.length
                 last_idx[row] = sp.length - 1
+        rope_pos3 = None
+        if self.mrope:
+            # text rows: all 3 streams = token index (mrope ≡ standard rope);
+            # multimodal rows carry their grid streams
+            p3 = np.broadcast_to(positions, (3,) + positions.shape).copy()
+            for row, sp in row_sp.items():
+                mp = getattr(sp.seq, "mrope_positions", None)
+                if mp is not None:
+                    p3[:, row, : sp.length] = mp[:, sp.start : sp.start + sp.length]
+            rope_pos3 = jnp.asarray(p3)
         embeds = None
         if any(
             getattr(sp.seq, "prompt_embeds", None) is not None for sp in sps
@@ -528,7 +553,7 @@ class Engine:
                 jnp.asarray(positions), self.cache, jnp.asarray(bt),
                 jnp.asarray(slot_map, jnp.int32), jnp.asarray(kv_lens),
                 jnp.asarray(last_idx), self.block_size, self.backend,
-                self.compute_dtype, input_embeds=embeds,
+                self.compute_dtype, input_embeds=embeds, rope_pos3=rope_pos3,
             )
         if self.draft_cfg is not None:
             _, self.draft_cache = _prefill_fn(
@@ -734,11 +759,21 @@ class Engine:
                 logits[:, -1], self.samp_state, sub
             )
         else:
+            rope_pos3 = None
+            if self.mrope:
+                # all 3 streams = token index + per-sequence mrope delta
+                deltas = np.zeros((b,), np.int32)
+                for seq in seqs:
+                    deltas[seq.slot] = getattr(seq, "rope_delta", 0)
+                rope_pos3 = jnp.asarray(
+                    np.broadcast_to(positions + deltas, (3, b))[..., None]
+                )
             new_tokens, logprobs, tops, self.cache, self.samp_state = _decode_fn(
                 self.weights, self._fcfg, jnp.asarray(tokens), jnp.asarray(positions),
                 self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
                 jnp.asarray(kv_lens), self.samp_state, sub,
                 self.block_size, self.backend, self.compute_dtype,
+                rope_pos3=rope_pos3,
             )
         new_tokens = np.asarray(new_tokens)
         logprobs = np.asarray(logprobs)
@@ -871,8 +906,18 @@ class Engine:
         """Recompute-preemption folds generated tokens into the prompt; a
         multimodal sequence's prompt_embeds must grow matching rows (plain
         embedding-table rows — generated tokens are always text)."""
+        if not folded_ids:
+            return
+        mp = getattr(seq, "mrope_positions", None)
+        if mp is not None:
+            # generated tokens advance all 3 streams together from max + 1
+            nxt = int(mp.max()) + 1
+            ext = np.broadcast_to(
+                nxt + np.arange(len(folded_ids), dtype=np.int32), (3, len(folded_ids))
+            )
+            seq.mrope_positions = np.concatenate([mp, ext], axis=1)  # type: ignore[attr-defined]
         pe = getattr(seq, "prompt_embeds", None)
-        if pe is None or not folded_ids:
+        if pe is None:
             return
         from ..quant.linear import embedding_lookup
 

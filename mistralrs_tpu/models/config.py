@@ -68,6 +68,10 @@ class ModelConfig:
     logits_scaling: Optional[float] = None
     # qwen2moe: always-on shared expert with sigmoid gate
     shared_expert_intermediate_size: Optional[int] = None
+    # qwen2-vl M-RoPE: head-dim channel sections fed by the (t, h, w)
+    # position streams; () → standard rope. When set, forward_paged accepts
+    # rope_positions3 [3, B, T] (mask positions stay the token index).
+    mrope_section: tuple[int, ...] = ()
     # bookkeeping
     bos_token_id: Optional[int] = None
     eos_token_ids: tuple[int, ...] = ()

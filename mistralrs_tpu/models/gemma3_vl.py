@@ -127,3 +127,37 @@ def gemma3_vl_forward(
         compute_dtype=compute_dtype, logits_last_only=logits_last_only,
         input_embeds=embeds,
     )
+
+
+def prepare_multimodal_prompt(
+    weights: dict,
+    cfg: Gemma3VLConfig,
+    prompt_ids: list[int],
+    pixel_values,
+    encoder_cache=None,
+    compute_dtype=jnp.bfloat16,
+):
+    """→ (prompt_ids, prompt_embeds [T, H], extra_hash) for engine serving.
+    Token embeddings carry gemma's sqrt(hidden) multiplier BEFORE the
+    merge (image features are not scaled) — matching gemma3_vl_forward."""
+    from ..multimodal import prepare_vlm_prompt
+
+    def encode(pv):
+        tower = vision_tower_forward(
+            weights["vision"], cfg.vision, jnp.asarray(pv),
+            feature_layer=-1, compute_dtype=compute_dtype,
+        )
+        return gemma3_project(weights, cfg, tower)
+
+    return prepare_vlm_prompt(
+        prompt_ids, pixel_values,
+        embed_weights=weights["text"]["embed"],
+        image_token_id=cfg.image_token_id,
+        encode=encode,
+        encoder_cache=encoder_cache,
+        cache_namespace="gemma3_vl",
+        embed_multiplier=(
+            cfg.text.embedding_multiplier or cfg.text.hidden_size ** 0.5
+        ),
+        compute_dtype=compute_dtype,
+    )

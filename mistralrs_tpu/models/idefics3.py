@@ -139,3 +139,29 @@ def idefics3_forward(
         compute_dtype=compute_dtype, logits_last_only=logits_last_only,
         input_embeds=embeds,
     )
+
+
+def prepare_multimodal_prompt(
+    weights: dict,
+    cfg: Idefics3Config,
+    prompt_ids: list[int],
+    pixel_values,
+    encoder_cache=None,
+    compute_dtype=jnp.bfloat16,
+):
+    """→ (prompt_ids, prompt_embeds [T, H], extra_hash) for engine serving
+    (vision features merged at <image> placeholders; media digest chained
+    into KV block hashes via extra_hash)."""
+    from ..multimodal import prepare_vlm_prompt
+
+    return prepare_vlm_prompt(
+        prompt_ids, pixel_values,
+        embed_weights=weights["text"]["embed"],
+        image_token_id=cfg.image_token_id,
+        encode=lambda pv: encode_images(
+            weights, cfg, jnp.asarray(pv), compute_dtype=compute_dtype
+        ),
+        encoder_cache=encoder_cache,
+        cache_namespace="idefics3",
+        compute_dtype=compute_dtype,
+    )

@@ -165,37 +165,8 @@ def load_llava_model(path: str, dtype=jnp.bfloat16, isq=None):
     return cfg, weights, hf_cfg
 
 
-class EncoderCache:
-    """Vision-encoder output cache keyed by media hash (the analog of
-    `mistralrs-core/src/paged_attention/encoder_cache.rs`)."""
-
-    def __init__(self, max_entries: int = 64):
-        from collections import OrderedDict
-
-        self._cache = OrderedDict()
-        self.max_entries = max_entries
-        self.hits = 0
-        self.misses = 0
-
-    @staticmethod
-    def media_hash(pixel_values) -> str:
-        import hashlib
-
-        arr = np.ascontiguousarray(np.asarray(pixel_values, np.float32))
-        return hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest()
-
-    def get_or_encode(self, weights, cfg: LlavaConfig, pixel_values):
-        key = self.media_hash(pixel_values)
-        if key in self._cache:
-            self.hits += 1
-            self._cache.move_to_end(key)
-            return self._cache[key]
-        self.misses += 1
-        feats = encode_images(weights, cfg, jnp.asarray(pixel_values))
-        self._cache[key] = feats
-        while len(self._cache) > self.max_entries:
-            self._cache.popitem(last=False)
-        return feats
+# Shared across all VLM families (generic, namespaced by model family).
+from ..multimodal import EncoderCache  # noqa: E402  (re-export)
 
 
 def prepare_multimodal_prompt(
@@ -206,14 +177,18 @@ def prepare_multimodal_prompt(
     encoder_cache: Optional[EncoderCache] = None,
     compute_dtype=jnp.bfloat16,
 ):
-    """→ (prompt_ids, prompt_embeds [T, H]) for Engine.add_request: vision
-    features merged into the token embeddings at placeholder positions."""
-    ids = jnp.asarray([prompt_ids], jnp.int32)
-    embeds = embedding_lookup(ids, weights["text"]["embed"], dtype=compute_dtype)
-    if pixel_values is not None:
-        if encoder_cache is not None:
-            feats = encoder_cache.get_or_encode(weights, cfg, pixel_values)
-        else:
-            feats = encode_images(weights, cfg, jnp.asarray(pixel_values))
-        embeds = merge_image_embeddings(embeds, ids, feats, cfg.image_token_id)
-    return prompt_ids, embeds[0]
+    """→ (prompt_ids, prompt_embeds [T, H], extra_hash) for Engine.add_request:
+    vision features merged into token embeddings at placeholder positions."""
+    from ..multimodal import prepare_vlm_prompt
+
+    return prepare_vlm_prompt(
+        prompt_ids, pixel_values,
+        embed_weights=weights["text"]["embed"],
+        image_token_id=cfg.image_token_id,
+        encode=lambda pv: encode_images(
+            weights, cfg, jnp.asarray(pv), compute_dtype=jnp.float32
+        ),
+        encoder_cache=encoder_cache,
+        cache_namespace="llava",
+        compute_dtype=compute_dtype,
+    )

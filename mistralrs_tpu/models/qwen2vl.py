@@ -38,8 +38,12 @@ class Qwen2VLConfig:
         tc = dict(d["text_config"])
         text = config_from_hf(tc | {"architectures": ["Qwen2ForCausalLM"]})
         sec = tuple((tc.get("rope_scaling") or {}).get("mrope_section", ()))
-        # mrope keeps plain rotary frequencies — drop the scaling marker
-        text = __import__("dataclasses").replace(text, rope_scaling=None)
+        # mrope keeps plain rotary frequencies — drop the scaling marker;
+        # record the sections on the text config so the serving engine's
+        # forward_paged can run M-RoPE decode/prefill (rope_positions3)
+        text = __import__("dataclasses").replace(
+            text, rope_scaling=None, mrope_section=sec
+        )
         return cls(
             text=text,
             vision=Qwen2VLVisionConfig.from_hf(d["vision_config"]),
@@ -87,21 +91,14 @@ def mrope_cos_sin(
 ) -> tuple[jax.Array, jax.Array]:
     """Section-combined (cos, sin) [B, T, head_dim // 2] for the standard
     rotate-half application."""
+    from ..ops.rope import mrope_cos_sin as _mrope
+
     hd = cfg.text.head_dim
     inv = 1.0 / (
         cfg.text.rope_theta
         ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
     )
-    ang = positions3.astype(jnp.float32)[..., None] * inv  # [3, B, T, hd/2]
-    cos = jnp.cos(ang)
-    sin = jnp.sin(ang)
-    parts_c, parts_s = [], []
-    off = 0
-    for i, sec in enumerate(cfg.mrope_section):
-        parts_c.append(cos[i % 3, ..., off : off + sec])
-        parts_s.append(sin[i % 3, ..., off : off + sec])
-        off += sec
-    return jnp.concatenate(parts_c, -1), jnp.concatenate(parts_s, -1)
+    return _mrope(positions3, inv, cfg.mrope_section)
 
 
 def qwen2vl_weights_from_state_dict(
@@ -164,3 +161,40 @@ def qwen2vl_forward(
         logits_last_only=logits_last_only, input_embeds=embeds,
         rope_override=(cos, sin),
     )
+
+def prepare_multimodal_prompt(
+    weights: dict,
+    cfg: Qwen2VLConfig,
+    prompt_ids: list[int],
+    patches,  # [N, C*tps*p*p] pre-patchified pixels or None
+    grid_thw: Optional[tuple[int, int, int]] = None,
+    encoder_cache=None,
+    compute_dtype=jnp.float32,
+):
+    """→ (prompt_ids, prompt_embeds [T, H], extra_hash, mrope_positions
+    [3, T]) for ``Engine.add_request`` — the engine runs M-RoPE prefill from
+    the position streams and decode at token-index + delta (all-equal
+    streams reduce to standard rope)."""
+    from ..multimodal import prepare_vlm_prompt
+
+    def encode(pv):
+        # vision features per image token row [N/merge², H] → [1, n, H]
+        return qwen2vl_vision_forward(
+            weights["vision"], cfg.vision, jnp.asarray(pv), grid_thw
+        )[None]
+
+    ids, embeds, extra = prepare_vlm_prompt(
+        prompt_ids, patches,
+        embed_weights=weights["text"]["embed"],
+        image_token_id=cfg.image_token_id,
+        encode=encode,
+        encoder_cache=encoder_cache,
+        cache_namespace="qwen2vl",
+        compute_dtype=compute_dtype,
+    )
+    pos3 = mrope_position_ids(
+        np.asarray(prompt_ids), cfg.image_token_id,
+        grid_thw if patches is not None else (0, 0, 0),
+        merge=cfg.vision.spatial_merge_size,
+    )
+    return ids, embeds, extra, pos3

@@ -140,3 +140,22 @@ def apply_rope(
     if x_pass.shape[-1] == 0:
         return out
     return jnp.concatenate([out, x_pass], axis=-1)
+
+
+def mrope_cos_sin(
+    positions3,  # [3, B, T] (temporal, height, width) int positions
+    inv_freq,  # [head_dim // 2] inverse frequencies
+    sections,  # per-section channel widths summing to head_dim // 2
+):
+    """Section-combined (cos, sin) [B, T, head_dim // 2] for M-RoPE
+    (qwen2-vl family): channel section ``i`` reads position stream
+    ``i % 3``. Output feeds the standard rotate-half ``apply_rope``."""
+    ang = positions3.astype(jnp.float32)[..., None] * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    parts_c, parts_s = [], []
+    off = 0
+    for i, sec in enumerate(sections):
+        parts_c.append(cos[i % 3, ..., off : off + sec])
+        parts_s.append(sin[i % 3, ..., off : off + sec])
+        off += sec
+    return jnp.concatenate(parts_c, -1), jnp.concatenate(parts_s, -1)

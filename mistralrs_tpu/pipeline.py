@@ -51,11 +51,66 @@ class Pipeline:
     chat_template: ChatTemplate
     model_id: str
     metadata: dict[str, Any]
+    # vision-language serving bridge (serving/vlm.py VlmAdapter): set for
+    # VLM checkpoints; cfg/weights above are then the TEXT decoder's
+    vlm: Optional[Any] = None
 
 
 # HF model_type → bespoke (config, loader). These archs don't fit the
 # unified llama-family decoder: they serve through engine arch adapters.
 _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2")
+
+# vision-language model_types: text decoder serves through the engine,
+# vision tower + merge through a serving/vlm.py adapter (the analog of the
+# reference's VisionLoaderType registry, vision_models/mod.rs)
+_VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl")
+
+
+def _load_vlm(model_type: str, path: Path, dtype, isq):
+    import json
+
+    from .models.hf_loader import load_safetensors_dir
+    from .serving.vlm import build_adapter
+
+    hf_cfg = json.loads((path / "config.json").read_text())
+    sd = load_safetensors_dir(path)
+    kw = dict(dtype=dtype, isq=isq)
+    if model_type == "llava":
+        from .models.llava import LlavaConfig, llava_weights_from_state_dict
+
+        cfg = LlavaConfig.from_hf(hf_cfg)
+        weights = llava_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "idefics3":
+        from .models.idefics3 import (
+            Idefics3Config,
+            idefics3_weights_from_state_dict,
+        )
+
+        cfg = Idefics3Config.from_hf(hf_cfg)
+        weights = idefics3_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "gemma3":
+        from .models.gemma3_vl import (
+            Gemma3VLConfig,
+            gemma3_vl_weights_from_state_dict,
+        )
+
+        hf_cfg.setdefault(
+            "image_token_id", hf_cfg.get("image_token_index", 262144)
+        )
+        cfg = Gemma3VLConfig.from_hf(hf_cfg)
+        weights = gemma3_vl_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "qwen2_vl":
+        from .models.qwen2vl import (
+            Qwen2VLConfig,
+            qwen2vl_weights_from_state_dict,
+        )
+
+        cfg = Qwen2VLConfig.from_hf(hf_cfg)
+        weights = qwen2vl_weights_from_state_dict(sd, cfg, **kw)
+    else:
+        raise ValueError(f"unhandled VLM arch {model_type!r}")
+    adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)
+    return cfg, weights, adapter, hf_cfg
 
 
 def _load_specialized(model_type: str, path: Path, dtype):
@@ -149,6 +204,21 @@ def load_pipeline(
         model_type = ""
         if cfg_file.exists():
             model_type = json.loads(cfg_file.read_text()).get("model_type", "")
+        if model_type in _VLM_ARCHS and "vision_config" in json.loads(
+            cfg_file.read_text()
+        ):
+            cfg, weights, vlm, hf_cfg = _load_vlm(model_type, path, dtype, isq_t)
+            try:
+                tokenizer = from_hf_dir(path)
+            except FileNotFoundError:
+                tokenizer = None
+            ct = resolve_chat_template(
+                override=chat_template_override, hf_dir=path, arch=model_type,
+            )
+            return Pipeline(
+                cfg.text, weights["text"], tokenizer, ct, path.name, hf_cfg,
+                vlm=vlm,
+            )
         if model_type in _SPECIALIZED_ARCHS:
             # specialized families (MLA / GDN / conv hybrids) have bespoke
             # configs + forwards and serve via engine arch adapters

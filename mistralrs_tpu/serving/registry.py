@@ -27,6 +27,7 @@ class ModelInstance:
     chat_template: ChatTemplate
     source: Optional[str] = None  # path, for reload
     load_options: dict[str, Any] = field(default_factory=dict)
+    vlm: Optional[Any] = None  # serving/vlm.py VlmAdapter (image inputs)
     _wake: threading.Event = field(default_factory=threading.Event)
     _stop: bool = False
     _thread: Optional[threading.Thread] = None
@@ -61,13 +62,16 @@ class ModelInstance:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
 
-    def submit(self, prompt_ids, params: SamplingParams, on_tokens) -> Sequence:
+    def submit(self, prompt_ids, params: SamplingParams, on_tokens,
+               **mm_kwargs) -> Sequence:
         if not self.is_alive and not self._stop:
             # dead-engine-thread reboot (the analog of the reference's
             # `RebootState`, lib.rs:432): the engine object survives — only
             # the stepping thread is restarted
             self.start()
-        seq = self.engine.add_request(prompt_ids, params, on_tokens=on_tokens)
+        seq = self.engine.add_request(
+            prompt_ids, params, on_tokens=on_tokens, **mm_kwargs
+        )
         self._wake.set()
         return seq
 

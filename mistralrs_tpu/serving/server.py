@@ -28,6 +28,7 @@ from ..engine.sequence import Sequence, StopReason
 from ..tokenizer import TokenizerWrapper
 from .registry import ModelInstance, ModelRegistry
 from . import protocol as P
+from . import vlm as vlm_mod
 
 _FINISH_MAP = {
     StopReason.EOS: "stop",
@@ -92,6 +93,7 @@ class ServerState:
         chat_template: Optional[ChatTemplate] = None,
         model_id: str = "default",
         registry: Optional[ModelRegistry] = None,
+        vlm=None,
     ):
         self.registry = registry or ModelRegistry()
         self.metrics = Metrics()
@@ -108,6 +110,7 @@ class ServerState:
                     engine=engine,
                     tokenizer=tokenizer,
                     chat_template=chat_template,
+                    vlm=vlm,
                 ),
                 default=True,
             )
@@ -357,14 +360,75 @@ def build_app(state: ServerState) -> web.Application:
             )
         return inst
 
-    async def _generate_blocking(inst, prompt_ids, params) -> tuple[list[int], Sequence]:
+    async def _generate_blocking(
+        inst, prompt_ids, params, mm_kwargs=None
+    ) -> tuple[list[int], Sequence]:
         loop = asyncio.get_running_loop()
         stream = _TokenStream(loop)
-        seq = inst.submit(prompt_ids, params, stream.on_tokens)
+        seq = inst.submit(prompt_ids, params, stream.on_tokens, **(mm_kwargs or {}))
         toks: list[int] = []
         async for chunk, fin in stream.drain():
             toks.extend(chunk)
         return toks, seq
+
+    def _chat_prompt_and_media(inst, req) -> tuple[list[int], dict]:
+        """Chat messages → (prompt_ids, engine multimodal kwargs).
+
+        Image parts (data: URIs) are encoded through the model's VLM
+        adapter: the placeholder token string is spliced into the chat text
+        (one per merged vision token) and the merged prompt embeddings ride
+        `Engine.add_request(prompt_embeds=...)` — the analog of the
+        reference's vision inputs processors."""
+        images: list = []
+        msgs: list[dict] = []
+        for m in req.messages:
+            content = m.content
+            has_images = isinstance(content, list) and any(
+                isinstance(p, dict) and p.get("type") == "image_url"
+                for p in content
+            )
+            if not has_images:
+                msgs.append({"role": m.role, "content": m.text_content()})
+                continue
+            if inst.vlm is None:
+                raise web.HTTPBadRequest(
+                    text=json.dumps({"error": {"message":
+                        f"model {inst.model_id!r} does not accept image input"}}),
+                    content_type="application/json",
+                )
+            parts: list = []
+            for p in content:
+                if p.get("type") == "text":
+                    parts.append(p.get("text", ""))
+                elif p.get("type") == "image_url":
+                    iu = p.get("image_url")
+                    url = iu.get("url", "") if isinstance(iu, dict) else str(iu)
+                    try:
+                        images.append(vlm_mod.decode_image_url(url))
+                    except ValueError as e:
+                        raise web.HTTPBadRequest(
+                            text=json.dumps({"error": {"message": str(e)}}),
+                            content_type="application/json",
+                        )
+                    parts.append(None)  # placeholder: expanded after process()
+            msgs.append({"role": m.role, "content": parts})
+        mm_kwargs: dict = {}
+        if images:
+            media = inst.vlm.process(images)
+            counts = iter(media.counts)
+            for m in msgs:
+                if isinstance(m["content"], list):
+                    m["content"] = "".join(
+                        s if s is not None else inst.vlm.expand(next(counts))
+                        for s in m["content"]
+                    )
+        prompt = inst.chat_template.render(
+            msgs, add_generation_prompt=True, tools=req.tools
+        )
+        prompt_ids = inst.tokenizer.encode(prompt)
+        if images:
+            mm_kwargs = inst.vlm.prepare(prompt_ids, media)
+        return prompt_ids, mm_kwargs
 
     @routes.post("/v1/chat/completions")
     async def chat_completions(request: web.Request):
@@ -373,18 +437,16 @@ def build_app(state: ServerState) -> web.Application:
         except Exception as e:  # noqa: BLE001
             return web.json_response({"error": {"message": str(e)}}, status=422)
         inst = _resolve_or_404(req.model)
-        msgs = [
-            {"role": m.role, "content": m.text_content()} for m in req.messages
-        ]
-        prompt = inst.chat_template.render(msgs, add_generation_prompt=True, tools=req.tools)
-        prompt_ids = inst.tokenizer.encode(prompt)
+        prompt_ids, mm_kwargs = _chat_prompt_and_media(inst, req)
         params = _sampling_from_chat(req, inst.tokenizer)
         usage_base = {"prompt_tokens": len(prompt_ids)}
 
         if req.stream:
-            return await _stream_chat(request, inst, prompt_ids, params, usage_base)
+            return await _stream_chat(
+                request, inst, prompt_ids, params, usage_base, mm_kwargs
+            )
 
-        toks, seq = await _generate_blocking(inst, prompt_ids, params)
+        toks, seq = await _generate_blocking(inst, prompt_ids, params, mm_kwargs)
         text = inst.tokenizer.decode(seq.generated_ids)
         text = _trim_stop_strings(text, params.stop_strings)
         usage = {
@@ -437,7 +499,8 @@ def build_app(state: ServerState) -> web.Application:
             resp["choices"][0]["message"]["content"] = None
         return web.json_response(resp)
 
-    async def _stream_chat(request, inst, prompt_ids, params, usage_base):
+    async def _stream_chat(request, inst, prompt_ids, params, usage_base,
+                           mm_kwargs=None):
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -448,7 +511,8 @@ def build_app(state: ServerState) -> web.Application:
         rid = P.gen_id("chatcmpl")
         loop = asyncio.get_running_loop()
         stream = _TokenStream(loop)
-        seq = inst.submit(prompt_ids, params, stream.on_tokens)
+        seq = inst.submit(prompt_ids, params, stream.on_tokens,
+                          **(mm_kwargs or {}))
         detok = inst.tokenizer.detokenizer()
         first = True
         # stop-string holdback (the reference's held-back streaming): never

@@ -1,0 +1,272 @@
+"""Server-side vision-language plumbing — the analog of the reference's
+per-family vision `InputsProcessor`s (`mistralrs-core/src/vision_models/*/
+inputs_processor.rs`) + `mistralrs-vision` preprocessing, feeding the
+engine's prompt-embeds path.
+
+An adapter per family turns OpenAI `image_url` content parts into
+1) the placeholder expansion spliced into the chat text (one literal
+   image-token string repeated per merged vision token), and
+2) `Engine.add_request` kwargs (`prompt_embeds`, qwen2-vl
+   `mrope_positions`) built via the model's `prepare_multimodal_prompt`.
+
+Zero-egress deployment: images arrive as `data:` URIs (base64) — http(s)
+URLs are rejected at the route.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from ..multimodal import EncoderCache
+from ..vision.transforms import CLIP_MEAN, CLIP_STD, preprocess_image
+
+
+def decode_image_url(url: str) -> np.ndarray:
+    """`data:image/...;base64,<payload>` (or bare base64) → HWC uint8 RGB."""
+    if url.startswith("http://") or url.startswith("https://"):
+        raise ValueError(
+            "remote image URLs are not fetched (zero-egress deployment); "
+            "send images as data: URIs"
+        )
+    payload = url.split(",", 1)[1] if url.startswith("data:") else url
+    raw = base64.b64decode(payload)
+    try:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        return np.asarray(img, np.uint8)
+    except ImportError:  # PIL-free fallback: raw .npy payloads
+        arr = np.load(io.BytesIO(raw), allow_pickle=False)
+        return np.asarray(arr, np.uint8)
+
+
+@dataclass
+class ProcessedMedia:
+    pixels: Any  # family-specific stacked array
+    counts: list[int]  # merged vision tokens per image
+    extras: dict = field(default_factory=dict)  # e.g. {"grid_thw": (t,h,w)}
+
+
+@dataclass
+class VlmAdapter:
+    """Family-specific bridge from decoded images to engine kwargs."""
+
+    family: str
+    image_token: str  # literal placeholder string in chat text
+    process: Callable[[list[np.ndarray]], ProcessedMedia]
+    prepare: Callable[[list[int], ProcessedMedia], dict]
+    # placeholder expansion for one image (default: token string × count)
+    expansion: Optional[Callable[[int], str]] = None
+
+    def expand(self, count: int) -> str:
+        if self.expansion is not None:
+            return self.expansion(count)
+        return self.image_token * count
+
+
+def llava_adapter(
+    weights: dict, cfg, *, image_token: str = "<image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    from ..models.llava import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    size = cfg.vision.image_size
+    n_tok = (size // cfg.vision.patch_size) ** 2
+    if not cfg.drop_cls_token and cfg.vision.use_class_token:
+        n_tok += 1
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        px = np.stack([preprocess_image(im, size=size) for im in images])
+        return ProcessedMedia(px, [n_tok] * len(images))
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("llava", image_token, process, prepare)
+
+
+def idefics3_adapter(
+    weights: dict, cfg, *, image_token: str = "<image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Single-tile path (no image splitting yet — one resized global tile
+    per image, the reference's `do_image_splitting=false` mode)."""
+    from ..models.idefics3 import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    size = cfg.vision.image_size
+    n_tok = (size // cfg.vision.patch_size) ** 2 // cfg.scale_factor**2
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        px = np.stack([
+            preprocess_image(im, size=size, mean=(0.5,) * 3, std=(0.5,) * 3)
+            for im in images
+        ])
+        return ProcessedMedia(px, [n_tok] * len(images))
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("idefics3", image_token, process, prepare)
+
+
+def gemma3_adapter(
+    weights: dict, cfg, *, image_token: str = "<image_soft_token>",
+    boi: str = "<start_of_image>", eoi: str = "<end_of_image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    from ..models.gemma3_vl import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    size = cfg.vision.image_size
+    n_tok = cfg.mm_tokens_per_image
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        px = np.stack([
+            preprocess_image(im, size=size, mean=(0.5,) * 3, std=(0.5,) * 3,
+                             resample="bilinear")
+            for im in images
+        ])
+        return ProcessedMedia(px, [n_tok] * len(images))
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter(
+        "gemma3", image_token, process, prepare,
+        expansion=lambda n: f"\n\n{boi}{image_token * n}{eoi}\n\n",
+    )
+
+
+def qwen2vl_smart_resize(
+    h: int, w: int, factor: int, min_pixels: int = 56 * 56,
+    max_pixels: int = 14 * 14 * 4 * 1280,
+) -> tuple[int, int]:
+    """HF `smart_resize`: round dims to `factor`, keep area in budget."""
+    import math
+
+    if max(h, w) / min(h, w) > 200:
+        raise ValueError("absurd aspect ratio")
+    hb = max(factor, round(h / factor) * factor)
+    wb = max(factor, round(w / factor) * factor)
+    if hb * wb > max_pixels:
+        beta = math.sqrt((h * w) / max_pixels)
+        hb = math.floor(h / beta / factor) * factor
+        wb = math.floor(w / beta / factor) * factor
+    elif hb * wb < min_pixels:
+        beta = math.sqrt(min_pixels / (h * w))
+        hb = math.ceil(h * beta / factor) * factor
+        wb = math.ceil(w * beta / factor) * factor
+    return hb, wb
+
+
+def qwen2vl_patchify(
+    image: np.ndarray, patch: int, merge: int, tps: int,
+    mean=CLIP_MEAN, std=CLIP_STD,
+) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """HWC uint8 → ([grid_t*h*w, C*tps*p*p] patches, grid_thw) with HF's
+    merge-window-major ordering (image_processing_qwen2_vl.py)."""
+    h0, w0 = image.shape[:2]
+    rh, rw = qwen2vl_smart_resize(h0, w0, patch * merge)
+    try:
+        from PIL import Image
+
+        img = Image.fromarray(image).resize((rw, rh), Image.BICUBIC)
+        arr = np.asarray(img, np.float32) / 255.0
+    except ImportError:
+        yi = (np.arange(rh) * h0 // rh).clip(0, h0 - 1)
+        xi = (np.arange(rw) * w0 // rw).clip(0, w0 - 1)
+        arr = np.asarray(image, np.float32)[yi][:, xi] / 255.0
+    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    chw = arr.transpose(2, 0, 1)  # [C, H, W]
+    frames = np.repeat(chw[None], tps, axis=0)  # still image → tps frames
+    c = chw.shape[0]
+    gt, gh, gw = 1, rh // patch, rw // patch
+    p = frames.reshape(
+        gt, tps, c, gh // merge, merge, patch, gw // merge, merge, patch
+    )
+    p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return (
+        p.reshape(gt * gh * gw, c * tps * patch * patch).astype(np.float32),
+        (gt, gh, gw),
+    )
+
+
+def qwen2vl_adapter(
+    weights: dict, cfg, *, image_token: str = "<|image_pad|>",
+    vision_start: str = "<|vision_start|>", vision_end: str = "<|vision_end|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    from ..models.qwen2vl import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    vis = cfg.vision
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        if len(images) != 1:
+            raise ValueError(
+                "qwen2-vl serving currently supports one image per request"
+            )
+        patches, grid = qwen2vl_patchify(
+            images[0], vis.patch_size, vis.spatial_merge_size,
+            vis.temporal_patch_size,
+        )
+        n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+        return ProcessedMedia(patches, [n], {"grid_thw": grid})
+
+    def prepare(prompt_ids, media):
+        _, embeds, _, pos3 = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            media.extras["grid_thw"], encoder_cache=cache,
+            compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds, "mrope_positions": pos3}
+
+    return VlmAdapter(
+        "qwen2vl", image_token, process, prepare,
+        expansion=lambda n: f"{vision_start}{image_token * n}{vision_end}",
+    )
+
+
+_BUILDERS = {
+    "llava": llava_adapter,
+    "idefics3": idefics3_adapter,
+    "gemma3": gemma3_adapter,
+    "qwen2_vl": qwen2vl_adapter,
+}
+
+
+def build_adapter(family: str, weights: dict, cfg, **kw) -> VlmAdapter:
+    if family not in _BUILDERS:
+        raise ValueError(f"no VLM adapter for family {family!r}")
+    return _BUILDERS[family](weights, cfg, **kw)
