@@ -32,7 +32,8 @@ from ..kv.paged import PagedKVCache
 from ..models.config import ModelConfig
 from ..models.llama import forward_paged
 from .sampler import (
-    BatchSamplingState, SamplingParams, dry_penalty_row, sample, sample_row,
+    BatchSamplingState, SamplingParams, _transformed_probs, dry_penalty_row,
+    sample, sample_row, speculative_accept,
 )
 from .scheduler import Scheduler, SchedulerOutput
 from .sequence import Sequence, SequenceState, StopReason
@@ -94,19 +95,46 @@ def _greedy_step_fn(weights, cfg, tokens, positions, cache, block_tables,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
-def _verify_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
-               kv_lens, block_size, backend, compute_dtype):
-    """Target verification: logits at ALL gamma+1 positions in one forward
-    (the speculative core — reference `speculative/driver.rs`)."""
+def _draft_step_sample_fn(weights, cfg, tokens, positions, cache, block_tables,
+                          slot_map, kv_lens, samp_state, key, block_size,
+                          backend, compute_dtype):
+    """One draft proposal step: sample from the draft's sampler-transformed
+    distribution and return it for acceptance (the reference's proposer,
+    speculative/proposer.rs; greedy slots reduce to argmax)."""
+    logits, cache = forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, block_tables,
+        slot_map[:, None], kv_lens, block_size=block_size, backend=backend,
+        logits_last_only=True, compute_dtype=compute_dtype,
+    )
+    probs = _transformed_probs(logits[:, -1], samp_state)
+    tok = jax.random.categorical(
+        key, jnp.log(jnp.maximum(probs, 1e-20)), axis=-1
+    ).astype(jnp.int32)
+    return tok, probs, cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _verify_probs_fn(weights, cfg, ids, positions, cache, block_tables,
+                     slot_map, kv_lens, samp_state, block_size, backend,
+                     compute_dtype):
+    """Target verification: sampler-transformed probs at ALL gamma+1
+    positions in one forward (the speculative core — reference
+    `speculative/driver.rs` + `verifier.rs`)."""
     logits, cache = forward_paged(
         weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
         block_size=block_size, backend=backend, logits_last_only=False,
         compute_dtype=compute_dtype,
     )
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    chosen = jnp.take_along_axis(lp, greedy[..., None], axis=-1)[..., 0]
-    return greedy, chosen, cache
+    probs = jnp.stack(
+        [
+            _transformed_probs(logits[:, j].astype(jnp.float32), samp_state)
+            for j in range(logits.shape[1])
+        ],
+        axis=1,
+    )
+    return probs, cache
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -302,15 +330,18 @@ class Engine:
                 f"prompt length {len(prompt_ids)} ≥ max_model_len {self.max_model_len}"
             )
         if self.draft_cfg is not None:
-            if (not params.is_greedy or params.constraint is not None
+            # acceptance sampling covers temperature/top-k/top-p/min-p (and
+            # greedy as the one-hot special case); penalties/constraints
+            # would change the target distribution mid-rollout
+            if (params.constraint is not None
                     or params.logit_bias or params.n_logprobs
                     or params.frequency_penalty or params.presence_penalty
                     or params.repetition_penalty != 1.0
                     or params.dry_multiplier > 0.0
                     or prompt_embeds is not None):
                 raise ValueError(
-                    "speculative engine: greedy requests without penalties/"
-                    "constraints/logprobs/multimodal only"
+                    "speculative engine: no penalties/constraints/logprobs/"
+                    "multimodal (sampling via acceptance is supported)"
                 )
         seq = Sequence(
             request_id=request_id or f"req-{next(self._req_counter)}",
@@ -625,10 +656,15 @@ class Engine:
         return self._commit_token(seq, tok, lp, top_vals, top_ids)
 
     def _run_decode_spec(self, seqs: list[Sequence]) -> list[Sequence]:
-        """Speculative decode round: draft rolls out gamma tokens greedily,
-        the target verifies all gamma+1 positions in ONE forward, and the
-        leading agreement run (+1 bonus token) commits. Stale KV beyond the
-        committed length is overwritten as later rounds reach it."""
+        """Speculative decode round with acceptance sampling: the draft
+        proposes gamma tokens from its sampler-transformed distribution, the
+        target scores all gamma+1 positions in ONE forward, and each draft
+        is accepted with prob min(1, p/q) — the first rejection resamples
+        from the residual max(p−q, 0); greedy requests reduce exactly to
+        token matching (+1 bonus token). Lossless: committed tokens follow
+        the target distribution (reference speculative/verifier.rs). Stale
+        KV beyond the committed length is overwritten as later rounds reach
+        it."""
         b, g = self.max_batch, self.gamma
         base_tok = np.zeros((b,), np.int32)
         base_pos = np.zeros((b,), np.int32)
@@ -653,42 +689,56 @@ class Engine:
             return sm
 
         bt_j = jnp.asarray(bt)
-        # draft rollout: g+1 greedy steps (the extra step back-fills the KV
-        # of the last drafted token for the next round)
-        drafts = np.zeros((b, g), np.int32)
+        # draft rollout: g+1 sampled steps (the extra step back-fills the KV
+        # of the last drafted token for the next round); each step keeps the
+        # draft's transformed distribution for acceptance
+        drafts_dev = []
+        q_rows = []
         cur_tok = jnp.asarray(base_tok)
         for j in range(g + 1):
             pos_j = jnp.asarray(base_pos + j)
             kv_j = jnp.asarray(base_pos + j + 1)
-            cur_tok, self.draft_cache = _greedy_step_fn(
+            self._key, sub = jax.random.split(self._key)
+            cur_tok, probs, self.draft_cache = _draft_step_sample_fn(
                 self.draft_weights, self._dfcfg, cur_tok, pos_j,
                 self.draft_cache, bt_j, jnp.asarray(slots_at(j), jnp.int32),
-                kv_j, self.block_size, self.backend, self.compute_dtype,
+                kv_j, self.samp_state, sub,
+                self.block_size, self.backend, self.compute_dtype,
             )
             if j < g:
-                drafts[:, j] = np.asarray(cur_tok)
+                drafts_dev.append(cur_tok)
+                q_rows.append(probs)
+        drafts_j = jnp.stack(drafts_dev, axis=1)  # [B, g]
+        drafts = np.asarray(drafts_j)
 
         # target verification over [base_tok, drafts...]
         ids = np.concatenate([base_tok[:, None], drafts], axis=1)  # [B, g+1]
         positions = base_pos[:, None] + np.arange(g + 1)[None, :]
         slot_map = np.stack([slots_at(j) for j in range(g + 1)], axis=1)
-        greedy, chosen_lp, self.cache = _verify_fn(
+        p_probs, self.cache = _verify_probs_fn(
             self.weights, self._fcfg, jnp.asarray(ids),
             jnp.asarray(positions, jnp.int32), self.cache, bt_j,
             jnp.asarray(slot_map.reshape(-1), jnp.int32),
-            jnp.asarray(base_pos + g + 1), self.block_size, self.backend,
-            self.compute_dtype,
+            jnp.asarray(base_pos + g + 1), self.samp_state,
+            self.block_size, self.backend, self.compute_dtype,
         )
-        greedy = np.asarray(greedy)
-        chosen_lp = np.asarray(chosen_lp)
+        # acceptance sampling on device (Leviathan et al.; greedy slots
+        # reduce exactly to token matching) — only [B, g+1] results cross
+        # to the host, never the vocab-sized distributions
+        self._key, sub = jax.random.split(self._key)
+        tokens_j, n_acc_j, lp_j = speculative_accept(
+            drafts_j, jnp.stack(q_rows, axis=1), p_probs, sub
+        )
+        tokens_np = np.asarray(tokens_j)
+        n_acc_np = np.asarray(n_acc_j)
+        lp_np = np.asarray(lp_j)
 
         finished: list[Sequence] = []
         for seq in seqs:
             s = seq.slot
-            acc = 0
-            while acc < g and drafts[s, acc] == greedy[s, acc]:
-                acc += 1
-            commit = [int(x) for x in greedy[s, : acc + 1]]
+            acc = int(n_acc_np[s])
+            commit = [int(x) for x in tokens_np[s, : acc + 1]]
+            chosen_lp = lp_np
             self.stats["spec_drafted"] = self.stats.get("spec_drafted", 0) + g
             self.stats["spec_accepted"] = self.stats.get("spec_accepted", 0) + acc
             reason = None

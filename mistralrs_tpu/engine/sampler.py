@@ -266,3 +266,83 @@ def sample_row(
     )
     update = (jnp.arange(b) == slot).astype(jnp.int32)
     return _sample_core(full, state, key, update)
+
+
+def _transformed_probs(
+    logits: jax.Array,  # [B, V] f32
+    state: BatchSamplingState,
+) -> jax.Array:
+    """Sampler-transformed probabilities for speculative acceptance
+    (the reference's `speculative_target_probs`/`speculative_candidate_probs`,
+    sampler.rs): temperature + top-k/top-p/min-p filtering, NO penalties or
+    bias (the spec engine rejects those at admission). Greedy rows
+    (temperature ≤ 0) become one-hot argmax — acceptance then reduces
+    exactly to greedy token matching."""
+    b, v = logits.shape
+    logits = logits.astype(jnp.float32)
+    greedy = state.temperature <= 0.0
+    temp = jnp.where(greedy, 1.0, state.temperature)
+    scaled = logits / temp[:, None]
+    sorted_logits = -jnp.sort(-scaled, axis=-1)
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    k = jnp.where(state.top_k > 0, state.top_k, v)
+    kth_val = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)
+    include = (cum - probs_sorted) < state.top_p[:, None]
+    idx = jnp.clip(jnp.sum(include.astype(jnp.int32), axis=-1) - 1, 0, v - 1)
+    topp_val = jnp.take_along_axis(sorted_logits, idx[:, None], axis=-1)
+    max_logit = sorted_logits[:, :1]
+    minp_val = max_logit + jnp.log(jnp.maximum(state.min_p[:, None], 1e-20))
+    minp_val = jnp.where(state.min_p[:, None] > 0, minp_val, -jnp.inf)
+    threshold = jnp.maximum(jnp.maximum(kth_val, topp_val), minp_val)
+    filtered = jnp.where(scaled >= threshold, scaled, NEG_INF)
+    probs = jax.nn.softmax(filtered, axis=-1)
+    onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), v, dtype=jnp.float32)
+    return jnp.where(greedy[:, None], onehot, probs)
+
+
+@jax.jit
+def speculative_accept(
+    draft_tokens: jax.Array,  # [B, g] i32
+    q: jax.Array,  # [B, g, V] draft transformed probs
+    p: jax.Array,  # [B, g+1, V] target transformed probs
+    key: jax.Array,
+):
+    """Batched acceptance sampling (Leviathan et al.; the reference's
+    `finish_verified_step_stochastic`, speculative/verifier.rs:158):
+    accept draft i with prob min(1, p_i/q_i); at the first rejection sample
+    from the normalized residual max(p−q, 0); after g acceptances sample
+    the bonus token from the target's last row.
+
+    Returns (tokens [B, g+1], n_accepted [B], logprob of each committed
+    token under the target's transformed distribution [B, g+1])."""
+    b, g, v = q.shape
+    ku, kr = jax.random.split(key)
+    rows = jnp.arange(b)
+    p_i = jnp.take_along_axis(p[:, :g], draft_tokens[..., None], axis=-1)[..., 0]
+    q_i = jnp.take_along_axis(q, draft_tokens[..., None], axis=-1)[..., 0]
+    ratio = jnp.where(
+        q_i <= 0.0,
+        jnp.where(p_i > 0.0, 1.0, 0.0),
+        jnp.minimum(p_i / jnp.maximum(q_i, 1e-20), 1.0),
+    )
+    u = jax.random.uniform(ku, (b, g))
+    accept = u <= ratio
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1)
+    # residual / continuation distribution at position n_acc
+    pn = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]  # [B, V]
+    q_pad = jnp.concatenate([q, jnp.zeros((b, 1, v), q.dtype)], axis=1)
+    qn = jnp.take_along_axis(q_pad, n_acc[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(pn - qn, 0.0)
+    total = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(total > 0, resid / jnp.maximum(total, 1e-20), pn)
+    extra = jax.random.categorical(
+        kr, jnp.log(jnp.maximum(resid, 1e-20)), axis=-1
+    ).astype(jnp.int32)
+    tokens = jnp.concatenate(
+        [draft_tokens, jnp.zeros((b, 1), jnp.int32)], axis=1
+    )
+    tokens = tokens.at[rows, n_acc].set(extra)
+    lp_all = jnp.log(jnp.maximum(p, 1e-20))
+    lp = jnp.take_along_axis(lp_all, tokens[..., None], axis=-1)[..., 0]
+    return tokens, n_acc, lp
