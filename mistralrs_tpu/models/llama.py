@@ -743,7 +743,7 @@ def forward_paged(
     import os as _os
 
     table_slots = jnp.shape(block_tables)[1] * block_size
-    _kernel_min_slots = int(_os.environ.get("MRSTPU_PA_KERNEL_MIN_SLOTS", "2048"))
+    _kernel_min_slots = int(_os.environ.get("MRSTPU_PA_KERNEL_MIN_SLOTS", "0"))
     use_decode_kernel = (
         t == 1
         and not force_gather
@@ -751,6 +751,8 @@ def forward_paged(
         and cfg.attn_logit_softcap is None
         and "sinks" not in weights["layers"]  # gpt_oss: XLA path handles sinks
         and table_slots >= _kernel_min_slots
+        and cfg.head_dim % 128 == 0  # Mosaic lane dim: hd=64/80 fails to
+        # compile ("unsupported shape cast") — those archs use the gather path
         and (backend == "pallas" or (backend is None and jax.default_backend() == "tpu"))
     )
 
