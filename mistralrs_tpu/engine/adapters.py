@@ -259,3 +259,111 @@ def _ds_decode(weights, cfg, tokens, positions, cache, bt, slot_map, kv_lens,
         logits[:, -1], samp_state, key
     )
     return new_tokens, logprobs, tops, cache, samp_state
+
+
+class MllamaAdapter:
+    """Serve Mllama (Llama 3.2 Vision) via the engine: paged KV for self
+    layers + per-decode-slot cross K/V pools installed at admission
+    (`Engine.add_request(adapter_state=...)` → `admit`). The analog of the
+    reference's Mllama pipeline + cross-attention cache
+    (`vision_models/mllama/mod.rs`)."""
+
+    supports_prefix_cache = False  # cross-branch output depends on the image
+    supports_embeds = False
+
+    def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
+        self.cfg = cfg
+        self.weights = weights
+        self.compute_dtype = compute_dtype
+        self.backend = backend
+        self._fcfg = _hashable(cfg)
+
+    def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
+        from ..models.mllama import make_paged_cache
+
+        self._block_size = block_size
+        return make_paged_cache(
+            self.cfg, num_blocks, block_size, n_slots,
+            dtype=self.compute_dtype,
+        )
+
+    def admit(self, cache, slot: int, state: dict):
+        """Install a request's vision cross K/V into its decode slot.
+        ``state`` = {"cross_states": [S_v, H], "img_start": int} from
+        `prepare_request` (or text-only: None, never called)."""
+        from ..models.mllama import admit_cross_states
+
+        return admit_cross_states(
+            self.weights, self.cfg, cache, slot,
+            state["cross_states"], int(state.get("img_start", 0)),
+        )
+
+    def release(self, cache, slot: int):
+        from ..models.mllama import release_cross_states
+
+        return release_cross_states(cache, slot)
+
+    def prepare_request(
+        self, prompt_ids, pixel_values, aspect_ratio_ids, aspect_ratio_mask,
+        img_start: int = 0,
+    ):
+        """→ (prompt_ids, adapter_state) for Engine.add_request."""
+        from ..models.mllama import encode_images
+
+        states = encode_images(
+            self.weights, self.cfg, jnp.asarray(pixel_values),
+            jnp.asarray(aspect_ratio_ids), jnp.asarray(aspect_ratio_mask),
+        )
+        return prompt_ids, {
+            "cross_states": states[0], "img_start": img_start,
+        }
+
+    def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
+                last_indices, slot_ids, resets, embeds=None):
+        return _mllama_fwd(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map.reshape(ids.shape), kv_lens, slot_ids,
+            last_indices, self._block_size, self.compute_dtype,
+        )
+
+    def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
+               samp_state, key):
+        return _mllama_decode(
+            self.weights, self._fcfg, tokens, positions, cache, bt,
+            slot_map, kv_lens, samp_state, key, self._block_size,
+            self.compute_dtype,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _mllama_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+                slot_ids, last_indices, block_size, compute_dtype):
+    from ..models.mllama import mllama_forward_paged
+
+    return mllama_forward_paged(
+        weights, cfg, ids, positions, cache, bt, slot_map, kv_lens, slot_ids,
+        block_size=block_size, compute_dtype=compute_dtype,
+        logits_last_only=True, last_indices=last_indices,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _mllama_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
+                   kv_lens, samp_state, key, block_size, compute_dtype):
+    from ..models.mllama import mllama_forward_paged
+
+    slot_ids = jnp.arange(tokens.shape[0], dtype=jnp.int32)
+    logits, cache = mllama_forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, bt,
+        slot_map[:, None], kv_lens, slot_ids,
+        block_size=block_size, compute_dtype=compute_dtype,
+        logits_last_only=True,
+    )
+    new_tokens, logprobs, tops, samp_state = sample(
+        logits[:, -1], samp_state, key
+    )
+    return new_tokens, logprobs, tops, cache, samp_state

@@ -323,6 +323,7 @@ class Engine:
         priority: int = 0,
         prompt_embeds=None,  # [T, H]: precomputed merged embeddings (VLM)
         mrope_positions=None,  # [3, T] np: M-RoPE streams (qwen2-vl family)
+        adapter_state=None,  # arch-adapter per-request state (mllama cross K/V)
     ) -> Sequence:
         params = params or SamplingParams()
         if len(prompt_ids) >= self.max_model_len:
@@ -362,6 +363,10 @@ class Engine:
                 np.asarray(prompt_embeds).tobytes(), digest_size=8
             ).hexdigest()
             seq.extra_hash = (digest,)
+        if adapter_state is not None:
+            if self.adapter is None or not hasattr(self.adapter, "admit"):
+                raise ValueError("adapter_state needs an admitting adapter")
+            seq.adapter_state = adapter_state  # type: ignore[attr-defined]
         if mrope_positions is not None:
             mp = np.asarray(mrope_positions, np.int32)
             if mp.shape != (3, len(prompt_ids)):
@@ -562,6 +567,19 @@ class Engine:
             for row, sp in row_sp.items():
                 slot_ids[row] = sp.seq.slot
                 resets[row] = 1 if sp.start == 0 else 0
+                if sp.start == 0 and hasattr(self.adapter, "admit"):
+                    # per-request adapter state (mllama cross K/V) installs
+                    # at the claimed slot; text-only requests clear any
+                    # stale state left by a prior occupant
+                    st = getattr(sp.seq, "adapter_state", None)
+                    if st is not None:
+                        self.cache = self.adapter.admit(
+                            self.cache, sp.seq.slot, st
+                        )
+                    elif hasattr(self.adapter, "release"):
+                        self.cache = self.adapter.release(
+                            self.cache, sp.seq.slot
+                        )
             logits, self.cache = self.adapter.prefill(
                 self.cache, jnp.asarray(ids_arr), jnp.asarray(positions),
                 jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
@@ -613,7 +631,11 @@ class Engine:
         self._slot_seq[slot] = seq
         counts = np.zeros((self.cfg.vocab_size,), np.int32)
         uniq, c = np.unique(np.asarray(seq.prompt_ids, np.int64), return_counts=True)
-        counts[uniq] = c
+        # special tokens can live beyond the LM-head vocab (mllama's image
+        # token is in the embedding's +8 extra rows) — they're unsampleable,
+        # so they don't participate in penalties
+        in_vocab = uniq < self.cfg.vocab_size
+        counts[uniq[in_vocab]] = c[in_vocab]
         bias = np.zeros((self.cfg.vocab_size,), np.float32)
         for tok, val in seq.params.logit_bias.items():
             if 0 <= tok < self.cfg.vocab_size:

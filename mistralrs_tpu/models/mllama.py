@@ -48,6 +48,31 @@ class MllamaConfig:
             image_token_id=d.get("image_token_index", 128256),
         )
 
+    # engine-facing passthroughs (Engine reads these off any adapter cfg)
+    @property
+    def arch(self) -> str:
+        return "mllama"
+
+    @property
+    def vocab_size(self) -> int:
+        return self.text.vocab_size
+
+    @property
+    def hidden_size(self) -> int:
+        return self.text.hidden_size
+
+    @property
+    def max_position_embeddings(self) -> int:
+        return self.text.max_position_embeddings
+
+    @property
+    def eos_token_ids(self):
+        return self.text.eos_token_ids
+
+    @property
+    def embedding_multiplier(self):
+        return None
+
 
 def mllama_weights_from_state_dict(
     sd: Mapping[str, np.ndarray], cfg: MllamaConfig, dtype=jnp.float32,
@@ -267,3 +292,182 @@ def encode_images(
     proj = feats @ weights["proj_w"].T + weights["proj_b"]
     b = proj.shape[0]
     return proj.reshape(b, -1, proj.shape[-1])
+
+# ---------------------------------------------------------------------------
+# engine serving (paged self-attention + per-slot cross K/V pools)
+# ---------------------------------------------------------------------------
+
+
+def make_paged_cache(
+    cfg: MllamaConfig, num_blocks: int, block_size: int, n_slots: int,
+    dtype=jnp.float32,
+) -> dict:
+    """Pools for engine serving: paged KV for self-attention layers (+1
+    trash slot) and per-decode-slot cross K/V computed once at admission
+    (+1 trash row) — the hybrid-cache analog for cross-attention
+    (`mistralrs-core/src/kv_cache/hybrid_cache.rs`)."""
+    t = cfg.text
+    n_cross = len(cfg.cross_attention_layers)
+    n_self = t.num_layers - n_cross
+    s_total = num_blocks * block_size + 1
+    s_v = cfg.vision.max_num_tiles * cfg.vision.num_patches
+    s_v = -(-s_v // 8) * 8  # sublane alignment
+    return {
+        "k": jnp.zeros((n_self, s_total, t.num_kv_heads, t.head_dim), dtype),
+        "v": jnp.zeros((n_self, s_total, t.num_kv_heads, t.head_dim), dtype),
+        "xk": jnp.zeros(
+            (n_cross, n_slots + 1, s_v, t.num_kv_heads, t.head_dim), dtype
+        ),
+        "xv": jnp.zeros(
+            (n_cross, n_slots + 1, s_v, t.num_kv_heads, t.head_dim), dtype
+        ),
+        "xlen": jnp.zeros((n_slots + 1,), jnp.int32),  # valid vision rows
+        "xstart": jnp.zeros((n_slots + 1,), jnp.int32),  # first attending pos
+    }
+
+
+def admit_cross_states(
+    weights: dict,
+    cfg: MllamaConfig,
+    cache: dict,
+    slot: int,
+    cross_states,  # [S_v, H] (unpadded valid rows first)
+    img_start: int,
+) -> dict:
+    """Install a sequence's cross K/V into its decode slot (once per
+    admission; recompute-preemption re-installs at the new slot)."""
+    t = cfg.text
+    s_v_pool = cache["xk"].shape[2]
+    cs = jnp.asarray(cross_states)
+    n_valid = cs.shape[0]
+    if n_valid < s_v_pool:
+        cs = jnp.pad(cs, ((0, s_v_pool - n_valid), (0, 0)))
+    cross = sorted(cfg.cross_attention_layers)
+    for ci, li in enumerate(cross):
+        lw = weights["layers"][li]
+        xk = (cs @ lw["xk"].T).reshape(s_v_pool, t.num_kv_heads, t.head_dim)
+        xk = rms_norm(xk, lw["k_norm"], t.rms_norm_eps)
+        xv = (cs @ lw["xv"].T).reshape(s_v_pool, t.num_kv_heads, t.head_dim)
+        cache = dict(cache)
+        cache["xk"] = cache["xk"].at[ci, slot].set(xk.astype(cache["xk"].dtype))
+        cache["xv"] = cache["xv"].at[ci, slot].set(xv.astype(cache["xv"].dtype))
+    cache["xlen"] = cache["xlen"].at[slot].set(n_valid)
+    cache["xstart"] = cache["xstart"].at[slot].set(img_start)
+    return cache
+
+
+def release_cross_states(cache: dict, slot: int) -> dict:
+    cache = dict(cache)
+    cache["xlen"] = cache["xlen"].at[slot].set(0)
+    cache["xstart"] = cache["xstart"].at[slot].set(0)
+    return cache
+
+
+def mllama_forward_paged(
+    weights: dict,
+    cfg: MllamaConfig,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T]
+    cache: dict,
+    block_tables: jax.Array,  # [B, W]
+    slot_mapping: jax.Array,  # [B, T] (< 0 → dropped)
+    kv_lens: jax.Array,  # [B]
+    slot_ids: jax.Array,  # [B] decode slot per row (< 0 → trash)
+    *,
+    block_size: int,
+    compute_dtype=jnp.float32,
+    logits_last_only: bool = True,
+    last_indices: Optional[jax.Array] = None,
+) -> tuple[jax.Array, dict]:
+    """Engine-servable mllama step. Self layers use the paged pools; cross
+    layers read the per-slot vision K/V installed at admission. Rows whose
+    slot has no image skip cross layers entirely; rows before the image
+    position follow HF's full-row masking semantics."""
+    from ..ops.attention import sdpa as _sdpa
+
+    t_cfg = cfg.text
+    b, t = input_ids.shape
+    nh, nkv, hd = t_cfg.num_heads, t_cfg.num_kv_heads, t_cfg.head_dim
+    h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
+    inv = rope_frequencies(hd, t_cfg.rope_theta, t_cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv)
+
+    kv_trash = cache["k"].shape[1] - 1
+    flat_slots = jnp.where(
+        slot_mapping.reshape(b * t) < 0, kv_trash, slot_mapping.reshape(b * t)
+    )
+    slot_trash = cache["xlen"].shape[0] - 1
+    slot_safe = jnp.where(slot_ids < 0, slot_trash, slot_ids)
+    bt_safe = jnp.maximum(block_tables, 0)
+    gather_slots = (
+        bt_safe[:, :, None] * block_size + jnp.arange(block_size)[None, None, :]
+    ).reshape(b, -1)
+
+    xlen = cache["xlen"][slot_safe]  # [B]
+    xstart = cache["xstart"][slot_safe]
+    has_img = xlen > 0
+    s_v = cache["xk"].shape[2]
+    kv_valid = jnp.arange(s_v)[None, None] < xlen[:, None, None]  # [B,1,S_v]
+    full_row = (positions >= xstart[:, None]) & has_img[:, None]  # [B,T]
+    # HF quirk: bias rows outside full_row become all-zero (uniform attn);
+    # the mlp branch is zeroed and h is gated back below
+    bias = jnp.where(kv_valid, 0.0, -1e30) * full_row[:, :, None]  # [B,T,S_v]
+
+    new_cache = dict(cache)
+    cross = set(cfg.cross_attention_layers)
+    ai = ci = 0
+    for li, lw in enumerate(weights["layers"]):
+        x = rms_norm(h, lw["attn_norm"], t_cfg.rms_norm_eps)
+        if li in cross:
+            q = (x @ lw["xq"].T).reshape(b, t, nh, hd)
+            q = rms_norm(q, lw["q_norm"], t_cfg.rms_norm_eps)
+            xk = new_cache["xk"][ci, slot_safe].astype(compute_dtype)
+            xv = new_cache["xv"][ci, slot_safe].astype(compute_dtype)
+            qf = q.reshape(b, t, nkv, nh // nkv, hd).astype(jnp.float32)
+            logits = jnp.einsum(
+                "btkgh,bskh->bkgts", qf, xk.astype(jnp.float32)
+            ) / jnp.sqrt(hd)
+            logits = logits + bias[:, None, None].astype(jnp.float32)
+            p = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("bkgts,bskh->btkgh", p, xv.astype(jnp.float32))
+            attn = attn.reshape(b, t, nh * hd).astype(compute_dtype)
+            h2 = h + jnp.tanh(lw["attn_gate"]) * (attn @ lw["xo"].T)
+            x2 = rms_norm(h2, lw["ffn_norm"], t_cfg.rms_norm_eps)
+            mlp = (
+                jax.nn.silu(x2 @ lw["gate"].T) * (x2 @ lw["up"].T)
+            ) @ lw["down"].T
+            mlp = mlp * full_row[..., None].astype(mlp.dtype)
+            h2 = h2 + jnp.tanh(lw["mlp_gate"]) * mlp
+            h = jnp.where(has_img[:, None, None], h2, h)
+            ci += 1
+            continue
+        q = (x @ lw["wq"].T).reshape(b, t, nh, hd)
+        k = (x @ lw["wk"].T).reshape(b, t, nkv, hd)
+        v = (x @ lw["wv"].T).reshape(b, t, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kp = new_cache["k"].at[ai, flat_slots].set(
+            k.reshape(b * t, nkv, hd).astype(new_cache["k"].dtype)
+        )
+        vp = new_cache["v"].at[ai, flat_slots].set(
+            v.reshape(b * t, nkv, hd).astype(new_cache["v"].dtype)
+        )
+        new_cache["k"], new_cache["v"] = kp, vp
+        kk = kp[ai][gather_slots].astype(compute_dtype)
+        vv = vp[ai][gather_slots].astype(compute_dtype)
+        attn = _sdpa(q, kk, vv, q_positions=positions, kv_len=kv_lens)
+        h = h + attn.reshape(b, t, nh * hd) @ lw["wo"].T
+        x = rms_norm(h, lw["ffn_norm"], t_cfg.rms_norm_eps)
+        h = h + (jax.nn.silu(x @ lw["gate"].T) * (x @ lw["up"].T)) @ lw["down"].T
+        ai += 1
+
+    h = rms_norm(h, weights["final_norm"], t_cfg.rms_norm_eps)
+    if logits_last_only:
+        if last_indices is not None:
+            h = jnp.take_along_axis(
+                h, last_indices.astype(jnp.int32)[:, None, None], axis=1
+            )
+        else:
+            h = h[:, -1:]
+    logits = (h @ weights["lm_head"].T).astype(jnp.float32)
+    return logits, new_cache

@@ -58,7 +58,8 @@ class Pipeline:
 
 # HF model_type → bespoke (config, loader). These archs don't fit the
 # unified llama-family decoder: they serve through engine arch adapters.
-_SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2")
+_SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
+                      "mllama")
 
 # vision-language model_types: text decoder serves through the engine,
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
@@ -144,6 +145,11 @@ def _load_specialized(model_type: str, path: Path, dtype):
 
         cfg = Lfm2Config.from_hf(hf_cfg)
         return cfg, lfm2_weights_from_state_dict(sd, cfg)
+    if model_type == "mllama":
+        from .models.mllama import MllamaConfig, mllama_weights_from_state_dict
+
+        cfg = MllamaConfig.from_hf(hf_cfg)
+        return cfg, mllama_weights_from_state_dict(sd, cfg)
     raise ValueError(f"unhandled specialized arch {model_type!r}")
 
 
@@ -153,10 +159,12 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
     from .engine.adapters import (
         DeepseekAdapter,
         Lfm2Adapter,
+        MllamaAdapter,
         Qwen3NextAdapter,
     )
     from .models.deepseek import DeepseekConfig
     from .models.lfm2 import Lfm2Config
+    from .models.mllama import MllamaConfig
     from .models.qwen3next import Qwen3NextConfig
 
     if isinstance(cfg, DeepseekConfig):
@@ -165,6 +173,8 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
         return Qwen3NextAdapter(cfg, weights, compute_dtype=compute_dtype)
     if isinstance(cfg, Lfm2Config):
         return Lfm2Adapter(cfg, weights, compute_dtype=compute_dtype)
+    if isinstance(cfg, MllamaConfig):
+        return MllamaAdapter(cfg, weights, compute_dtype=compute_dtype)
     return None
 
 

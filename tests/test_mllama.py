@@ -167,3 +167,64 @@ def test_mllama_text_only_skips_cross_layers():
         jnp.zeros((1,), jnp.int32),
     )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-4, atol=5e-4)
+
+
+def test_mllama_through_engine():
+    """Image request through the continuous-batching engine (adapter path:
+    paged self-attn KV + per-slot cross K/V installed at admission),
+    mixed with a text-only request — greedy tokens match HF generate."""
+    from mistralrs_tpu.engine.adapters import MllamaAdapter
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+
+    hf_cfg, model, cfg, weights = _tiny_mllama()
+    adapter = MllamaAdapter(cfg, weights, compute_dtype=jnp.float32)
+    eng = Engine(
+        cfg, weights, num_blocks=32, block_size=16, max_batch=2,
+        backend="xla", compute_dtype=jnp.float32, adapter=adapter,
+    )
+
+    rng = np.random.default_rng(1)
+    px = rng.standard_normal((1, 1, 2, 3, 16, 16)).astype(np.float32)
+    ar_ids = np.array([[2]], np.int64)
+    ar_mask = np.array([[[1, 1]]], np.int64)
+    ids = [136, 3, 17, 9, 22]
+    xmask = np.ones((1, len(ids), 1, 2), np.int64)
+    with torch.no_grad():
+        hf_img = model.generate(
+            input_ids=torch.tensor([ids]), pixel_values=torch.tensor(px),
+            aspect_ratio_ids=torch.tensor(ar_ids),
+            aspect_ratio_mask=torch.tensor(ar_mask),
+            cross_attention_mask=torch.tensor(xmask),
+            max_new_tokens=6, do_sample=False,
+        )[0, len(ids):].tolist()
+    ids_txt = [3, 17, 9, 22, 61]
+    with torch.no_grad():
+        hf_txt = model.generate(
+            input_ids=torch.tensor([ids_txt]), max_new_tokens=6,
+            do_sample=False,
+        )[0, len(ids_txt):].tolist()
+
+    pids, state = adapter.prepare_request(ids, px, ar_ids, ar_mask, img_start=0)
+    seq_img = eng.add_request(
+        pids, SamplingParams(temperature=0.0, max_tokens=6),
+        adapter_state=state,
+    )
+    seq_txt = eng.add_request(
+        ids_txt, SamplingParams(temperature=0.0, max_tokens=6)
+    )
+    eng.run_to_completion()
+    assert seq_img.output_ids == hf_img
+    assert seq_txt.output_ids == hf_txt
+
+    # slot reuse: a new text-only request on the (released) image slot must
+    # not see stale cross state
+    seq_txt2 = eng.add_request(
+        ids_txt, SamplingParams(temperature=0.0, max_tokens=6)
+    )
+    seq_txt3 = eng.add_request(
+        list(reversed(ids_txt)), SamplingParams(temperature=0.0, max_tokens=3)
+    )
+    eng.run_to_completion()
+    assert seq_txt2.output_ids == hf_txt
+    assert len(seq_txt3.output_ids) == 3
