@@ -367,3 +367,77 @@ def _mllama_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
         logits[:, -1], samp_state, key
     )
     return new_tokens, logprobs, tops, cache, samp_state
+
+
+class Llama4Adapter:
+    """Serve Llama 4 via the engine: paged KV + per-layer chunked/full
+    masks, input-scaled MoE; multimodal via the prompt-embeds path (image
+    features merged before submission, like llava)."""
+
+    supports_prefix_cache = False  # chunked masks depend on absolute position
+    # (prefix reuse is fine in principle; kept off until hashed with chunk ids)
+    supports_embeds = True
+
+    def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
+        self.cfg = cfg
+        self.weights = weights
+        self.compute_dtype = compute_dtype
+        self.backend = backend
+        self._fcfg = _hashable(cfg)
+
+    def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
+        from ..models.llama4 import make_paged_cache
+
+        self._block_size = block_size
+        return make_paged_cache(
+            self.cfg, num_blocks, block_size, dtype=self.compute_dtype
+        )
+
+    def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
+                last_indices, slot_ids, resets, embeds=None):
+        return _l4_fwd(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map.reshape(ids.shape), kv_lens, last_indices,
+            self._block_size, self.compute_dtype, embeds,
+        )
+
+    def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
+               samp_state, key):
+        return _l4_decode(
+            self.weights, self._fcfg, tokens, positions, cache, bt,
+            slot_map, kv_lens, samp_state, key, self._block_size,
+            self.compute_dtype,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _l4_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+            last_indices, block_size, compute_dtype, embeds=None):
+    from ..models.llama4 import llama4_forward_paged
+
+    return llama4_forward_paged(
+        weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+        block_size=block_size, compute_dtype=compute_dtype,
+        logits_last_only=True, last_indices=last_indices,
+        input_embeds=embeds,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _l4_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
+               kv_lens, samp_state, key, block_size, compute_dtype):
+    from ..models.llama4 import llama4_forward_paged
+
+    logits, cache = llama4_forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, bt,
+        slot_map[:, None], kv_lens, block_size=block_size,
+        compute_dtype=compute_dtype, logits_last_only=True,
+    )
+    new_tokens, logprobs, tops, samp_state = sample(
+        logits[:, -1], samp_state, key
+    )
+    return new_tokens, logprobs, tops, cache, samp_state

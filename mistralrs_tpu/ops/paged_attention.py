@@ -38,114 +38,130 @@ def _decode_kernel(
     slots_ref,  # [B] int32: write slot for this step's KV (< 0 → trash)
     layer_ref,  # [1] int32: which layer's pool plane to use
     # inputs
-    q_ref,  # [1, 1, group_p, hd] VMEM block for (b, h)
+    q_ref,  # [1, n_kv, group_p, hd] VMEM block for seq b
     k_new_ref,  # [1, n_kv, hd] VMEM: this step's KV rows for seq b
     v_new_ref,
     k_pool_ref,  # [L, n_kv, S_total, hd] in ANY/HBM (aliased through)
     v_pool_ref,
     # outputs
-    o_ref,  # [1, 1, group_p, hd]
+    o_ref,  # [1, n_kv, group_p, hd]
     k_pool_out,  # aliased views of the pools
     v_pool_out,
     # scratch
-    k_buf,  # [2, chunk*bs, hd] VMEM
+    k_buf,  # [2, n_kv, chunk*bs, hd] VMEM
     v_buf,
     wk_buf,  # [n_kv, 8, hd] VMEM: aligned read-modify-write window (K)
     wv_buf,
-    sem,  # DMA semaphores (2, 2, chunk)
+    sem,  # DMA semaphores (2, 2, n_kv, chunk)
     wsem,  # write semaphores (2,)
     *,
     block_size: int,
     chunk: int,  # blocks fetched/processed per flash step
     scale: float,
 ):
+    """One grid program per SEQUENCE covering all KV heads: per-program
+    fixed cost (DMA issue latency, semaphore waits, loop setup) was the
+    decode bottleneck at a (seq, head) grid — merging heads cuts programs
+    8x and overlaps every head's block DMAs in one wave (measured 3.4 ms →
+    see STATUS; the analog of the reference packing all heads into one CTA
+    wave in pagedattention_v2)."""
     b = pl.program_id(0)
-    h = pl.program_id(1)
     li = layer_ref[0]
     kv_len = kv_lens_ref[b]
+    n_kv = k_pool_out.shape[1]
 
-    # reshape_and_cache fused in: the h==0 program of each sequence writes
-    # ALL heads' KV rows (static head indices keep every slice provably
-    # aligned) BEFORE any head program of this sequence reads its blocks —
-    # the h grid dimension is "arbitrary" (sequential), so (b, 0) always
-    # precedes (b, h>0). Slot < 0 routes to the trash row. DMA row slices
-    # must be 8-aligned, so each write is a read-modify-write of the aligned
-    # 8-row window containing the slot (windows never span pool blocks since
-    # block_size is a multiple of 8 — no cross-sequence interference).
-    n_kv_heads = k_pool_out.shape[1]
+    # reshape_and_cache fused in: each sequence's program writes its own
+    # step's KV rows for ALL heads before reading its blocks. Slot < 0
+    # routes to the trash row. DMA row slices must be 8-aligned, so the
+    # write is a read-modify-write of the aligned 8-row window containing
+    # the slot (windows never span pool blocks since block_size is a
+    # multiple of 8 — no cross-sequence interference).
     s_total = k_pool_out.shape[2]
     wslot = slots_ref[b]
     wslot = jnp.where(wslot < 0, s_total - 1, wslot)
     win = pl.multiple_of((wslot // 8) * 8, 8)
     row = wslot % 8
 
-    @pl.when(h == 0)
-    def _write_all_heads():
-        kin = pltpu.make_async_copy(
-            k_pool_out.at[li, :, pl.ds(win, 8)], wk_buf, wsem.at[0]
-        )
-        vin = pltpu.make_async_copy(
-            v_pool_out.at[li, :, pl.ds(win, 8)], wv_buf, wsem.at[1]
-        )
-        kin.start()
-        vin.start()
-        kin.wait()
-        vin.wait()
-        # place the rows via a masked select (dynamic sublane stores are not
-        # expressible in Mosaic)
-        rows = jax.lax.broadcasted_iota(jnp.int32, wk_buf.shape, 1)
-        sel = rows == row
-        wk_buf[...] = jnp.where(
-            sel, jnp.broadcast_to(k_new_ref[0][:, None, :], wk_buf.shape),
-            wk_buf[...],
-        )
-        wv_buf[...] = jnp.where(
-            sel, jnp.broadcast_to(v_new_ref[0][:, None, :], wv_buf.shape),
-            wv_buf[...],
-        )
-        kout = pltpu.make_async_copy(
-            wk_buf, k_pool_out.at[li, :, pl.ds(win, 8)], wsem.at[0]
-        )
-        vout = pltpu.make_async_copy(
-            wv_buf, v_pool_out.at[li, :, pl.ds(win, 8)], wsem.at[1]
-        )
-        kout.start()
-        vout.start()
-        kout.wait()
-        vout.wait()
     n_chunks = pl.cdiv(kv_len, block_size * chunk)
-    group_p, hd = q_ref.shape[2], q_ref.shape[3]
-    span = block_size * chunk
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [group_p, hd]
-
-    def dma(ci, j, slot, which):
-        """Async copy of block j of chunk ci into buffer row-range j."""
+    def dma(ci, h, j, slot, which):
+        """Async copy of head h, block j of chunk ci into the buffer."""
         pool = k_pool_out if which == 0 else v_pool_out
         buf = k_buf if which == 0 else v_buf
         blk = block_tables_ref[b, ci * chunk + j]
         return pltpu.make_async_copy(
             pool.at[li, h, pl.ds(blk * block_size, block_size)],
-            buf.at[slot, pl.ds(j * block_size, block_size)],
-            sem.at[slot, which, j],
+            buf.at[slot, h, pl.ds(j * block_size, block_size)],
+            sem.at[slot, which, h, j],
         )
 
     # Always fetch every block of a chunk: rows past kv_len read (padded)
     # table entry 0 — valid memory, and the flash mask zeroes their weight.
     # Fetching garbage instead would risk NaN·0 = NaN in the p @ v product.
     def start_chunk(ci, slot):
-        for j in range(chunk):
-            dma(ci, j, slot, 0).start()
-            dma(ci, j, slot, 1).start()
+        for h in range(n_kv):
+            for j in range(chunk):
+                dma(ci, h, j, slot, 0).start()
+                dma(ci, h, j, slot, 1).start()
 
     def wait_chunk(ci, slot):
-        for j in range(chunk):
-            dma(ci, j, slot, 0).wait()
-            dma(ci, j, slot, 1).wait()
+        for h in range(n_kv):
+            for j in range(chunk):
+                dma(ci, h, j, slot, 0).wait()
+                dma(ci, h, j, slot, 1).wait()
 
-    @pl.when(n_chunks > 0)
+    # this step's write slot lands in the LAST chunk (position kv_len−1),
+    # so with >1 chunk the first chunk's reads can overlap the write RMW
+    @pl.when(n_chunks > 1)
     def _():
         start_chunk(0, 0)
+
+    kin = pltpu.make_async_copy(
+        k_pool_out.at[li, :, pl.ds(win, 8)], wk_buf, wsem.at[0]
+    )
+    vin = pltpu.make_async_copy(
+        v_pool_out.at[li, :, pl.ds(win, 8)], wv_buf, wsem.at[1]
+    )
+    kin.start()
+    vin.start()
+    kin.wait()
+    vin.wait()
+    # place the rows via a masked select (dynamic sublane stores are not
+    # expressible in Mosaic)
+    rows = jax.lax.broadcasted_iota(jnp.int32, wk_buf.shape, 1)
+    sel = rows == row
+    wk_buf[...] = jnp.where(
+        sel, jnp.broadcast_to(k_new_ref[0][:, None, :], wk_buf.shape),
+        wk_buf[...],
+    )
+    wv_buf[...] = jnp.where(
+        sel, jnp.broadcast_to(v_new_ref[0][:, None, :], wv_buf.shape),
+        wv_buf[...],
+    )
+    kout = pltpu.make_async_copy(
+        wk_buf, k_pool_out.at[li, :, pl.ds(win, 8)], wsem.at[0]
+    )
+    vout = pltpu.make_async_copy(
+        wv_buf, v_pool_out.at[li, :, pl.ds(win, 8)], wsem.at[1]
+    )
+    kout.start()
+    vout.start()
+    kout.wait()
+    vout.wait()
+
+    group_p, hd = q_ref.shape[2], q_ref.shape[3]
+    span = block_size * chunk
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [n_kv, group_p, hd]
+
+    # single-chunk case: the write block IS (or may be) in chunk 0 — its
+    # reads must start after the write RMW completes
+    @pl.when(n_chunks == 1)
+    def _():
+        start_chunk(0, 0)
+
+    _BDN = (((2,), (2,)), ((0,), (0,)))  # q[n,g,hd] @ k[n,s,hd] → [n,g,s]
+    _BPV = (((2,), (1,)), ((0,), (0,)))  # p[n,g,s] @ v[n,s,hd] → [n,g,hd]
 
     def body(ci, carry):
         acc, m, l = carry
@@ -156,30 +172,30 @@ def _decode_kernel(
             start_chunk(ci + 1, (ci + 1) % 2)
 
         wait_chunk(ci, slot)
-        k = k_buf[slot].astype(jnp.float32)  # [span, hd]
+        k = k_buf[slot].astype(jnp.float32)  # [n_kv, span, hd]
         v = v_buf[slot].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [group_p, span]
-        pos = ci * span + jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+            q, k, _BDN, preferred_element_type=jnp.float32
+        )  # [n_kv, group_p, span]
+        pos = ci * span + jax.lax.broadcasted_iota(jnp.int32, (1, 1, span), 2)
         mask = pos < kv_len
         w = window_ref[0]
         mask = mask & (((kv_len - 1 - pos) < w) | (w <= 0))
         s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l = l * alpha + jnp.sum(p, axis=2, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, _BPV, preferred_element_type=jnp.float32
         )
         return acc, m_new, l
 
-    acc0 = jnp.zeros((group_p, hd), jnp.float32)
-    m0 = jnp.full((group_p, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((group_p, 1), jnp.float32)
+    acc0 = jnp.zeros((n_kv, group_p, hd), jnp.float32)
+    m0 = jnp.full((n_kv, group_p, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((n_kv, group_p, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -222,9 +238,14 @@ def paged_decode_attention_fused(
     if scale is None:
         scale = 1.0 / math.sqrt(hd)
     if chunk is None:
-        # target ~512 KV rows per flash step (fewer, larger DMA waves;
-        # VMEM cost: 2 slots × (K+V) × 512 × hd × 2B ≈ 0.5 MB at hd=128)
+        # target ~512 KV rows per flash step, capped so the double-buffered
+        # all-heads scratch (2 slots × (K+V) × n_kv × span × hd × 2B) stays
+        # within ~6 MB of VMEM
         chunk = max(1, min(block_tables.shape[1], 512 // block_size))
+        while chunk > 1 and (
+            2 * 2 * n_kv * chunk * block_size * hd * 2 > 6 * 1024 * 1024
+        ):
+            chunk //= 2
     # pad the query group to the f32 sublane quantum
     group_p = max(8, _round_up(group, 8))
     qg = q.reshape(b, n_kv, group, hd)
@@ -240,18 +261,18 @@ def paged_decode_attention_fused(
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(b, n_kv),
+        grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, group_p, hd), lambda i, j, *_: (i, j, 0, 0),
+                (1, n_kv, group_p, hd), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_kv, hd), lambda i, j, *_: (i, 0, 0),
+                (1, n_kv, hd), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_kv, hd), lambda i, j, *_: (i, 0, 0),
+                (1, n_kv, hd), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -259,18 +280,18 @@ def paged_decode_attention_fused(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, group_p, hd), lambda i, j, *_: (i, j, 0, 0),
+                (1, n_kv, group_p, hd), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk * block_size, hd), k_pool.dtype),
-            pltpu.VMEM((2, chunk * block_size, hd), v_pool.dtype),
+            pltpu.VMEM((2, n_kv, chunk * block_size, hd), k_pool.dtype),
+            pltpu.VMEM((2, n_kv, chunk * block_size, hd), v_pool.dtype),
             pltpu.VMEM((n_kv, 8, hd), k_pool.dtype),
             pltpu.VMEM((n_kv, 8, hd), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, chunk)),
+            pltpu.SemaphoreType.DMA((2, 2, n_kv, chunk)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -287,7 +308,7 @@ def paged_decode_attention_fused(
         # args: 5 scalar-prefetch + q, k_new, v_new, k_pool(8), v_pool(9)
         input_output_aliases={8: 1, 9: 2},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(block_tables, kv_lens, window_arr,

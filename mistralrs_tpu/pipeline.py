@@ -59,12 +59,12 @@ class Pipeline:
 # HF model_type → bespoke (config, loader). These archs don't fit the
 # unified llama-family decoder: they serve through engine arch adapters.
 _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
-                      "mllama")
+                      "mllama", "llama4", "llama4_text")
 
 # vision-language model_types: text decoder serves through the engine,
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
 # reference's VisionLoaderType registry, vision_models/mod.rs)
-_VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl")
+_VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -108,6 +108,14 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
 
         cfg = Qwen2VLConfig.from_hf(hf_cfg)
         weights = qwen2vl_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "llama4":
+        from .models.llama4 import (
+            Llama4VLConfig,
+            llama4_weights_from_state_dict,
+        )
+
+        cfg = Llama4VLConfig.from_hf(hf_cfg)
+        weights = llama4_weights_from_state_dict(sd, cfg, dtype=dtype)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)
@@ -150,6 +158,14 @@ def _load_specialized(model_type: str, path: Path, dtype):
 
         cfg = MllamaConfig.from_hf(hf_cfg)
         return cfg, mllama_weights_from_state_dict(sd, cfg)
+    if model_type in ("llama4", "llama4_text"):
+        from .models.llama4 import (
+            Llama4Config,
+            llama4_text_weights_from_state_dict,
+        )
+
+        cfg = Llama4Config.from_hf(hf_cfg)
+        return cfg, llama4_text_weights_from_state_dict(sd, cfg)
     raise ValueError(f"unhandled specialized arch {model_type!r}")
 
 
@@ -159,11 +175,13 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
     from .engine.adapters import (
         DeepseekAdapter,
         Lfm2Adapter,
+        Llama4Adapter,
         MllamaAdapter,
         Qwen3NextAdapter,
     )
     from .models.deepseek import DeepseekConfig
     from .models.lfm2 import Lfm2Config
+    from .models.llama4 import Llama4Config
     from .models.mllama import MllamaConfig
     from .models.qwen3next import Qwen3NextConfig
 
@@ -175,6 +193,8 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
         return Lfm2Adapter(cfg, weights, compute_dtype=compute_dtype)
     if isinstance(cfg, MllamaConfig):
         return MllamaAdapter(cfg, weights, compute_dtype=compute_dtype)
+    if isinstance(cfg, Llama4Config):
+        return Llama4Adapter(cfg, weights, compute_dtype=compute_dtype)
     return None
 
 
@@ -225,8 +245,11 @@ def load_pipeline(
             ct = resolve_chat_template(
                 override=chat_template_override, hf_dir=path, arch=model_type,
             )
+            # llama4's engine config is the Llama4Config (served via its
+            # arch adapter); plain VLMs use the text ModelConfig directly
+            pipe_cfg = getattr(cfg, "llm", None) or cfg.text
             return Pipeline(
-                cfg.text, weights["text"], tokenizer, ct, path.name, hf_cfg,
+                pipe_cfg, weights["text"], tokenizer, ct, path.name, hf_cfg,
                 vlm=vlm,
             )
         if model_type in _SPECIALIZED_ARCHS:

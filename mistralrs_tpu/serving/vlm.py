@@ -258,8 +258,44 @@ def qwen2vl_adapter(
     )
 
 
+def llama4_adapter(
+    weights: dict, cfg, *, image_token: str = "<|image|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Single-tile path: one resized global tile per image (the reference's
+    llama4 inputs processor additionally tiles by aspect ratio)."""
+    from ..models.llama4 import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    vis = cfg.vision
+    size = vis.image_size
+    n_tok = int(
+        (size // vis.patch_size) ** 2 * vis.pixel_shuffle_ratio**2
+    )
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        px = np.stack([
+            preprocess_image(im, size=size, mean=(0.5,) * 3, std=(0.5,) * 3)
+            for im in images
+        ])
+        return ProcessedMedia(px, [n_tok] * len(images))
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("llama4", image_token, process, prepare)
+
+
 _BUILDERS = {
     "llava": llava_adapter,
+    "llama4": llama4_adapter,
     "idefics3": idefics3_adapter,
     "gemma3": gemma3_adapter,
     "qwen2_vl": qwen2vl_adapter,
@@ -270,3 +306,4 @@ def build_adapter(family: str, weights: dict, cfg, **kw) -> VlmAdapter:
     if family not in _BUILDERS:
         raise ValueError(f"no VLM adapter for family {family!r}")
     return _BUILDERS[family](weights, cfg, **kw)
+
