@@ -231,7 +231,12 @@ class Engine:
                 raise ValueError(f"max_batch {max_batch} not divisible by dp={self.dp}")
             if draft is not None:
                 raise NotImplementedError("speculative decoding with a mesh")
-            weights = shard_weights(mesh, weights)
+            from ..parallel.tp import expert_parallel, weight_pspecs
+
+            weights = shard_weights(
+                mesh, weights,
+                specs=weight_pspecs(weights, ep=expert_parallel(cfg, tp)),
+            )
             self._tp_fwd = paged_tp_forward_fn(
                 mesh, cfg, weights, block_size=block_size, backend=backend,
                 compute_dtype=compute_dtype, quantized_kv=kv_quant is not None,

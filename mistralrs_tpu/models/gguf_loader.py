@@ -219,7 +219,9 @@ def load_gguf_model(
         "layer_windows": jnp.asarray(layer_windows(cfg)),
         "layer_use_rope": jnp.asarray(layer_rope_flags(cfg)),
     }
-    return cfg, weights, md
+    from ..quant.qtensor import apply_scale_dtype
+
+    return cfg, apply_scale_dtype(weights), md
 
 
 def _split_experts(t: _Tensor) -> list[_Tensor]:

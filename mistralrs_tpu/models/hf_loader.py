@@ -413,7 +413,9 @@ def weights_from_state_dict(
         out["final_norm_bias"] = jnp.asarray(final_norm_bias, dtype)
     if lm_head_bias is not None:
         out["lm_head_bias"] = jnp.asarray(lm_head_bias, dtype)
-    return out
+    from ..quant.qtensor import apply_scale_dtype
+
+    return apply_scale_dtype(out)
 
 
 def load_hf_model(

@@ -264,8 +264,16 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
             experts, is_leaf=lambda l: isinstance(l, QTensor)
         )
     )
+    # expert-parallel detection: under EP the expert leaves inside shard_map
+    # hold only this shard's E/tp experts (full width); the router/topk ran
+    # over ALL experts, so index the global weight table at a shard offset
+    n_local = jax.tree_util.tree_leaves(
+        experts, is_leaf=lambda l: isinstance(l, QTensor)
+    )[0].shape[0]
+    ep = tp_axis is not None and n_local != cfg.num_experts
     if (
         dense_experts
+        and not ep
         and "gate" in experts
         and cfg.num_experts >= sparse_min_e
         and b * t <= sparse_max_n
@@ -275,18 +283,22 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
         )
     else:
         # dense compute: scatter top-k weights into [B, T, E], run every
-        # expert, masked combine (best for small expert counts / prefill)
+        # (local) expert, masked combine
         full_w = (
             jnp.zeros((b, t, cfg.num_experts), jnp.float32)
             .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], topi]
             .add(topw)
         )
+        if ep:
+            off = jax.lax.axis_index(tp_axis) * n_local
+            full_w = jax.lax.dynamic_slice_in_dim(full_w, off, n_local, axis=2)
 
         def expert(carry, xs):
             acc, idx = carry
             ew = xs
-            # experts are TP-sharded intra-expert; psum ONCE after the combine
-            # (analog of MoEExperts' single SumAllReduce, moe/experts/mod.rs:36)
+            # intra-expert TP shards width; EP shards the bank — either way
+            # ONE psum after the combine (analog of MoEExperts' single
+            # SumAllReduce, moe/experts/mod.rs:36)
             y = _mlp(x, ew, act, backend, tp_axis=None)
             acc = acc + y * full_w[..., idx][..., None].astype(y.dtype)
             return (acc, idx + 1), None

@@ -58,8 +58,24 @@ def build_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
     return Mesh(grid, (DP_AXIS, TP_AXIS))
 
 
-def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
-    """Per-shard config: head/ffn dims divided by TP."""
+def expert_parallel(cfg: ModelConfig, tp: int) -> bool:
+    """EP (shard the expert bank over the model axis — each shard computes
+    its FULL local experts, one psum combines) when the expert count
+    divides; override with MRSTPU_MOE_SHARD=tp for intra-expert sharding.
+    The reference only TP-shards within experts (moe/experts/mod.rs:36) —
+    EP keeps full-width expert matmuls on each chip."""
+    import os
+
+    if tp == 1 or cfg.num_experts == 0:
+        return False
+    if os.environ.get("MRSTPU_MOE_SHARD", "ep") == "tp":
+        return False
+    return cfg.num_experts % tp == 0
+
+
+def local_config(cfg: ModelConfig, tp: int, ep: bool = False) -> ModelConfig:
+    """Per-shard config: head/ffn dims divided by TP (expert width kept
+    whole under EP)."""
     if tp == 1:
         return cfg
     if cfg.num_heads % tp or cfg.num_kv_heads % tp or cfg.intermediate_size % tp:
@@ -70,7 +86,8 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
         num_kv_heads=cfg.num_kv_heads // tp,
         intermediate_size=cfg.intermediate_size // tp,
         moe_intermediate_size=(
-            None if cfg.moe_intermediate_size is None else cfg.moe_intermediate_size // tp
+            None if cfg.moe_intermediate_size is None or ep
+            else cfg.moe_intermediate_size // tp
         ),
     )
 
@@ -120,11 +137,26 @@ def _entry_spec(key: str, w, lead: int):
     return _dense_specs(w, kind, lead)
 
 
-def _layer_specs(layers_in: dict) -> dict:
+def _ep_spec(w):
+    """Shard the EXPERT axis (index 1 of [L, E, ...] leaves)."""
+    spec = P(None, TP_AXIS)
+    if isinstance(w, QTensor):
+        return QTensor(
+            data=spec, scale=spec,
+            bias=None if w.bias is None else spec,
+            group_size=w.group_size, packed=w.packed, code_bits=w.code_bits,
+            ggml_type=w.ggml_type, chunks=w.chunks,
+        )
+    return spec
+
+
+def _layer_specs(layers_in: dict, ep: bool = False) -> dict:
     layers: dict[str, Any] = {}
     for key, w in layers_in.items():
         if key == "experts":
-            if "gate_up" in w:
+            if ep:
+                layers[key] = {ek: _ep_spec(ew) for ek, ew in w.items()}
+            elif "gate_up" in w:
                 # gpt_oss bank layout [L, E, in, out] — replicate (its
                 # interleaved gate/up pairs don't split on the TP axis)
                 layers[key] = {ek: P() for ek in w}
@@ -139,9 +171,9 @@ def _layer_specs(layers_in: dict) -> dict:
     return layers
 
 
-def weight_pspecs(weights: dict) -> dict:
+def weight_pspecs(weights: dict, ep: bool = False) -> dict:
     """PartitionSpec pytree matching the model weights pytree."""
-    layers = _layer_specs(weights["layers"])
+    layers = _layer_specs(weights["layers"], ep=ep)
 
     lm_head = weights.get("lm_head")
     if lm_head is None:
@@ -162,7 +194,7 @@ def weight_pspecs(weights: dict) -> dict:
         "layer_windows": P(),
     }
     if "layers_moe" in weights:  # dense-prefix MoE models (glm4moe)
-        specs["layers_moe"] = _layer_specs(weights["layers_moe"])
+        specs["layers_moe"] = _layer_specs(weights["layers_moe"], ep=ep)
     # replicate any other top-level entries (rope flags, extra norms, ...)
     for key in weights:
         if key not in specs:
@@ -238,8 +270,9 @@ def paged_tp_forward_fn(
     from ..models.llama import forward_paged
 
     tp = mesh.shape[TP_AXIS]
-    lcfg = local_config(cfg, tp)
-    wspecs = weight_pspecs(weights)
+    ep = expert_parallel(cfg, tp)
+    lcfg = local_config(cfg, tp, ep)
+    wspecs = weight_pspecs(weights, ep=ep)
     cspecs = paged_cache_pspecs(quantized_kv)
 
     def body(w, ids, positions, cache, bt, slot_map, kv_lens, last_idx,
@@ -287,8 +320,9 @@ def tp_forward_fn(
     """Build the jitted multi-chip forward:
     (weights, ids, positions, cache, kv_start) → (logits, cache)."""
     tp = mesh.shape[TP_AXIS]
-    lcfg = local_config(cfg, tp)
-    wspecs = weight_pspecs(weights)
+    ep = expert_parallel(cfg, tp)
+    lcfg = local_config(cfg, tp, ep)
+    wspecs = weight_pspecs(weights, ep=ep)
 
     def body(w, ids, positions, cache, kv_start):
         return forward(

@@ -222,8 +222,26 @@ def test_isq_delta_ppl_on_trained_model():
     # Q8_0 is ~lossless; Q4_K noticeable but small relative to PPL
     assert abs(deltas[GGMLType.Q8_0]) < 0.02 * ppl_f32, deltas
     assert abs(deltas[GGMLType.Q4_K]) < 0.25 * ppl_f32, deltas
+
+    # bf16 scale/bias storage (MRSTPU_SCALE_DTYPE=bf16: 25% less HBM for
+    # 4-bit weights) must cost ~nothing in quality vs the f32 default
+    import os
+
+    os.environ["MRSTPU_SCALE_DTYPE"] = "bf16"
+    try:
+        wq16 = weights_from_state_dict(
+            sd_t, CFG, dtype=jnp.float32, isq=GGMLType.Q4_K
+        )
+    finally:
+        del os.environ["MRSTPU_SCALE_DTYPE"]
+    ppl_q4_bf16s = compute_perplexity(
+        wq16, CFG, eval_ids, window=64, compute_dtype=jnp.float32
+    )["ppl"]
+    d_scale = ppl_q4_bf16s - (ppl_f32 + deltas[GGMLType.Q4_K])
+    assert abs(d_scale) < 0.02 * ppl_f32, (d_scale, deltas)
     # headline-metric shape: report the numbers for the round artifact
     print(
         f"\nPPL untrained={ppl_untrained:.3f} f32={ppl_f32:.3f} "
-        f"dQ8={deltas[GGMLType.Q8_0]:+.4f} dQ4K={deltas[GGMLType.Q4_K]:+.4f}"
+        f"dQ8={deltas[GGMLType.Q8_0]:+.4f} dQ4K={deltas[GGMLType.Q4_K]:+.4f} "
+        f"d(bf16 scales)={d_scale:+.5f}"
     )

@@ -268,3 +268,28 @@ def test_tp_engine_sampled_logprobs_close():
     b = run(build_mesh(tp=4, dp=1))
     assert a.output_ids == b.output_ids
     np.testing.assert_allclose(a.output_logprobs, b.output_logprobs, atol=1e-4)
+
+
+def test_moe_expert_parallel_engine():
+    """EP-sharded Mixtral-style MoE through the paged serving engine."""
+    _need(4)
+    from test_tp import MOE_CFG, _moe_state_dict
+
+    sd = _moe_state_dict(MOE_CFG)
+    weights = weights_from_state_dict(sd, MOE_CFG, dtype=jnp.float32)
+
+    def run(mesh):
+        eng = Engine(
+            MOE_CFG, weights, num_blocks=64, block_size=16, max_batch=4,
+            backend="xla", compute_dtype=jnp.float32, mesh=mesh,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8))
+            for p in PROMPTS
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    ref = run(None)
+    got = run(build_mesh(tp=4, dp=1))  # 1 whole expert per shard
+    assert got == ref
