@@ -15,6 +15,8 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("-c", "--config", default=None,
                    help="TOML config file (CLI flags override it)")
     p.add_argument("--isq", default=None, help="in-situ quantization (q4k, q8_0, ...)")
+    p.add_argument("--from-uqff", default=None,
+                   help="overlay a mistral.rs UQFF artifact onto the checkpoint")
     p.add_argument("--max-seq-len", type=int, default=None)
     p.add_argument("--kv-quant", choices=["int8", "fp8"], default=None)
     p.add_argument("--max-batch", type=int, default=8)
@@ -87,7 +89,8 @@ def _build_engine(args):
     if args.chat_template:
         with open(args.chat_template) as f:
             override = f.read()
-    pipe = load_pipeline(args.model, isq=args.isq, chat_template_override=override)
+    pipe = load_pipeline(args.model, isq=args.isq, chat_template_override=override,
+                         from_uqff=getattr(args, "from_uqff", None))
     from .models.llama import fuse_projections
     from .pipeline import make_adapter
 

@@ -424,14 +424,24 @@ def load_hf_model(
     dtype=jnp.bfloat16,
     isq: Optional[GGMLType] = None,
     row_parallel_chunks: int = 1,
+    from_uqff: Optional[str] = None,
 ) -> tuple[ModelConfig, dict, dict[str, Any]]:
     """Load a HF model directory (plain, GPTQ or AWQ).
+
+    ``from_uqff``: overlay a mistral.rs-produced UQFF artifact — its
+    pre-quantized layers (decoded through the GGUF codecs) replace the base
+    checkpoint's tensors, the reference's `--from-uqff` flow
+    (`mistralrs-quant/src/uqff/reader.rs`).
     Returns (config, weights, config-dict)."""
     path = Path(path)
     with open(path / "config.json") as f:
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg)
-    sd = load_safetensors_dir(path)
+    sd = dict(load_safetensors_dir(path))
+    if from_uqff is not None:
+        from ..uqff import load_reference_uqff
+
+        sd.update(load_reference_uqff(from_uqff))
     weights = weights_from_state_dict(
         sd, cfg, dtype=dtype, isq=isq,
         row_parallel_chunks=row_parallel_chunks,

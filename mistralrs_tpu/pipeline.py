@@ -205,6 +205,7 @@ def load_pipeline(
     dtype=jnp.bfloat16,
     chat_template_override: Optional[str] = None,
     tp: int = 1,
+    from_uqff: Optional[str] = None,
 ) -> Pipeline:
     """Load a model from a GGUF file or HF-format directory."""
     path = Path(model_path)
@@ -269,7 +270,7 @@ def load_pipeline(
             hf_cfg = json.loads(cfg_file.read_text())
             return Pipeline(cfg, weights, tokenizer, ct, path.name, hf_cfg)
         cfg, weights, hf_cfg = load_hf_model(
-            path, dtype=dtype, isq=isq_t
+            path, dtype=dtype, isq=isq_t, from_uqff=from_uqff
         )
         try:
             tokenizer = from_hf_dir(path)

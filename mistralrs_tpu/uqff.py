@@ -145,3 +145,105 @@ def load_uqff(path: str) -> tuple[ModelConfig, dict]:
         else:
             put(key, jnp.asarray(raw[key]))
     return cfg, weights
+
+# ---------------------------------------------------------------------------
+# reference-format UQFF (v1.x) reading — interop with mistral.rs artifacts
+# ---------------------------------------------------------------------------
+#
+# The reference's UQFF (mistralrs-quant/src/uqff/) is a safetensors container:
+# version scalars `uqff.version.{major,minor,patch}` (u32), and per quantized
+# layer `<prefix>.weight.format` (u8: QuantizedSerdeType), plus
+# format-specific tensors — GGUF layers carry raw GGML bytes + a dtype code +
+# shape; unquant layers a plain typed tensor; `<prefix>.bias` optional.
+
+_UQFF_GGML_CODES = {
+    0: "F32", 1: "F16", 2: GGMLType.Q4_0, 3: GGMLType.Q4_1,
+    6: GGMLType.Q5_0, 7: GGMLType.Q5_1, 8: GGMLType.Q8_0,
+    10: GGMLType.Q2_K, 11: GGMLType.Q3_K, 12: GGMLType.Q4_K,
+    13: GGMLType.Q5_K, 14: GGMLType.Q6_K, 30: "BF16",
+}
+
+_SERDE_GGUF, _SERDE_UNQUANT = 0, 1
+
+
+def is_reference_uqff(path: str) -> bool:
+    from safetensors import safe_open
+
+    try:
+        with safe_open(path, framework="np") as st:
+            return "uqff.version.major" in set(st.keys())
+    except Exception:  # noqa: BLE001 — not a safetensors file
+        return False
+
+
+def load_reference_uqff(path: str) -> dict[str, Any]:
+    """Read a mistral.rs-produced ``.uqff`` artifact into a state dict of
+    ``{hf_name: QTensor | np.ndarray}`` ready for
+    ``weights_from_state_dict`` (its pre-quantized path stacks QTensors)."""
+    from safetensors import safe_open
+
+    sd: dict[str, Any] = {}
+    with safe_open(path, framework="np") as st:
+        names = set(st.keys())
+        major = int(st.get_tensor("uqff.version.major").reshape(-1)[0])
+        if major != 1:
+            raise ValueError(f"unsupported UQFF major version {major}")
+        consumed: set[str] = {
+            "uqff.version.major", "uqff.version.minor", "uqff.version.patch",
+        }
+        for name in sorted(names):
+            if not name.endswith(".weight.format"):
+                continue
+            prefix = name[: -len(".weight.format")]
+            fmt = int(st.get_tensor(name).reshape(-1)[0])
+            consumed.add(name)
+            if fmt == _SERDE_UNQUANT:
+                sd[prefix + ".weight"] = st.get_tensor(prefix + ".weight")
+                consumed.add(prefix + ".weight")
+            elif fmt == _SERDE_GGUF:
+                code = int(
+                    st.get_tensor(prefix + ".weight.dtype").reshape(-1)[0]
+                )
+                ggml = _UQFF_GGML_CODES.get(code)
+                if ggml is None:
+                    raise ValueError(
+                        f"{prefix}: unsupported UQFF ggml dtype code {code}"
+                    )
+                shape = [
+                    int(x) for x in st.get_tensor(prefix + ".weight.shape")
+                ]
+                raw = st.get_tensor(prefix + ".weight")
+                consumed |= {
+                    prefix + ".weight", prefix + ".weight.dtype",
+                    prefix + ".weight.shape",
+                }
+                if ggml in ("F32", "F16", "BF16"):
+                    import ml_dtypes
+
+                    dt = {
+                        "F32": np.float32, "F16": np.float16,
+                        "BF16": ml_dtypes.bfloat16,
+                    }[ggml]
+                    sd[prefix + ".weight"] = (
+                        np.frombuffer(raw.tobytes(), dt)
+                        .reshape(shape)
+                        .astype(np.float32)
+                    )
+                else:
+                    sd[prefix + ".weight"] = QTensor.from_gguf_raw(
+                        np.asarray(raw, np.uint8), ggml, tuple(shape)
+                    )
+            else:
+                raise ValueError(
+                    f"{prefix}: UQFF serde type {fmt} not supported yet "
+                    "(gguf/unquant only)"
+                )
+            if prefix + ".bias" in names:
+                sd[prefix + ".bias"] = st.get_tensor(prefix + ".bias")
+                consumed.add(prefix + ".bias")
+        # pass through any remaining plain tensors (norms, embeddings)
+        for name in names - consumed:
+            if name.startswith("uqff."):
+                continue
+            sd[name] = st.get_tensor(name)
+    return sd
