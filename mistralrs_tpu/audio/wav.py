@@ -30,3 +30,40 @@ def write_wav(path, samples: np.ndarray, sample_rate: int = 44100) -> None:
     else:
         with open(path, "wb") as f:
             dump(f)
+
+
+def read_wav(data_or_path) -> tuple[np.ndarray, int]:
+    """WAV bytes/path → (float32 mono waveform in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    src = io.BytesIO(data_or_path) if isinstance(data_or_path, (bytes, bytearray)) else data_or_path
+    with wave.open(src, "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def resample_linear(x: np.ndarray, rate: int, target: int) -> np.ndarray:
+    """Cheap linear resampling (serving input normalization to 16 kHz)."""
+    if rate == target:
+        return x
+    n_out = int(round(len(x) * target / rate))
+    pos = np.linspace(0, len(x) - 1, n_out)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, len(x) - 1)
+    frac = (pos - lo).astype(np.float32)
+    return x[lo] * (1 - frac) + x[hi] * frac

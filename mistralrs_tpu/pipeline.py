@@ -64,7 +64,8 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 # vision-language model_types: text decoder serves through the engine,
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
 # reference's VisionLoaderType registry, vision_models/mod.rs)
-_VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4")
+_VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
+              "voxtral")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -116,6 +117,14 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
 
         cfg = Llama4VLConfig.from_hf(hf_cfg)
         weights = llama4_weights_from_state_dict(sd, cfg, dtype=dtype)
+    elif model_type == "voxtral":
+        from .audio.voxtral import (
+            VoxtralConfig,
+            voxtral_weights_from_state_dict,
+        )
+
+        cfg = VoxtralConfig.from_hf(hf_cfg)
+        weights = voxtral_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)
@@ -235,8 +244,9 @@ def load_pipeline(
         model_type = ""
         if cfg_file.exists():
             model_type = json.loads(cfg_file.read_text()).get("model_type", "")
-        if model_type in _VLM_ARCHS and "vision_config" in json.loads(
-            cfg_file.read_text()
+        _cfg_probe = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+        if model_type in _VLM_ARCHS and (
+            "vision_config" in _cfg_probe or "audio_config" in _cfg_probe
         ):
             cfg, weights, vlm, hf_cfg = _load_vlm(model_type, path, dtype, isq_t)
             try:

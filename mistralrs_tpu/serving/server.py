@@ -381,30 +381,40 @@ def build_app(state: ServerState) -> web.Application:
         reference's vision inputs processors."""
         images: list = []
         msgs: list[dict] = []
+        _MEDIA_TYPES = ("image_url", "input_audio")
         for m in req.messages:
             content = m.content
-            has_images = isinstance(content, list) and any(
-                isinstance(p, dict) and p.get("type") == "image_url"
+            has_media = isinstance(content, list) and any(
+                isinstance(p, dict) and p.get("type") in _MEDIA_TYPES
                 for p in content
             )
-            if not has_images:
+            if not has_media:
                 msgs.append({"role": m.role, "content": m.text_content()})
                 continue
             if inst.vlm is None:
                 raise web.HTTPBadRequest(
                     text=json.dumps({"error": {"message":
-                        f"model {inst.model_id!r} does not accept image input"}}),
+                        f"model {inst.model_id!r} does not accept media input"}}),
                     content_type="application/json",
                 )
             parts: list = []
             for p in content:
                 if p.get("type") == "text":
                     parts.append(p.get("text", ""))
-                elif p.get("type") == "image_url":
-                    iu = p.get("image_url")
-                    url = iu.get("url", "") if isinstance(iu, dict) else str(iu)
+                elif p.get("type") in _MEDIA_TYPES:
                     try:
-                        images.append(vlm_mod.decode_image_url(url))
+                        if p["type"] == "image_url":
+                            iu = p.get("image_url")
+                            url = (
+                                iu.get("url", "") if isinstance(iu, dict)
+                                else str(iu)
+                            )
+                            images.append(vlm_mod.decode_image_url(url))
+                        else:  # input_audio (voxtral-class models)
+                            ia = p.get("input_audio") or {}
+                            images.append(vlm_mod.decode_audio(
+                                ia.get("data", ""), ia.get("format", "wav")
+                            ))
                     except ValueError as e:
                         raise web.HTTPBadRequest(
                             text=json.dumps({"error": {"message": str(e)}}),

@@ -293,17 +293,74 @@ def llama4_adapter(
     return VlmAdapter("llama4", image_token, process, prepare)
 
 
-_BUILDERS = {
-    "llava": llava_adapter,
-    "llama4": llama4_adapter,
-    "idefics3": idefics3_adapter,
-    "gemma3": gemma3_adapter,
-    "qwen2_vl": qwen2vl_adapter,
+_BUILDER_NAMES = {
+    "llava": "llava_adapter",
+    "llama4": "llama4_adapter",
+    "voxtral": "voxtral_adapter",
+    "idefics3": "idefics3_adapter",
+    "gemma3": "gemma3_adapter",
+    "qwen2_vl": "qwen2vl_adapter",
 }
 
 
 def build_adapter(family: str, weights: dict, cfg, **kw) -> VlmAdapter:
-    if family not in _BUILDERS:
+    if family not in _BUILDER_NAMES:
         raise ValueError(f"no VLM adapter for family {family!r}")
-    return _BUILDERS[family](weights, cfg, **kw)
+    return globals()[_BUILDER_NAMES[family]](weights, cfg, **kw)
 
+
+
+def decode_audio(data: str, fmt: str = "wav") -> np.ndarray:
+    """base64 WAV → float32 mono 16 kHz waveform (zero-egress: inline data
+    only, like images)."""
+    from ..audio.wav import read_wav, resample_linear
+
+    raw = base64.b64decode(data)
+    if fmt not in ("wav", ""):
+        raise ValueError(f"audio format {fmt!r} not supported (wav only)")
+    x, rate = read_wav(raw)
+    return resample_linear(x, rate, 16000)
+
+
+def voxtral_adapter(
+    weights: dict, cfg, *, audio_token: str = "[AUDIO]",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Audio-understanding adapter: waveform → 30 s log-mel chunks →
+    Whisper-style encoder → audio tokens merged into the prompt."""
+    from ..audio.mel import log_mel_spectrogram
+    from ..audio.voxtral import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    cache = encoder_cache or EncoderCache()
+    frames_per_chunk = cfg.audio.max_source_positions  # after conv stride 2
+    tok_per_chunk = (
+        frames_per_chunk * cfg.audio.hidden_size // cfg.audio.intermediate_size
+    )
+    chunk_samples = frames_per_chunk * 2 * 160  # hop 160, conv2 stride 2
+
+    def process(audios):
+        mels = []
+        counts = []
+        for wav in audios:
+            n_chunks = max(1, -(-len(wav) // chunk_samples))
+            mel = log_mel_spectrogram(
+                wav, num_mel_bins=cfg.audio.num_mel_bins,
+                pad_to_samples=n_chunks * chunk_samples,
+            )
+            mels.append(mel.reshape(
+                cfg.audio.num_mel_bins, n_chunks, -1
+            ).transpose(1, 0, 2))
+            counts.append(n_chunks * tok_per_chunk)
+        return ProcessedMedia(np.concatenate(mels, axis=0), counts)
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("voxtral", audio_token, process, prepare)
