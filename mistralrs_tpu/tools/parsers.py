@@ -150,6 +150,105 @@ def parse_gemma(text: str) -> list[ToolCall]:
     return parse_llama(text)
 
 
+def parse_hunyuan(text: str) -> list[ToolCall]:
+    """Hunyuan style: `<tool_calls>[{"name":..,"arguments":..}]</tool_calls>`
+    (parsers/hunyuan.rs)."""
+    calls = []
+    for m in re.finditer(r"<tool_calls>\s*(.*?)\s*</tool_calls>", text, re.DOTALL):
+        obj = _try_json(m.group(1))
+        if obj is not None:
+            calls.extend(_calls_from_obj(obj))
+    return calls
+
+
+def parse_liquid(text: str) -> list[ToolCall]:
+    """Liquid/LFM style: pythonic call list
+    `<|tool_call_start|>[get_weather(location="Paris")]<|tool_call_end|>`
+    (parsers/liquid.rs)."""
+    import ast
+
+    calls: list[ToolCall] = []
+    for m in re.finditer(
+        r"<\|tool_call_start\|>\s*(.*?)\s*<\|tool_call_end\|>", text, re.DOTALL
+    ):
+        body = m.group(1)
+        try:
+            tree = ast.parse(body, mode="eval")
+        except SyntaxError:
+            continue
+        nodes = (
+            tree.body.elts if isinstance(tree.body, ast.List) else [tree.body]
+        )
+        for node in nodes:
+            if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
+                continue
+            args: dict[str, Any] = {}
+            ok = True
+            for kw in node.keywords:
+                if kw.arg is None:
+                    ok = False
+                    break
+                try:
+                    args[kw.arg] = ast.literal_eval(kw.value)
+                except (ValueError, SyntaxError):
+                    ok = False
+                    break
+            if ok:
+                calls.append(ToolCall(name=node.func.id, arguments=args))
+    return calls
+
+
+def parse_gemma4(text: str) -> list[ToolCall]:
+    """Gemma 4 strict style:
+    `<|tool_call>call:NAME{key:<|"|>value<|"|>,key2:42}<tool_call|>`
+    (parsers/gemma4.rs) — string values use the <|"|> delimiter."""
+    calls = []
+    for m in re.finditer(
+        r"<\|tool_call>call:([\w.-]+)\{(.*?)\}<tool_call\|>", text, re.DOTALL
+    ):
+        name, body = m.group(1), m.group(2)
+        args: dict[str, Any] = {}
+        # tokenize: key : (<|"|>str<|"|> | literal) separated by commas
+        pos = 0
+        ok = True
+        pair = re.compile(
+            r"\s*([\w.-]+)\s*:\s*(?:<\|\"\|>(.*?)<\|\"\|>|([^,]*))\s*(?:,|$)",
+            re.DOTALL,
+        )
+        while pos < len(body):
+            pm = pair.match(body, pos)
+            if not pm:
+                ok = False
+                break
+            key, sval, lit = pm.group(1), pm.group(2), pm.group(3)
+            if sval is not None:
+                args[key] = sval
+            else:
+                v = _try_json(lit.strip())
+                args[key] = v if v is not None else lit.strip()
+            pos = pm.end()
+        if ok:
+            calls.append(ToolCall(name=name, arguments=args))
+    return calls
+
+
+def parse_harmony(text: str) -> list[ToolCall]:
+    """Harmony (gpt-oss) channel format:
+    `<|channel|>commentary to=functions.NAME <|constrain|>json<|message|>{..}<|call|>`
+    (parsers/harmony.rs; detected at token level in the reference — here on
+    the detokenized text, which round-trips the same special tokens)."""
+    pat = (
+        r"<\|channel\|>\s*commentary\s+to=(?:functions\.)?([\w.-]+).*?"
+        r"<\|message\|>(.*?)(?:<\|call\|>|$)"
+    )
+    calls = []
+    for m in re.finditer(pat, text, re.DOTALL):
+        args = _try_json(m.group(2).strip())
+        if isinstance(args, dict):
+            calls.append(ToolCall(name=m.group(1), arguments=args))
+    return calls
+
+
 _PARSERS = {
     "llama": parse_llama,
     "mistral": parse_mistral,
@@ -162,6 +261,13 @@ _PARSERS = {
     "gemma": parse_gemma,
     "gemma2": parse_gemma,
     "gemma3": parse_gemma,
+    "gemma4": parse_gemma4,
+    "hunyuan": parse_hunyuan,
+    "hunyuan_moe": parse_hunyuan,
+    "liquid": parse_liquid,
+    "lfm2": parse_liquid,
+    "harmony": parse_harmony,
+    "gpt_oss": parse_harmony,
 }
 
 
@@ -171,7 +277,8 @@ def parse_tool_calls(text: str, family: str = "auto") -> list[ToolCall]:
         if fn is None:
             raise ValueError(f"unknown tool parser family {family!r}")
         return fn(text)
-    for fn in (parse_qwen, parse_mistral, parse_deepseek, parse_llama):
+    for fn in (parse_qwen, parse_mistral, parse_deepseek, parse_hunyuan,
+               parse_liquid, parse_gemma4, parse_harmony, parse_llama):
         calls = fn(text)
         if calls:
             return calls
@@ -194,5 +301,7 @@ class ToolCallingMatcher:
     def prefix_could_be_tool(self, text: str) -> bool:
         """Streaming gate: does this prefix look like it may become a call?"""
         t = text.lstrip()
-        starts = ("{", "[", "<tool_call>", "[TOOL_CALLS]", "```", "<|python_tag|>")
+        starts = ("{", "[", "<tool_call>", "[TOOL_CALLS]", "```",
+                  "<|python_tag|>", "<tool_calls>", "<|tool_call_start|>",
+                  "<|tool_call>", "<|channel|>")
         return any(s.startswith(t) or t.startswith(s) for s in starts)

@@ -115,3 +115,48 @@ def test_supported_models_doc_in_sync():
 
     committed = Path("docs/supported_models.md").read_text()
     assert committed == render_supported_models_markdown()
+
+
+def test_parse_hunyuan():
+    from mistralrs_tpu.tools.parsers import parse_tool_calls
+
+    text = ('ok <tool_calls>[{"name": "get_weather", "arguments": '
+            '{"city": "Paris"}}, {"name": "now", "arguments": {}}]</tool_calls>')
+    calls = parse_tool_calls(text, "hunyuan")
+    assert [c.name for c in calls] == ["get_weather", "now"]
+    assert calls[0].arguments == {"city": "Paris"}
+    assert parse_tool_calls(text, "auto")[0].name == "get_weather"
+
+
+def test_parse_liquid_pythonic():
+    from mistralrs_tpu.tools.parsers import parse_tool_calls
+
+    text = ('<|tool_call_start|>[get_weather(location="Paris", days=3, '
+            'metric=True)]<|tool_call_end|>')
+    calls = parse_tool_calls(text, "lfm2")
+    assert calls[0].name == "get_weather"
+    assert calls[0].arguments == {"location": "Paris", "days": 3, "metric": True}
+    assert parse_tool_calls(text, "auto")[0].name == "get_weather"
+
+
+def test_parse_gemma4_strict():
+    from mistralrs_tpu.tools.parsers import parse_tool_calls
+
+    text = ('<|tool_call>call:get_weather{location:<|"|>New York, NY<|"|>,'
+            'days:3,wet:true}<tool_call|>')
+    calls = parse_tool_calls(text, "gemma4")
+    assert calls[0].name == "get_weather"
+    assert calls[0].arguments == {
+        "location": "New York, NY", "days": 3, "wet": True,
+    }
+
+
+def test_parse_harmony_gpt_oss():
+    from mistralrs_tpu.tools.parsers import parse_tool_calls
+
+    text = ('<|channel|>commentary to=functions.get_weather '
+            '<|constrain|>json<|message|>{"city": "Oslo"}<|call|>')
+    calls = parse_tool_calls(text, "gpt_oss")
+    assert calls[0].name == "get_weather"
+    assert calls[0].arguments == {"city": "Oslo"}
+    assert parse_tool_calls(text, "auto")[0].name == "get_weather"
