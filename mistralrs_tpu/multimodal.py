@@ -22,8 +22,17 @@ import numpy as np
 
 
 def media_hash(pixel_values) -> str:
-    arr = np.ascontiguousarray(np.asarray(pixel_values, np.float32))
-    return hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest()
+    h = hashlib.blake2b(digest_size=16)
+    items = (
+        pixel_values
+        if isinstance(pixel_values, (list, tuple))
+        else [pixel_values]  # variable-size crops (pixtral) come as a list
+    )
+    for it in items:
+        arr = np.ascontiguousarray(np.asarray(it, np.float32))
+        h.update(np.asarray(arr.shape, np.int64).tobytes())
+        h.update(arr.tobytes())
+    return h.hexdigest()
 
 
 class EncoderCache:

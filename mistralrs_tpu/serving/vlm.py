@@ -300,6 +300,7 @@ _BUILDER_NAMES = {
     "idefics3": "idefics3_adapter",
     "gemma3": "gemma3_adapter",
     "qwen2_vl": "qwen2vl_adapter",
+    "mistral3": "mistral3_adapter",
 }
 
 
@@ -364,3 +365,74 @@ def voxtral_adapter(
         return {"prompt_embeds": embeds}
 
     return VlmAdapter("voxtral", audio_token, process, prepare)
+
+
+def mistral3_adapter(
+    weights: dict, cfg, *, image_token: str = "[IMG]",
+    img_break: str = "[IMG_BREAK]", img_end: str = "[IMG_END]",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Pixtral/Mistral-3: variable-aspect crops (dims rounded to
+    patch×merge multiples, longest side ≤ image_size) packed into one
+    tower call; placeholder rows end with [IMG_BREAK] and the image with
+    [IMG_END] (the pixtral prompt grammar)."""
+    from ..models.mistral3 import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    vis = cfg.vision
+    m = cfg.spatial_merge_size
+    unit = vis.patch_size * m
+    cache = encoder_cache or EncoderCache()
+
+    def _resize(im: np.ndarray) -> np.ndarray:
+        h, w = im.shape[:2]
+        scale = min(1.0, vis.image_size / max(h, w))
+        th = max(unit, int(-(-h * scale // unit) * unit))
+        tw = max(unit, int(-(-w * scale // unit) * unit))
+        th = min(th, vis.image_size)
+        tw = min(tw, vis.image_size)
+        try:
+            from PIL import Image
+
+            arr = np.asarray(
+                Image.fromarray(im).resize((tw, th), Image.BICUBIC), np.float32
+            ) / 255.0
+        except ImportError:
+            yi = (np.arange(th) * h // th).clip(0, h - 1)
+            xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+            arr = np.asarray(im, np.float32)[yi][:, xi] / 255.0
+        arr = (arr - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(
+            CLIP_STD, np.float32
+        )
+        return arr.transpose(2, 0, 1)
+
+    grids: dict[int, tuple[int, int]] = {}
+
+    def process(images):
+        crops = [_resize(im) for im in images]
+        counts = []
+        for i, c in enumerate(crops):
+            nh, nw = c.shape[1] // vis.patch_size // m, c.shape[2] // vis.patch_size // m
+            grids[i] = (nh, nw)
+            counts.append(nh * nw)
+        return ProcessedMedia(crops, counts)
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    def expansion(count):
+        # find the grid for this count (rows × cols); fall back to one row
+        for nh, nw in grids.values():
+            if nh * nw == count:
+                row = image_token * nw + img_break
+                return row * (nh - 1) + image_token * nw + img_end
+        return image_token * count + img_end
+
+    return VlmAdapter("mistral3", image_token, process, prepare,
+                      expansion=expansion)
