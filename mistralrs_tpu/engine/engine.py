@@ -418,18 +418,28 @@ class Engine:
         # long prompt no longer stalls the decode batch (mixed steps, the
         # analog of `default_scheduler.rs:201`)
         if out.decode:
+            t0 = time.monotonic()
             try:
                 finished.extend(self._run_decode(out.decode))
             except Exception as e:  # noqa: BLE001
                 self._fail_sequences(out.decode, e)
                 finished.extend(out.decode)
+            self.stats["decode_steps"] = self.stats.get("decode_steps", 0) + 1
+            self.stats["decode_time_s"] = (
+                self.stats.get("decode_time_s", 0.0) + time.monotonic() - t0
+            )
         if out.prefills:
+            t0 = time.monotonic()
             try:
                 finished.extend(self._run_prefill_batch(out.prefills))
             except Exception as e:  # noqa: BLE001
                 seqs = [sp.seq for sp in out.prefills]
                 self._fail_sequences(seqs, e)
                 finished.extend(seqs)
+            self.stats["prefill_steps"] = self.stats.get("prefill_steps", 0) + 1
+            self.stats["prefill_time_s"] = (
+                self.stats.get("prefill_time_s", 0.0) + time.monotonic() - t0
+            )
         return finished
 
     def _fail_sequences(self, seqs: list[Sequence], err: Exception) -> None:

@@ -45,6 +45,13 @@ class ModelInstance:
         return self._thread is not None and self._thread.is_alive()
 
     def _loop(self):
+        import os
+        import time
+
+        # throughput interval logger (the reference's engine IntervalLogger)
+        interval = float(os.environ.get("MRSTPU_LOG_INTERVAL", "10"))
+        last_log = time.monotonic()
+        last = {"generated_tokens": 0, "prompt_tokens": 0}
         while not self._stop:
             if self.engine.has_work:
                 try:
@@ -61,6 +68,26 @@ class ModelInstance:
             else:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
+            if interval > 0:
+                now = time.monotonic()
+                if now - last_log >= interval:
+                    st = self.engine.stats
+                    dg = st.get("generated_tokens", 0) - last["generated_tokens"]
+                    dp = st.get("prompt_tokens", 0) - last["prompt_tokens"]
+                    if dg or dp:
+                        dt = now - last_log
+                        print(
+                            f"[{self.model_id}] {dg / dt:.1f} tok/s decode, "
+                            f"{dp / dt:.1f} tok/s prefill, "
+                            f"{len(self.engine.scheduler.running)} running, "
+                            f"{len(self.engine.scheduler.waiting)} waiting",
+                            flush=True,
+                        )
+                        last = {
+                            "generated_tokens": st.get("generated_tokens", 0),
+                            "prompt_tokens": st.get("prompt_tokens", 0),
+                        }
+                    last_log = now
 
     def submit(self, prompt_ids, params: SamplingParams, on_tokens,
                **mm_kwargs) -> Sequence:
