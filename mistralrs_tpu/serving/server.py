@@ -97,6 +97,9 @@ class ServerState:
     ):
         self.registry = registry or ModelRegistry()
         self.metrics = Metrics()
+        from ..agent import AgentSessionStore
+
+        self.agent_sessions = AgentSessionStore()
         self.created = int(time.time())
         self._started = False
         # non-text generators (route_registry.rs: image_generation /
@@ -926,6 +929,45 @@ def build_app(state: ServerState) -> web.Application:
 
         inst.engine.weights = detach_dynamic_lora(inst.engine.weights)
         return web.json_response({"status": "ok", "model": inst.model_id})
+
+    # -- agent sessions (agentic_session.rs analogs) -------------------------
+
+    @routes.get("/v1/agent/sessions")
+    async def agent_sessions(_req):
+        return web.json_response({"data": state.agent_sessions.list_ids()})
+
+    @routes.get("/v1/agent/sessions/{sid}")
+    async def agent_session_get(request: web.Request):
+        msgs = state.agent_sessions.get(request.match_info["sid"])
+        if msgs is None:
+            return web.json_response(
+                {"error": {"message": "no such session"}}, status=404
+            )
+        return web.json_response({"messages": msgs})
+
+    @routes.delete("/v1/agent/sessions/{sid}")
+    async def agent_session_delete(request: web.Request):
+        ok = state.agent_sessions.delete(request.match_info["sid"])
+        return web.json_response({"deleted": ok}, status=200 if ok else 404)
+
+    @routes.post("/v1/agent/sessions/{sid}/approve")
+    async def agent_session_approve(request: web.Request):
+        state.agent_sessions.approve(request.match_info["sid"])
+        return web.json_response({"approved": True})
+
+    @routes.post("/v1/agent/sessions/{sid}/fork")
+    async def agent_session_fork(request: web.Request):
+        body = await request.json()
+        try:
+            state.agent_sessions.fork(
+                request.match_info["sid"], str(body["dest"]),
+                int(body.get("num_turns", 1)),
+            )
+        except KeyError:
+            return web.json_response(
+                {"error": {"message": "no such session"}}, status=404
+            )
+        return web.json_response({"forked": body["dest"]})
 
     app.add_routes(routes)
     return app

@@ -121,3 +121,82 @@ def test_agent_loop_round_budget():
     )
     assert result.rounds == 3
     assert len(result.tool_calls_made) == 3
+
+
+def test_agent_session_store():
+    from mistralrs_tpu.agent import AgentSessionStore
+
+    store = AgentSessionStore()
+    msgs = [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": None,
+         "tool_calls": [{"id": "c1", "type": "function",
+                         "function": {"name": "t", "arguments": "{}"}}]},
+        {"role": "tool", "tool_call_id": "c1", "name": "t", "content": "ok"},
+        {"role": "assistant", "content": "done"},
+        {"role": "user", "content": "more"},
+        {"role": "assistant", "content": "sure"},
+    ]
+    store.save("s1", msgs)
+    assert store.get("s1") == msgs
+    assert store.list_ids() == ["s1"]
+
+    # content-based matching: client resends user-visible history + new turn
+    client_view = [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "done"},
+        {"role": "user", "content": "more"},
+        {"role": "assistant", "content": "sure"},
+        {"role": "user", "content": "next question"},
+    ]
+    assert store.find_by_messages(client_view) == "s1"
+
+    # fork keeps only the first N user turns (with their tool messages)
+    store.fork("s1", "s2", 1)
+    forked = store.get("s2")
+    assert [m["role"] for m in forked] == ["user", "assistant", "tool", "assistant"]
+
+    # approvals
+    assert not store.approved("s1")
+    store.approve("s1")
+    assert store.approved("s1")
+    assert store.delete("s1") and store.get("s1") is None
+
+
+def test_builtin_tools_and_approval_gating(tmp_path):
+    import json as _json
+
+    from mistralrs_tpu.agent import (
+        AgentSessionStore,
+        builtin_tool_callbacks,
+        gate_side_effects,
+    )
+    from mistralrs_tpu.exec_tools import CodeExecutionManager
+
+    (tmp_path / "a.txt").write_text("hello")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.txt").write_text("world")
+    mgr = CodeExecutionManager()
+    tools = builtin_tool_callbacks(workdir=str(tmp_path), exec_manager=mgr)
+
+    assert tools["read_file"]({"path": "a.txt"}) == "hello"
+    listing = _json.loads(tools["list_files"]({"path": "."}))
+    assert "a.txt" in listing and "sub/b.txt" in listing
+    # path escape rejected
+    try:
+        tools["read_file"]({"path": "../etc/passwd"})
+        assert False, "escape allowed"
+    except ValueError:
+        pass
+
+    store = AgentSessionStore()
+    gated = gate_side_effects(tools, approved=lambda: store.approved("sx"))
+    out = _json.loads(gated["write_file"]({"path": "c.txt", "content": "x"}))
+    assert "error" in out and "approval" in out["error"]
+    assert _json.loads(gated["execute_python"]({"code": "print(1)"})).get("error")
+    store.approve("sx")
+    out = _json.loads(gated["write_file"]({"path": "c.txt", "content": "x"}))
+    assert out == {"written": "c.txt"}
+    r = _json.loads(gated["execute_python"]({"code": "print(40+2)"}))
+    assert "42" in r.get("output", "")
+    mgr.close_all()

@@ -366,3 +366,24 @@ async def test_lora_routes(aiohttp_client, server_state, tmp_path):
     assert r.status == 200
     r = await client.get("/v1/lora")
     assert (await r.json())["data"][0]["attached_targets"] == []
+
+
+async def test_agent_session_routes(client, server_state):
+    server_state.agent_sessions.save(
+        "s1", [{"role": "user", "content": "hi"},
+               {"role": "assistant", "content": "yo"}]
+    )
+    r = await client.get("/v1/agent/sessions")
+    assert (await r.json())["data"] == ["s1"]
+    r = await client.get("/v1/agent/sessions/s1")
+    assert len((await r.json())["messages"]) == 2
+    r = await client.post("/v1/agent/sessions/s1/approve")
+    assert (await r.json())["approved"]
+    assert server_state.agent_sessions.approved("s1")
+    r = await client.post("/v1/agent/sessions/s1/fork",
+                          json={"dest": "s2", "num_turns": 1})
+    assert (await r.json())["forked"] == "s2"
+    r = await client.delete("/v1/agent/sessions/s1")
+    assert (await r.json())["deleted"]
+    r = await client.get("/v1/agent/sessions/zzz")
+    assert r.status == 404
