@@ -98,9 +98,20 @@ def _build_engine(args):
     if adapter is None:
         pipe.weights = fuse_projections(pipe.weights, pipe.cfg)
     max_len = args.max_seq_len or min(pipe.cfg.max_position_embeddings, 8192)
-    num_blocks = args.num_kv_blocks or (
-        (max_len // args.block_size) * max(2, args.max_batch // 2)
-    )
+    num_blocks = args.num_kv_blocks
+    if num_blocks is None:
+        # HBM-utilization-driven sizing (calculate_cache_config analog):
+        # fill free device memory with KV blocks after the weights
+        from .kv.paged import calculate_cache_config
+
+        kv_cfg = getattr(pipe.cfg, "text", None) or pipe.cfg
+        try:
+            num_blocks = calculate_cache_config(
+                kv_cfg, block_size=args.block_size, max_model_len=max_len,
+                max_batch=args.max_batch, kv_quant=args.kv_quant is not None,
+            )
+        except (AttributeError, TypeError):  # bespoke adapter configs
+            num_blocks = (max_len // args.block_size) * max(2, args.max_batch // 2)
     draft = None
     if getattr(args, "draft_model", None):
         dpipe = load_pipeline(args.draft_model)

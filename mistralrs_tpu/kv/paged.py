@@ -150,3 +150,58 @@ def gather_kv(
         jnp.transpose(k, (1, 2, 0, 3)).astype(dtype),
         jnp.transpose(v, (1, 2, 0, 3)).astype(dtype),
     )
+
+
+def calculate_cache_config(
+    cfg,
+    *,
+    block_size: int = 16,
+    max_model_len: int,
+    max_batch: int,
+    kv_quant: bool = False,
+    compute_dtype=None,
+    utilization: float = 0.90,
+    weight_bytes: int | None = None,
+    hbm_bytes: int | None = None,
+) -> int:
+    """HBM-utilization-driven KV pool sizing — the analog of the reference's
+    `calculate_cache_config` (`paged_attention/mod.rs:149`): fill
+    ``utilization`` of the device's free HBM (after weights) with KV blocks,
+    clamped to [enough for max_batch sequences at max_model_len … what fits].
+
+    Falls back to a fraction of total memory when the backend exposes no
+    memory stats (CPU tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    dsize = 1 if kv_quant else jnp.dtype(dtype).itemsize
+    bytes_per_slot = 2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim * dsize
+    if kv_quant:  # f32 per-(head,slot) scales
+        bytes_per_slot += 2 * cfg.num_layers * cfg.num_kv_heads * 4
+    bytes_per_block = bytes_per_slot * block_size
+
+    if hbm_bytes is None:
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit:
+            free = limit - in_use
+            if weight_bytes is not None and in_use < weight_bytes:
+                # weights not resident yet — subtract their projected size
+                free -= weight_bytes - in_use
+        else:  # CPU / no stats: assume 16 GiB budget (tests override)
+            free = 16 << 30
+            if weight_bytes:
+                free -= weight_bytes
+    else:
+        free = hbm_bytes - (weight_bytes or 0)
+
+    budget = int(free * utilization)
+    num_blocks = max(budget // bytes_per_block, 1)
+    # the engine needs at least max_batch sequences' worth of headroom for
+    # one block each, and no more than full-length capacity for max_batch
+    min_blocks = max_batch * 2
+    max_useful = -(-max_model_len // block_size) * max_batch
+    return int(min(max(num_blocks, min_blocks), max_useful))

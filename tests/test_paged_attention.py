@@ -99,3 +99,43 @@ def test_fused_write_matches_separate():
     np.testing.assert_array_equal(
         np.asarray(kp_f[:, :-1], np.float32), np.asarray(kp2[:, :-1], np.float32)
     )
+
+
+def test_calculate_cache_config():
+    """HBM-utilization KV sizing (calculate_cache_config analog): budget
+    fills free memory, clamps to [2*max_batch, full-length capacity]."""
+    from mistralrs_tpu.kv.paged import calculate_cache_config
+    from mistralrs_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=1000, hidden_size=512, intermediate_size=1024,
+        num_layers=4, num_heads=8, num_kv_heads=4, head_dim=64,
+    )
+    # bytes/slot = 2*4*4*64*2 = 4096; block 16 → 64 KiB/block
+    n = calculate_cache_config(
+        cfg, block_size=16, max_model_len=4096, max_batch=4,
+        hbm_bytes=64 << 20, weight_bytes=0, utilization=1.0,
+    )
+    assert n == (64 << 20) // (64 << 10)
+    # clamped up to 2*max_batch when memory is tiny
+    n = calculate_cache_config(
+        cfg, block_size=16, max_model_len=4096, max_batch=4,
+        hbm_bytes=1 << 16, weight_bytes=0,
+    )
+    assert n == 8
+    # clamped down to full-length capacity when memory is huge
+    n = calculate_cache_config(
+        cfg, block_size=16, max_model_len=256, max_batch=2,
+        hbm_bytes=1 << 40, weight_bytes=0,
+    )
+    assert n == (256 // 16) * 2
+    # quantized KV fits ~2x the blocks of bf16 (minus scale overhead)
+    n_q = calculate_cache_config(
+        cfg, block_size=16, max_model_len=1 << 20, max_batch=64,
+        hbm_bytes=64 << 20, weight_bytes=0, kv_quant=True, utilization=1.0,
+    )
+    n_f = calculate_cache_config(
+        cfg, block_size=16, max_model_len=1 << 20, max_batch=64,
+        hbm_bytes=64 << 20, weight_bytes=0, utilization=1.0,
+    )
+    assert n_q > int(n_f * 1.7)
