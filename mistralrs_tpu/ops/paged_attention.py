@@ -146,18 +146,24 @@ def _decode_kernel(
     )
     kout.start()
     vout.start()
-    kout.wait()
-    vout.wait()
+    # the write-back lands in the LAST chunk's block — its completion only
+    # gates that chunk's reads, so the wait happens right before they start
+    # (hiding the write latency behind all earlier chunks' flash steps)
 
     group_p, hd = q_ref.shape[2], q_ref.shape[3]
     span = block_size * chunk
 
     q = q_ref[0].astype(jnp.float32) * scale  # [n_kv, group_p, hd]
 
+    def wait_writeback():
+        kout.wait()
+        vout.wait()
+
     # single-chunk case: the write block IS (or may be) in chunk 0 — its
     # reads must start after the write RMW completes
-    @pl.when(n_chunks == 1)
+    @pl.when(n_chunks <= 1)
     def _():
+        wait_writeback()
         start_chunk(0, 0)
 
     _BDN = (((2,), (2,)), ((0,), (0,)))  # q[n,g,hd] @ k[n,s,hd] → [n,g,s]
@@ -169,6 +175,12 @@ def _decode_kernel(
 
         @pl.when(ci + 1 < n_chunks)
         def _():
+            @pl.when(ci + 2 == n_chunks)
+            def _():
+                # about to fetch the LAST chunk — it contains this step's
+                # write block, so the RMW write-back must have landed
+                wait_writeback()
+
             start_chunk(ci + 1, (ci + 1) % 2)
 
         wait_chunk(ci, slot)
