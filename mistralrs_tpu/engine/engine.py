@@ -53,12 +53,13 @@ def _bucket(n: int, buckets=_PREFILL_BUCKETS) -> int:
 )
 def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
                 kv_lens, last_indices, block_size, backend, compute_dtype,
-                input_embeds=None, rope_pos3=None):
+                input_embeds=None, rope_pos3=None, lora_scalings=None):
     return forward_paged(
         weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
         block_size=block_size, backend=backend, logits_last_only=True,
         compute_dtype=compute_dtype, input_embeds=input_embeds,
         last_indices=last_indices, rope_positions3=rope_pos3,
+        lora_scalings=lora_scalings,
     )
 
 
@@ -67,12 +68,12 @@ def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
 )
 def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
                kv_lens, samp_state, key, block_size, backend, compute_dtype,
-               rope_pos3=None):
+               rope_pos3=None, lora_scalings=None):
     logits, cache = forward_paged(
         weights, cfg, tokens[:, None], positions[:, None], cache, block_tables,
         slot_map[:, None], kv_lens, block_size=block_size, backend=backend,
         logits_last_only=True, compute_dtype=compute_dtype,
-        rope_positions3=rope_pos3,
+        rope_positions3=rope_pos3, lora_scalings=lora_scalings,
     )
     new_tokens, logprobs, tops, samp_state = sample(logits[:, -1], samp_state, key)
     return new_tokens, logprobs, tops, cache, samp_state
@@ -246,6 +247,7 @@ class Engine:
                 compute_dtype=compute_dtype, quantized_kv=kv_quant is not None,
                 with_embeds=True,
             )
+        self.lora_names = tuple(weights.pop("lora_names", ()))
         self.weights = weights
         if self.dp > 1:
             from ..kv.manager import GroupedKVManager
@@ -329,6 +331,7 @@ class Engine:
         prompt_embeds=None,  # [T, H]: precomputed merged embeddings (VLM)
         mrope_positions=None,  # [3, T] np: M-RoPE streams (qwen2-vl family)
         adapter_state=None,  # arch-adapter per-request state (mllama cross K/V)
+        lora=None,  # adapter name from the attached bank (per-request LoRA)
     ) -> Sequence:
         params = params or SamplingParams()
         if len(prompt_ids) >= self.max_model_len:
@@ -372,6 +375,18 @@ class Engine:
             if self.adapter is None or not hasattr(self.adapter, "admit"):
                 raise ValueError("adapter_state needs an admitting adapter")
             seq.adapter_state = adapter_state  # type: ignore[attr-defined]
+        if lora is not None:
+            if lora not in self.lora_names:
+                raise ValueError(
+                    f"unknown adapter {lora!r}; attached: {list(self.lora_names)}"
+                )
+            if self.draft_cfg is not None:
+                raise ValueError("per-request LoRA with a draft model")
+            if self.mesh is not None or self.adapter is not None:
+                raise NotImplementedError(
+                    "per-request LoRA on mesh/arch-adapter engines"
+                )
+            seq.lora_name = lora  # type: ignore[attr-defined]
         if mrope_positions is not None:
             mp = np.asarray(mrope_positions, np.int32)
             if mp.shape != (3, len(prompt_ids)):
@@ -502,6 +517,21 @@ class Engine:
             rows = rows * jnp.asarray(self.cfg.embedding_multiplier, rows.dtype)
         return rows
 
+
+    def _lora_scalings_rows(self, seqs_by_row, rows: int, t: int):
+        """One-hot adapter mix per row ([rows, t, A]) or None when no bank
+        is attached (per-request selection, adapter/selection.rs analog)."""
+        if not self.lora_names:
+            return None
+        a = len(self.lora_names)
+        idx = {n: i for i, n in enumerate(self.lora_names)}
+        out = np.zeros((rows, 1, a), np.float32)
+        for row, seq in seqs_by_row.items():
+            name = getattr(seq, "lora_name", None)
+            if name is not None:
+                out[row, 0, idx[name]] = 1.0
+        return jnp.asarray(np.broadcast_to(out, (rows, t, a)))
+
     def _run_prefill_batch(self, sps) -> list[Sequence]:
         """Run this step's prompt chunks as ONE batched forward.
 
@@ -618,6 +648,9 @@ class Engine:
                 jnp.asarray(slot_map, jnp.int32), jnp.asarray(kv_lens),
                 jnp.asarray(last_idx), self.block_size, self.backend,
                 self.compute_dtype, input_embeds=embeds, rope_pos3=rope_pos3,
+                lora_scalings=self._lora_scalings_rows(
+                    {r: sp.seq for r, sp in row_sp.items()}, rows, t
+                ),
             )
         if self.draft_cfg is not None:
             _, self.draft_cache = _prefill_fn(
@@ -861,6 +894,9 @@ class Engine:
                 jnp.asarray(kv_lens), self.samp_state, sub,
                 self.block_size, self.backend, self.compute_dtype,
                 rope_pos3=rope_pos3,
+                lora_scalings=self._lora_scalings_rows(
+                    {s_.slot: s_ for s_ in seqs}, b, 1
+                ),
             )
         new_tokens = np.asarray(new_tokens)
         logprobs = np.asarray(logprobs)

@@ -165,3 +165,53 @@ def apply_lora_delta(out: jax.Array, x: jax.Array, lora: Optional[dict]) -> jax.
         preferred_element_type=jnp.float32,
     )
     return out + delta.astype(out.dtype)
+
+
+def attach_adapter_bank(
+    weights: dict,
+    adapters: "list[tuple[str, Mapping[str, Any], Mapping[str, np.ndarray]]]",
+    num_layers: int,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Attach MULTIPLE named adapters for per-request selection — the analog
+    of the reference's adapter runtime (`adapter/selection.rs`): every
+    touched target gets ``<key>_lora = {"a": [L, A, r, K], "b": [L, A, N,
+    r]}`` (ranks padded to the bank max, scaling folded into B) and
+    ``weights["lora_names"]`` records the order. At run time the engine
+    feeds a per-slot one-hot over A through the X-LoRA mixing path, so a
+    request selects its adapter (or none) with zero recompilation."""
+    names = [n for n, _, _ in adapters]
+    per_key: dict[str, list] = {}
+    max_r: dict[str, int] = {}
+    dims: dict[str, tuple[int, int]] = {}
+    collected = []
+    for _, cfg, sd in adapters:
+        scale = float(cfg.get("lora_alpha", 1.0)) / float(cfg.get("r", 1))
+        pairs = _collect(sd)
+        by_key: dict[str, dict[int, dict]] = {}
+        for (layer, key), ab in pairs.items():
+            by_key.setdefault(key, {})[layer] = ab
+            r, k_in = ab["A"].shape
+            n_out = ab["B"].shape[0]
+            max_r[key] = max(max_r.get(key, 0), r)
+            dims[key] = (k_in, n_out)
+        collected.append((scale, by_key))
+    new_layers = dict(weights["layers"])
+    n_a = len(adapters)
+    for key, (k_in, n_out) in dims.items():
+        r = max_r[key]
+        a = np.zeros((num_layers, n_a, r, k_in), np.float32)
+        b = np.zeros((num_layers, n_a, n_out, r), np.float32)
+        for ai, (scale, by_key) in enumerate(collected):
+            for layer, ab in by_key.get(key, {}).items():
+                ra = ab["A"].shape[0]
+                a[layer, ai, :ra] = ab["A"]
+                b[layer, ai, :, :ra] = ab["B"] * scale
+        new_layers[key + "_lora"] = {
+            "a": jnp.asarray(a, dtype),
+            "b": jnp.asarray(b, dtype),
+        }
+    out = dict(weights)
+    out["layers"] = new_layers
+    out["lora_names"] = tuple(names)
+    return out

@@ -709,6 +709,8 @@ def forward_paged(
     input_embeds: Optional[jax.Array] = None,  # [B, T, H] (multimodal merge)
     last_indices: Optional[jax.Array] = None,  # [B] per-row last VALID index
     rope_positions3: Optional[jax.Array] = None,  # [3, B, T] M-RoPE streams
+    lora_scalings: Optional[jax.Array] = None,  # [B, T, A] per-request
+    # adapter mix over an attach_adapter_bank (one-hot for selection)
 ):
     """Decoder step over the paged KV cache (decode or chunked prefill).
 
@@ -786,6 +788,18 @@ def forward_paged(
             # indexes the segment-local layer via scalar prefetch
             lw = dict(lw)
             lw.update({name: LayerSlice(qt, si) for name, qt in heavy.items()})
+        if lora_scalings is not None:
+            # per-request adapter selection: bank entries [A, r, K] mix
+            # through the X-LoRA path with the request's one-hot scalings
+            lw = dict(lw)
+            for key in list(lw):
+                if (
+                    key.endswith("_lora")
+                    and isinstance(lw[key], dict)
+                    and lw[key]["a"].ndim == 3
+                    and "xlora_scalings" not in lw[key]
+                ):
+                    lw[key] = dict(lw[key], xlora_scalings=lora_scalings)
         x = _maybe_norm(
             hh, lw["attn_norm"], cfg.rms_norm_eps, gemma,
             lw.get("attn_norm_bias"), cfg.norm_type,

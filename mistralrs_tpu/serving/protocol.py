@@ -55,6 +55,8 @@ class ChatCompletionRequest(BaseModel):
     # reference extension (`mistralrs-server-core` Grammar): constrained
     # decoding — {"type": "regex"|"json_schema"|"choice", "value": ...}
     grammar: Optional[dict[str, Any]] = None
+    # per-request LoRA adapter selection from the loaded bank
+    adapters: Optional[list[str]] = None
     # DRY repetition penalty (reference sampler extension)
     dry_multiplier: Optional[float] = None
     dry_base: Optional[float] = None

@@ -451,6 +451,8 @@ def build_app(state: ServerState) -> web.Application:
             return web.json_response({"error": {"message": str(e)}}, status=422)
         inst = _resolve_or_404(req.model)
         prompt_ids, mm_kwargs = _chat_prompt_and_media(inst, req)
+        if req.adapters:
+            mm_kwargs["lora"] = req.adapters[0]
         params = _sampling_from_chat(req, inst.tokenizer)
         usage_base = {"prompt_tokens": len(prompt_ids)}
 
@@ -890,16 +892,37 @@ def build_app(state: ServerState) -> web.Application:
     async def lora_list(request: web.Request):
         out = []
         for inst in state.registry.list():
-            adapters = sorted(
+            targets = sorted(
                 k[: -len("_lora")]
                 for k in inst.engine.weights.get("layers", {})
                 if k.endswith("_lora")
             )
-            out.append({"model": inst.model_id, "attached_targets": adapters})
+            out.append({
+                "model": inst.model_id,
+                "adapters": list(inst.engine.lora_names),
+                "attached_targets": targets,
+            })
         return web.json_response({"data": out})
+
+    def _reattach_bank(inst):
+        from ..lora import attach_adapter_bank, detach_dynamic_lora
+
+        bank = getattr(inst, "_lora_bank", [])
+        weights = detach_dynamic_lora(inst.engine.weights)
+        if bank:
+            weights = attach_adapter_bank(
+                weights, bank, inst.engine.cfg.num_layers,
+                dtype=inst.engine.compute_dtype,
+            )
+            inst.engine.lora_names = tuple(weights.pop("lora_names"))
+        else:
+            inst.engine.lora_names = ()
+        inst.engine.weights = weights
 
     @routes.post("/v1/lora/load")
     async def lora_load(request: web.Request):
+        """Load a named adapter into the model's bank — requests then select
+        it with the `adapters` field (adapter/selection.rs analog)."""
         body = await request.json()
         inst = _resolve_or_404(body.get("model"))
         path = body.get("path")
@@ -907,28 +930,39 @@ def build_app(state: ServerState) -> web.Application:
             return web.json_response(
                 {"error": {"message": "path required"}}, status=400
             )
+        name = body.get("name") or path.rstrip("/").rsplit("/", 1)[-1]
 
         def run():
-            from ..lora import attach_dynamic_lora, load_adapter
+            from ..lora import load_adapter
 
             cfg, adapter = load_adapter(path)
-            inst.engine.weights = attach_dynamic_lora(
-                inst.engine.weights, cfg, adapter,
-                inst.engine.cfg.num_layers,
-                dtype=inst.engine.compute_dtype,
-            )
+            bank = [
+                e for e in getattr(inst, "_lora_bank", []) if e[0] != name
+            ]
+            bank.append((name, cfg, adapter))
+            inst._lora_bank = bank
+            _reattach_bank(inst)
 
         await asyncio.get_event_loop().run_in_executor(None, run)
-        return web.json_response({"status": "ok", "model": inst.model_id})
+        return web.json_response(
+            {"status": "ok", "model": inst.model_id, "name": name,
+             "adapters": list(inst.engine.lora_names)}
+        )
 
     @routes.post("/v1/lora/unload")
     async def lora_unload(request: web.Request):
         body = await request.json()
         inst = _resolve_or_404(body.get("model"))
-        from ..lora import detach_dynamic_lora
-
-        inst.engine.weights = detach_dynamic_lora(inst.engine.weights)
-        return web.json_response({"status": "ok", "model": inst.model_id})
+        name = body.get("name")
+        bank = getattr(inst, "_lora_bank", [])
+        inst._lora_bank = (
+            [] if name is None else [e for e in bank if e[0] != name]
+        )
+        _reattach_bank(inst)
+        return web.json_response(
+            {"status": "ok", "model": inst.model_id,
+             "adapters": list(inst.engine.lora_names)}
+        )
 
     # -- agent sessions (agentic_session.rs analogs) -------------------------
 

@@ -108,3 +108,61 @@ def test_dynamic_lora_on_quantized_base():
     lg_ql = _logits(dynamic, ids)
     assert np.isfinite(lg_ql).all()
     assert np.abs(lg_q - lg_ql).max() > 1e-3
+
+
+def test_per_request_adapter_selection_through_engine():
+    """Two adapters attached as a bank; batched requests each select their
+    own (or none) and match the single-adapter engines exactly — the
+    reference's per-request adapter selection (adapter/selection.rs)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.lora import attach_adapter_bank
+
+    rng = np.random.default_rng(7)
+    base_sd = _base_sd(rng)
+    cfg_a, t_a = _adapter(rng)
+    cfg_b, t_b = _adapter(rng, r=2)
+
+    def run_engine(weights, loras):
+        w = dict(weights)
+        eng = Engine(CFG, w, num_blocks=32, block_size=16, max_batch=4,
+                     backend="xla", compute_dtype=jnp.float32)
+        seqs = [
+            eng.add_request([1, 5, 9, 20], SamplingParams(temperature=0.0,
+                                                          max_tokens=6),
+                            lora=name)
+            for name in loras
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    base = weights_from_state_dict(base_sd, CFG, dtype=jnp.float32)
+    bank = attach_adapter_bank(
+        base, [("a", cfg_a, t_a), ("b", cfg_b, t_b)], CFG.num_layers,
+        dtype=jnp.float32,
+    )
+    got = run_engine(bank, ["a", "b", None])
+
+    only_a = attach_adapter_bank(base, [("a", cfg_a, t_a)], CFG.num_layers,
+                                 dtype=jnp.float32)
+    only_b = attach_adapter_bank(base, [("b", cfg_b, t_b)], CFG.num_layers,
+                                 dtype=jnp.float32)
+    ref_a = run_engine(only_a, ["a"])[0]
+    ref_b = run_engine(only_b, ["b"])[0]
+    ref_none = run_engine(base, [None])[0]
+    assert got[0] == ref_a
+    assert got[1] == ref_b
+    assert got[2] == ref_none
+    # adapters actually change outputs
+    assert got[0] != ref_none or got[1] != ref_none
+
+    # unknown names rejected
+    eng = Engine(CFG, dict(bank), num_blocks=16, block_size=16, max_batch=2,
+                 backend="xla", compute_dtype=jnp.float32)
+    try:
+        eng.add_request([1], SamplingParams(max_tokens=1), lora="nope")
+        assert False
+    except ValueError:
+        pass
