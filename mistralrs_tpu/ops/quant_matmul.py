@@ -125,10 +125,11 @@ def _w8_kernel(
 
 import os
 
-# Tuned on v5e: (512, 1024) reaches ~776 GB/s weight streaming (95% of the
-# 819 GB/s HBM roofline) on 4096x4096 Q4_K vs 327 GB/s at (256, 512).
-_TN_DEFAULT = int(os.environ.get("MRSTPU_MM_TN", "512"))
-_TK_DEFAULT = int(os.environ.get("MRSTPU_MM_TK", "1024"))
+# Tuned on v5e against the full llama-8B decode matmul chain (M=8):
+# (TN, TK) = (1024, 2048) → 8.05 ms vs 9.58 at (512, 1024) — bigger tiles
+# amortize per-grid-step semaphore/dequant overhead; VMEM stays ~13 MB.
+_TN_DEFAULT = int(os.environ.get("MRSTPU_MM_TN", "1024"))
+_TK_DEFAULT = int(os.environ.get("MRSTPU_MM_TK", "2048"))
 
 
 def _pick_tiles(m: int, n: int, k_store: int, group_size: int):

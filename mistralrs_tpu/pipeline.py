@@ -65,7 +65,7 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
 # reference's VisionLoaderType registry, vision_models/mod.rs)
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
-              "voxtral", "mistral3")
+              "voxtral", "mistral3", "llava_next")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -133,6 +133,14 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
 
         cfg = Mistral3Config.from_hf(hf_cfg)
         weights = mistral3_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "llava_next":
+        from .models.llava_next import (
+            LlavaNextConfig,
+            llava_next_weights_from_state_dict,
+        )
+
+        cfg = LlavaNextConfig.from_hf(hf_cfg)
+        weights = llava_next_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

@@ -301,6 +301,7 @@ _BUILDER_NAMES = {
     "gemma3": "gemma3_adapter",
     "qwen2_vl": "qwen2vl_adapter",
     "mistral3": "mistral3_adapter",
+    "llava_next": "llava_next_adapter",
 }
 
 
@@ -436,3 +437,70 @@ def mistral3_adapter(
 
     return VlmAdapter("mistral3", image_token, process, prepare,
                       expansion=expansion)
+
+
+def llava_next_adapter(
+    weights: dict, cfg, *, image_token: str = "<image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """LLaVA-NeXT anyres: resize-with-aspect into the best pinpoint canvas
+    (padded), split into SxS tiles, prepend the base thumbnail."""
+    from ..models.llava_next import num_image_tokens, select_best_resolution
+    from ..models.llava_next import prepare_multimodal_prompt as prep
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    size = cfg.vision.image_size
+    cache = encoder_cache or EncoderCache()
+    sizes: dict[int, tuple[int, int]] = {}
+
+    def _norm(arr_hwc: np.ndarray) -> np.ndarray:
+        arr = arr_hwc.astype(np.float32) / 255.0
+        arr = (arr - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(
+            CLIP_STD, np.float32
+        )
+        return arr.transpose(2, 0, 1)
+
+    def _resize(im: np.ndarray, th: int, tw: int) -> np.ndarray:
+        try:
+            from PIL import Image
+
+            return np.asarray(
+                Image.fromarray(im).resize((tw, th), Image.BICUBIC), np.uint8
+            )
+        except ImportError:
+            h, w = im.shape[:2]
+            yi = (np.arange(th) * h // th).clip(0, h - 1)
+            xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+            return im[yi][:, xi]
+
+    def process(images):
+        if len(images) != 1:
+            raise ValueError("llava-next serving: one image per request")
+        im = images[0]
+        oh, ow = im.shape[:2]
+        bh, bw = select_best_resolution((oh, ow), cfg.image_grid_pinpoints)
+        scale = min(bw / ow, bh / oh)
+        nh, nw = max(1, int(oh * scale)), max(1, int(ow * scale))
+        canvas = np.zeros((bh, bw, 3), np.uint8)
+        y0, x0 = (bh - nh) // 2, (bw - nw) // 2
+        canvas[y0 : y0 + nh, x0 : x0 + nw] = _resize(im, nh, nw)
+        tiles = [
+            canvas[r : r + size, c : c + size]
+            for r in range(0, bh, size)
+            for c in range(0, bw, size)
+        ]
+        base = _resize(im, size, size)
+        px = np.stack([_norm(t) for t in [base] + tiles])
+        sizes[0] = (oh, ow)
+        return ProcessedMedia(px, [num_image_tokens(cfg, (oh, ow))])
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prep(
+            weights, cfg, prompt_ids, media.pixels, sizes[0],
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("llava_next", image_token, process, prepare)
