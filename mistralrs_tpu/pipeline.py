@@ -65,7 +65,7 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
 # reference's VisionLoaderType registry, vision_models/mod.rs)
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
-              "voxtral", "mistral3", "llava_next")
+              "voxtral", "mistral3", "llava_next", "idefics2")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -141,6 +141,14 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
 
         cfg = LlavaNextConfig.from_hf(hf_cfg)
         weights = llava_next_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "idefics2":
+        from .models.idefics2 import (
+            Idefics2Config,
+            idefics2_weights_from_state_dict,
+        )
+
+        cfg = Idefics2Config.from_hf(hf_cfg)
+        weights = idefics2_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

@@ -302,6 +302,7 @@ _BUILDER_NAMES = {
     "qwen2_vl": "qwen2vl_adapter",
     "mistral3": "mistral3_adapter",
     "llava_next": "llava_next_adapter",
+    "idefics2": "idefics2_adapter",
 }
 
 
@@ -504,3 +505,34 @@ def llava_next_adapter(
         return {"prompt_embeds": embeds}
 
     return VlmAdapter("llava_next", image_token, process, prepare)
+
+
+def idefics2_adapter(
+    weights: dict, cfg, *, image_token: str = "<image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Single-tile path (no image splitting): every image resamples to
+    `n_latents` tokens."""
+    from ..models.idefics2 import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    size = cfg.vision.image_size
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        px = np.stack([
+            preprocess_image(im, size=size, mean=(0.5,) * 3, std=(0.5,) * 3)
+            for im in images
+        ])
+        return ProcessedMedia(px, [cfg.n_latents] * len(images))
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("idefics2", image_token, process, prepare)
