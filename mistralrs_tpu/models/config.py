@@ -96,6 +96,7 @@ HF_ARCH_MAP = {
     "Glm4ForCausalLM": "glm4",
     "GraniteForCausalLM": "granite",
     "Qwen2MoeForCausalLM": "qwen2moe",
+    "PhimoeForCausalLM": "phimoe",
     "GptOssForCausalLM": "gpt_oss",
     "HunYuanDenseV1ForCausalLM": "hunyuan",
     "HunYuanMoEV1ForCausalLM": "hunyuan_moe",
@@ -155,7 +156,8 @@ def config_from_hf(cfg: dict[str, Any]) -> ModelConfig:
         mlp_bias=cfg.get("mlp_bias", False),
         hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
         norm_type=(
-            "layernorm" if arch in ("starcoder2", "phi2", "stablelm", "cohere")
+            "layernorm" if arch in ("starcoder2", "phi2", "stablelm", "cohere",
+                             "phimoe")
             else "rmsnorm"
         ),
         sliding_window=cfg.get("sliding_window"),

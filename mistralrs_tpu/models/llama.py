@@ -237,6 +237,31 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
         if cfg.norm_topk_prob:
             topw = topw / (jnp.sum(topw, axis=-1, keepdims=True) + 1e-20)
         topw = topw * cfg.routed_scaling_factor
+    elif cfg.arch == "phimoe":
+        # sparsemixer INFERENCE routing (phi-3.5-MoE): per-round threshold
+        # mask at 2*jitter_eps below the max, argmax pick, multiplier from
+        # the softmax over the round's masked gates (paper 2409.12136;
+        # HF modeling_phimoe.sparsemixer, eval path)
+        jitter = 2.0 * 0.01
+
+        def _pick(scores_round, raw):
+            m_ = jnp.max(scores_round, axis=-1, keepdims=True)
+            factor = jnp.maximum(jnp.abs(raw), m_)
+            drop = ((m_ - raw) / factor) > jitter
+            masked = jnp.where(drop, -jnp.inf, scores_round)
+            sel = jnp.argmax(masked, axis=-1)
+            probs = jax.nn.softmax(masked, axis=-1)
+            w_ = jnp.take_along_axis(probs, sel[..., None], axis=-1)[..., 0]
+            return sel, w_
+
+        s1, w1 = _pick(router_logits, router_logits)
+        masked_scores = jnp.where(
+            jax.nn.one_hot(s1, cfg.num_experts, dtype=bool),
+            -jnp.inf, router_logits,
+        )
+        s2, w2 = _pick(masked_scores, router_logits)
+        topi = jnp.stack([s1, s2], axis=-1)
+        topw = jnp.stack([w1, w2], axis=-1)
     elif cfg.arch in ("mixtral", "qwen2moe", "hunyuan_moe"):
         # softmax over ALL experts, then top-k (qwen2moe normalizes only
         # when norm_topk_prob; mixtral/hunyuan always)

@@ -315,3 +315,22 @@ def test_cohere():
     torch.manual_seed(20)
     model = transformers.CohereForCausalLM(hf_cfg).eval()
     _compare(hf_cfg, model, "CohereForCausalLM")
+
+
+def test_phimoe():
+    """phi-3.5-MoE: LayerNorm (with bias) norms, lm_head bias, sparsemixer
+    top-2 routing (threshold-masked argmax rounds, softmax multipliers)."""
+    from transformers.models.phimoe.configuration_phimoe import PhimoeConfig
+    from transformers.models.phimoe.modeling_phimoe import PhimoeForCausalLM
+
+    hf_cfg = PhimoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attention_bias=True, lm_head_bias=True, rope_theta=10000.0,
+        sliding_window=None, router_jitter_noise=0.01,
+    )
+    torch.manual_seed(240)
+    model = PhimoeForCausalLM(hf_cfg).eval()
+    _compare(hf_cfg, model, "PhimoeForCausalLM")
