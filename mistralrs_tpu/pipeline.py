@@ -65,7 +65,8 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
 # reference's VisionLoaderType registry, vision_models/mod.rs)
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
-              "voxtral", "mistral3", "llava_next", "idefics2")
+              "voxtral", "mistral3", "llava_next", "idefics2",
+              "phi4_multimodal")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -149,6 +150,12 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
 
         cfg = Idefics2Config.from_hf(hf_cfg)
         weights = idefics2_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "phi4_multimodal":
+        from .models.phi4mm import Phi4MMConfig, phi4mm_weights_from_state_dict
+
+        model_type = "phi4mm"
+        cfg = Phi4MMConfig.from_hf(hf_cfg)
+        weights = phi4mm_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

@@ -34,6 +34,10 @@ class VisionConfig:
     layer_norm_eps: float = 1e-5
     use_class_token: bool = True  # CLIP yes, SigLIP no
     pre_layernorm: bool = True  # CLIP yes, SigLIP no
+    # phi4mm's vision attention sets is_causal=True, so HF's sdpa path runs
+    # the tower CAUSALLY whenever the patch mask is full — checkpoint
+    # behavior, so we reproduce it
+    causal: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -89,6 +93,8 @@ def vision_tower_forward(
     """Returns hidden states [B, seq, H] of the requested layer output."""
     x = _patchify(pixel_values.astype(compute_dtype), cfg.patch_size)
     h = x @ weights["patch_embed"].astype(compute_dtype)  # [B, np, H]
+    if "patch_bias" in weights:
+        h = h + weights["patch_bias"].astype(compute_dtype)
     if cfg.use_class_token:
         cls = jnp.broadcast_to(
             weights["class_embed"].astype(compute_dtype)[None, None, :],
@@ -114,6 +120,9 @@ def vision_tower_forward(
         k = (h @ lw["wk"].T + lw["wk_b"]).reshape(b, t, nh, hd)
         v = (h @ lw["wv"].T + lw["wv_b"]).reshape(b, t, nh, hd)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(h.dtype)
+        if cfg.causal:
+            tri = jnp.tril(jnp.ones((t, t), bool))
+            s = jnp.where(tri[None, None], s, jnp.finfo(s.dtype).min)
         p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(h.dtype)
         o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
         return o @ lw["wo"].T + lw["wo_b"]
@@ -160,6 +169,11 @@ def vision_weights_from_hf(
         ),  # [3*p*p, H]
         "pos_embed": jnp.asarray(g(embed_prefix + "position_embedding.weight"), dtype),
     }
+    # SigLIP-family towers carry a patch-conv bias (HF test-fixture init
+    # zeroes it, so parity tests pass either way — real checkpoints don't);
+    # CLIP's patch conv is bias-free.
+    if prefix + embed_prefix + "patch_embedding.bias" in sd:
+        out["patch_bias"] = jnp.asarray(g(embed_prefix + "patch_embedding.bias"), dtype)
     if cfg.use_class_token:
         out["class_embed"] = jnp.asarray(g(embed_prefix + "class_embedding"), dtype)
     if cfg.pre_layernorm:
