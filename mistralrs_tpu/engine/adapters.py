@@ -123,7 +123,7 @@ class Lfm2Adapter:
     be revived from KV blocks."""
 
     supports_prefix_cache = False
-    supports_embeds = False
+    supports_embeds = True
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
@@ -145,7 +145,7 @@ class Lfm2Adapter:
         return _lfm2_fwd(
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map, kv_lens, slot_ids, resets, last_indices,
-            self._block_size, self.compute_dtype,
+            self._block_size, self.compute_dtype, embeds,
         )
 
     def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
@@ -161,7 +161,8 @@ class Lfm2Adapter:
     jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
 )
 def _lfm2_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
-              slot_ids, resets, last_indices, block_size, compute_dtype):
+              slot_ids, resets, last_indices, block_size, compute_dtype,
+              embeds=None):
     from ..models.lfm2 import lfm2_forward_paged
 
     return lfm2_forward_paged(
@@ -169,6 +170,7 @@ def _lfm2_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         slot_map.reshape(ids.shape), kv_lens, slot_ids, resets,
         block_size=block_size, decode=False, compute_dtype=compute_dtype,
         logits_last_only=True, last_indices=last_indices,
+        input_embeds=embeds,
     )
 
 

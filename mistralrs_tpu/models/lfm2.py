@@ -293,13 +293,17 @@ def lfm2_forward_paged(
     compute_dtype=jnp.float32,
     logits_last_only: bool = True,
     last_indices: Optional[jax.Array] = None,
+    input_embeds: Optional[jax.Array] = None,  # [B, T, H]: VLM merged rows
 ):
     """Engine-servable LFM2 hybrid step (prefill chunk or decode). Mirrors
     `forward_paged` (models/llama.py) batch/slot/table conventions; the
     reference serves this arch via the Pipeline trait + hybrid cache
     (`mistralrs-core/src/models/lfm2.rs`, `kv_cache/hybrid_cache.rs`)."""
     b, t = input_ids.shape
-    h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
+    if input_embeds is not None:
+        h = input_embeds.astype(compute_dtype)
+    else:
+        h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
     inv = rope_frequencies(cfg.head_dim, cfg.rope_theta, None)
     cos, sin = rope_cos_sin(positions, inv)
 

@@ -66,7 +66,7 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 # reference's VisionLoaderType registry, vision_models/mod.rs)
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
-              "phi4_multimodal")
+              "phi4_multimodal", "lfm2-vl", "lfm2_vl")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -156,6 +156,12 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "phi4mm"
         cfg = Phi4MMConfig.from_hf(hf_cfg)
         weights = phi4mm_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type in ("lfm2-vl", "lfm2_vl"):
+        from .models.lfm2_vl import Lfm2VlConfig, lfm2_vl_weights_from_state_dict
+
+        model_type = "lfm2_vl"
+        cfg = Lfm2VlConfig.from_hf(hf_cfg)
+        weights = lfm2_vl_weights_from_state_dict(sd, cfg, dtype=dtype)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

@@ -304,6 +304,7 @@ _BUILDER_NAMES = {
     "llava_next": "llava_next_adapter",
     "idefics2": "idefics2_adapter",
     "phi4mm": "phi4mm_adapter",
+    "lfm2_vl": "lfm2_vl_adapter",
 }
 
 
@@ -607,3 +608,65 @@ def phi4mm_adapter(
         return {"prompt_embeds": embeds}
 
     return VlmAdapter("phi4mm", image_token, process, prepare)
+
+
+def lfm2_vl_adapter(
+    weights: dict, cfg, *, image_token: str = "<image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+    max_patches: int = 1024,
+) -> VlmAdapter:
+    """LFM2-VL NaFlex preprocessing: resize so the patch grid is a multiple
+    of the downsample factor with area ≤ max_patches, then pre-patchify
+    channel-LAST (ph, pw, c) — the Siglip2 processor's patch layout."""
+    from ..models.lfm2_vl import num_image_tokens
+    from ..models.lfm2_vl import prepare_multimodal_prompt as prep
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    p = cfg.vision.patch_size
+    f = cfg.downsample_factor
+    cache = encoder_cache or EncoderCache()
+    shapes: dict[int, tuple[int, int]] = {}
+
+    def _resize(im: np.ndarray, th: int, tw: int) -> np.ndarray:
+        try:
+            from PIL import Image
+
+            return np.asarray(
+                Image.fromarray(im).resize((tw, th), Image.BICUBIC), np.uint8
+            )
+        except ImportError:
+            h, w = im.shape[:2]
+            yi = (np.arange(th) * h // th).clip(0, h - 1)
+            xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+            return im[yi][:, xi]
+
+    def process(images):
+        if len(images) != 1:
+            raise ValueError("lfm2-vl serving: one image per request")
+        im = images[0]
+        oh, ow = im.shape[:2]
+        scale = min(1.0, (max_patches * p * p / (oh * ow)) ** 0.5)
+        gh = max(f, int(round(oh * scale / p / f)) * f)
+        gw = max(f, int(round(ow * scale / p / f)) * f)
+        while gh * gw > max_patches:
+            gh, gw = max(f, gh - f), max(f, gw - f)
+        arr = _resize(im, gh * p, gw * p).astype(np.float32) / 255.0
+        arr = (arr - 0.5) / 0.5
+        patches = (
+            arr.reshape(gh, p, gw, p, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(gh * gw, -1)
+        )
+        shapes[0] = (gh, gw)
+        return ProcessedMedia(patches, [num_image_tokens(cfg, (gh, gw))])
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prep(
+            weights, cfg, prompt_ids, media.pixels, shapes[0],
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("lfm2_vl", image_token, process, prepare)

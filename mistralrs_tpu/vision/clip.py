@@ -85,23 +85,30 @@ def _patchify(pixel_values: jax.Array, p: int) -> jax.Array:
 def vision_tower_forward(
     weights: dict,
     cfg: VisionConfig,
-    pixel_values: jax.Array,  # [B, 3, H, W]
+    pixel_values: Optional[jax.Array],  # [B, 3, H, W]
     *,
     feature_layer: int = -1,  # hidden-state index (−2 = llava default)
     compute_dtype=jnp.float32,
+    inputs_embeds: Optional[jax.Array] = None,  # [B, seq, H]: skip embedding
 ) -> jax.Array:
-    """Returns hidden states [B, seq, H] of the requested layer output."""
-    x = _patchify(pixel_values.astype(compute_dtype), cfg.patch_size)
-    h = x @ weights["patch_embed"].astype(compute_dtype)  # [B, np, H]
-    if "patch_bias" in weights:
-        h = h + weights["patch_bias"].astype(compute_dtype)
-    if cfg.use_class_token:
-        cls = jnp.broadcast_to(
-            weights["class_embed"].astype(compute_dtype)[None, None, :],
-            (h.shape[0], 1, cfg.hidden_size),
-        )
-        h = jnp.concatenate([cls, h], axis=1)
-    h = h + weights["pos_embed"].astype(compute_dtype)[None]
+    """Returns hidden states [B, seq, H] of the requested layer output.
+
+    `inputs_embeds` bypasses the patch/pos embedding stage entirely — for
+    naflex-style variants (siglip2) whose embedding the caller computes."""
+    if inputs_embeds is not None:
+        h = inputs_embeds.astype(compute_dtype)
+    else:
+        x = _patchify(pixel_values.astype(compute_dtype), cfg.patch_size)
+        h = x @ weights["patch_embed"].astype(compute_dtype)  # [B, np, H]
+        if "patch_bias" in weights:
+            h = h + weights["patch_bias"].astype(compute_dtype)
+        if cfg.use_class_token:
+            cls = jnp.broadcast_to(
+                weights["class_embed"].astype(compute_dtype)[None, None, :],
+                (h.shape[0], 1, cfg.hidden_size),
+            )
+            h = jnp.concatenate([cls, h], axis=1)
+        h = h + weights["pos_embed"].astype(compute_dtype)[None]
     if cfg.pre_layernorm:
         h = layer_norm(
             h, weights["pre_ln"], weights.get("pre_ln_bias"), cfg.layer_norm_eps
