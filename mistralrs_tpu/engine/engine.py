@@ -53,13 +53,14 @@ def _bucket(n: int, buckets=_PREFILL_BUCKETS) -> int:
 )
 def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
                 kv_lens, last_indices, block_size, backend, compute_dtype,
-                input_embeds=None, rope_pos3=None, lora_scalings=None):
+                input_embeds=None, rope_pos3=None, lora_scalings=None,
+                deepstack=None):
     return forward_paged(
         weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
         block_size=block_size, backend=backend, logits_last_only=True,
         compute_dtype=compute_dtype, input_embeds=input_embeds,
         last_indices=last_indices, rope_positions3=rope_pos3,
-        lora_scalings=lora_scalings,
+        lora_scalings=lora_scalings, deepstack=deepstack,
     )
 
 
@@ -332,6 +333,9 @@ class Engine:
         mrope_positions=None,  # [3, T] np: M-RoPE streams (qwen2-vl family)
         adapter_state=None,  # arch-adapter per-request state (mllama cross K/V)
         lora=None,  # adapter name from the attached bank (per-request LoRA)
+        deepstack_embeds=None,  # [T, k, H] np: qwen3-vl DeepStack rows
+        # (zeros at text positions; layer k's slice adds after decoder
+        # layer k during prefill)
     ) -> Sequence:
         params = params or SamplingParams()
         if len(prompt_ids) >= self.max_model_len:
@@ -387,6 +391,13 @@ class Engine:
                     "per-request LoRA on mesh/arch-adapter engines"
                 )
             seq.lora_name = lora  # type: ignore[attr-defined]
+        if deepstack_embeds is not None:
+            ds = np.asarray(deepstack_embeds)
+            if ds.ndim != 3 or ds.shape[0] != len(prompt_ids):
+                raise ValueError(
+                    f"deepstack_embeds shape {ds.shape} != (T, k, H)"
+                )
+            seq.deepstack_embeds = ds  # type: ignore[attr-defined]
         if mrope_positions is not None:
             mp = np.asarray(mrope_positions, np.int32)
             if mp.shape != (3, len(prompt_ids)):
@@ -606,6 +617,24 @@ class Engine:
                 embeds = embeds.at[row, : sp.length].set(
                     pe_rows.astype(self.compute_dtype)
                 )
+        deepstack = None
+        if any(
+            getattr(sp.seq, "deepstack_embeds", None) is not None for sp in sps
+        ):
+            n_ds = max(
+                getattr(sp.seq, "deepstack_embeds", np.zeros((0, 0, 0))).shape[1]
+                for sp in sps
+            )
+            deepstack = np.zeros(
+                (n_ds, rows, t, self.cfg.hidden_size), np.float32
+            )
+            for row, sp in row_sp.items():
+                dse = getattr(sp.seq, "deepstack_embeds", None)
+                if dse is not None:
+                    deepstack[:, row, : sp.length] = dse[
+                        sp.start : sp.start + sp.length
+                    ].transpose(1, 0, 2)
+            deepstack = jnp.asarray(deepstack, self.compute_dtype)
         if self.adapter is not None:
             slot_ids = np.full((rows,), -1, np.int32)
             resets = np.zeros((rows,), np.int32)
@@ -651,6 +680,7 @@ class Engine:
                 lora_scalings=self._lora_scalings_rows(
                     {r: sp.seq for r, sp in row_sp.items()}, rows, t
                 ),
+                deepstack=deepstack,
             )
         if self.draft_cfg is not None:
             _, self.draft_cache = _prefill_fn(
@@ -1039,6 +1069,13 @@ class Engine:
                 nxt + np.arange(len(folded_ids), dtype=np.int32), (3, len(folded_ids))
             )
             seq.mrope_positions = np.concatenate([mp, ext], axis=1)  # type: ignore[attr-defined]
+        dse = getattr(seq, "deepstack_embeds", None)
+        if dse is not None:
+            # folded generated tokens are text: zero deepstack rows
+            seq.deepstack_embeds = np.concatenate(  # type: ignore[attr-defined]
+                [dse, np.zeros((len(folded_ids),) + dse.shape[1:], dse.dtype)],
+                axis=0,
+            )
         pe = getattr(seq, "prompt_embeds", None)
         if pe is None:
             return

@@ -72,6 +72,8 @@ class ModelConfig:
     # position streams; () → standard rope. When set, forward_paged accepts
     # rope_positions3 [3, B, T] (mask positions stay the token index).
     mrope_section: tuple[int, ...] = ()
+    # qwen3-vl: channel-interleaved [THWTHW...TT] M-RoPE instead of chunked
+    mrope_interleaved: bool = False
     # bookkeeping
     bos_token_id: Optional[int] = None
     eos_token_ids: tuple[int, ...] = ()

@@ -32,6 +32,7 @@ from ..ops.norms import layer_norm, rms_norm, rms_norm_gemma
 from ..ops.rope import (
     apply_rope,
     mrope_cos_sin,
+    mrope_cos_sin_interleaved,
     rope_cos_sin,
     rope_frequencies,
     yarn_attention_factor,
@@ -736,6 +737,9 @@ def forward_paged(
     rope_positions3: Optional[jax.Array] = None,  # [3, B, T] M-RoPE streams
     lora_scalings: Optional[jax.Array] = None,  # [B, T, A] per-request
     # adapter mix over an attach_adapter_bank (one-hot for selection)
+    deepstack: Optional[jax.Array] = None,  # [k, B, T, H] qwen3-vl DeepStack
+    # visual embeds added to hidden states after layers 0..k-1 (zeros at
+    # text positions)
 ):
     """Decoder step over the paged KV cache (decode or chunked prefill).
 
@@ -766,7 +770,12 @@ def forward_paged(
             cfg.rope_theta
             ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim)
         )
-        cos_g, sin_g = mrope_cos_sin(rope_positions3, inv, cfg.mrope_section)
+        if cfg.mrope_interleaved:  # qwen3-vl channel-interleaved layout
+            cos_g, sin_g = mrope_cos_sin_interleaved(
+                rope_positions3, inv, cfg.mrope_section
+            )
+        else:
+            cos_g, sin_g = mrope_cos_sin(rope_positions3, inv, cfg.mrope_section)
         cos_lo, sin_lo = cos_g, sin_g
     else:
         cos_g, sin_g, cos_lo, sin_lo = _rope_sets(cfg, positions)
@@ -907,9 +916,18 @@ def forward_paged(
             attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend,
             lora=lw.get("wo_lora"),
         )
+        def _ds_add(hh):
+            if deepstack is None:
+                return hh
+            n_ds = deepstack.shape[0]
+            ds = jax.lax.dynamic_index_in_dim(
+                deepstack, jnp.minimum(li, n_ds - 1), 0, keepdims=False
+            )
+            return hh + jnp.where(li < n_ds, ds.astype(hh.dtype), 0)
+
         if cfg.parallel_residual:  # phi2
             mlp_out = _mlp(x, lw, act, backend, tp_axis)
-            hh = hh + attn_out + mlp_out
+            hh = _ds_add(hh + attn_out + mlp_out)
             if has_scales:
                 return (hh, kp, vp, ksp, vsp), None
             return (hh, kp, vp), None
@@ -927,7 +945,7 @@ def forward_paged(
             mlp_out = _mlp(x, lw, act, backend, tp_axis)
         if "post_ffn_norm" in lw:
             mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
-        hh = hh + (mlp_out * rm if rm else mlp_out)
+        hh = _ds_add(hh + (mlp_out * rm if rm else mlp_out))
         if has_scales:
             return (hh, kp, vp, ksp, vsp), None
         return (hh, kp, vp), None

@@ -159,3 +159,23 @@ def mrope_cos_sin(
         parts_s.append(sin[i % 3, ..., off : off + sec])
         off += sec
     return jnp.concatenate(parts_c, -1), jnp.concatenate(parts_s, -1)
+
+
+def mrope_cos_sin_interleaved(
+    positions3,  # [3, B, T] (temporal, height, width) int positions
+    inv_freq,  # [head_dim // 2] inverse frequencies
+    sections,  # (t, h, w) channel counts summing to head_dim // 2
+):
+    """Qwen3-VL interleaved M-RoPE: channel j reads stream T by default,
+    H when j % 3 == 1 and j < 3·sections[1], W when j % 3 == 2 and
+    j < 3·sections[2] — the [THWTHW...TT] layout that keeps frequency
+    continuity per stream (`Qwen3VLTextRotaryEmbedding.apply_interleaved_mrope`)."""
+    n = inv_freq.shape[0]
+    j = jnp.arange(n)
+    stream = jnp.where(
+        (j % 3 == 1) & (j < 3 * sections[1]), 1,
+        jnp.where((j % 3 == 2) & (j < 3 * sections[2]), 2, 0),
+    )
+    ang = positions3.astype(jnp.float32)[..., None] * inv_freq  # [3, B, T, n]
+    sel = jnp.take_along_axis(ang, stream[None, None, None, :], axis=0)[0]
+    return jnp.cos(sel), jnp.sin(sel)
