@@ -32,13 +32,17 @@ class Qwen3VLConfig:
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Qwen3VLConfig":
         tc = dict(d["text_config"])
-        text = config_from_hf(tc | {"architectures": ["Qwen3ForCausalLM"]})
+        moe = bool(tc.get("num_experts"))
+        arch = "Qwen3MoeForCausalLM" if moe else "Qwen3ForCausalLM"
+        text = config_from_hf(tc | {"architectures": [arch]})
         rs = tc.get("rope_scaling") or {}
         text = __import__("dataclasses").replace(
             text,
             rope_scaling=None,
             mrope_section=tuple(rs.get("mrope_section", ())),
             mrope_interleaved=bool(rs.get("mrope_interleaved", True)),
+            # Qwen3VLMoeTextSparseMoeBlock always normalizes top-k weights
+            norm_topk_prob=True if moe else text.norm_topk_prob,
         )
         return cls(
             text=text,
@@ -60,6 +64,19 @@ def qwen3_vl_weights_from_state_dict(
     }
     if "lm_head.weight" in sd:
         text_sd["lm_head.weight"] = sd["lm_head.weight"]
+    # qwen3-vl-moe stores FUSED expert banks (gate_up_proj [E, H, 2I],
+    # down_proj [E, I, H]); split into the per-expert [out, in] keys the
+    # shared loader stacks
+    fused = [k for k in text_sd if k.endswith("mlp.experts.gate_up_proj")]
+    for k in fused:
+        base = k[: -len("gate_up_proj")]
+        gu = np.asarray(text_sd.pop(k), np.float32)
+        dn = np.asarray(text_sd.pop(base + "down_proj"), np.float32)
+        inter = gu.shape[-1] // 2
+        for e in range(gu.shape[0]):
+            text_sd[f"{base}{e}.gate_proj.weight"] = gu[e, :, :inter].T
+            text_sd[f"{base}{e}.up_proj.weight"] = gu[e, :, inter:].T
+            text_sd[f"{base}{e}.down_proj.weight"] = dn[e].T
     vis_sd = {
         k[len("model.visual."):]: v
         for k, v in sd.items()

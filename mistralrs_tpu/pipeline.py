@@ -66,7 +66,8 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 # reference's VisionLoaderType registry, vision_models/mod.rs)
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
-              "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl")
+              "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
+              "qwen3_vl_moe")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -162,12 +163,13 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "lfm2_vl"
         cfg = Lfm2VlConfig.from_hf(hf_cfg)
         weights = lfm2_vl_weights_from_state_dict(sd, cfg, dtype=dtype)
-    elif model_type == "qwen3_vl":
+    elif model_type in ("qwen3_vl", "qwen3_vl_moe"):
         from .models.qwen3_vl import (
             Qwen3VLConfig,
             qwen3_vl_weights_from_state_dict,
         )
 
+        model_type = "qwen3_vl"
         cfg = Qwen3VLConfig.from_hf(hf_cfg)
         weights = qwen3_vl_weights_from_state_dict(sd, cfg, **kw)
     else:
