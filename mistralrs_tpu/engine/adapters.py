@@ -115,6 +115,80 @@ class Qwen3NextAdapter:
         )
 
 
+class Gemma3nAdapter:
+    """Serve Gemma 3n (AltUp/Laurel/per-layer-inputs, KV-shared layers)
+    via the engine: paged KV planes exist only for KV-storing layers,
+    shared layers read their source plane."""
+
+    supports_prefix_cache = True
+    supports_embeds = False
+
+    def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
+        self.cfg = cfg
+        self.weights = weights
+        self.compute_dtype = compute_dtype
+        self.backend = backend
+        self._fcfg = _hashable(cfg)
+
+    def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
+        from ..models.gemma3n import make_paged_cache
+
+        self._block_size = block_size
+        return make_paged_cache(
+            self.cfg, num_blocks, block_size, n_slots, dtype=self.compute_dtype
+        )
+
+    def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
+                last_indices, slot_ids, resets, embeds=None):
+        return _g3n_fwd(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map, kv_lens, last_indices,
+            self._block_size, self.compute_dtype,
+        )
+
+    def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
+               samp_state, key):
+        return _g3n_decode(
+            self.weights, self._fcfg, tokens, positions, cache, bt,
+            slot_map, kv_lens, samp_state, key,
+            self._block_size, self.compute_dtype,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _g3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+             last_indices, block_size, compute_dtype):
+    from ..models.gemma3n import gemma3n_forward_paged
+
+    return gemma3n_forward_paged(
+        weights, cfg, ids, positions, cache, bt,
+        slot_map.reshape(ids.shape), kv_lens,
+        block_size=block_size, compute_dtype=compute_dtype,
+        logits_last_only=True, last_indices=last_indices,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _g3n_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
+                kv_lens, samp_state, key, block_size, compute_dtype):
+    from ..models.gemma3n import gemma3n_forward_paged
+
+    logits, cache = gemma3n_forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, bt,
+        slot_map[:, None], kv_lens,
+        block_size=block_size, compute_dtype=compute_dtype,
+        logits_last_only=True,
+    )
+    new_tokens, logprobs, tops, samp_state = sample(
+        logits[:, -1], samp_state, key
+    )
+    return new_tokens, logprobs, tops, cache, samp_state
+
+
 class Lfm2Adapter:
     """Serve LFM2 (short-conv / full-attention hybrid) via the engine.
 

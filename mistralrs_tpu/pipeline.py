@@ -59,7 +59,8 @@ class Pipeline:
 # HF model_type → bespoke (config, loader). These archs don't fit the
 # unified llama-family decoder: they serve through engine arch adapters.
 _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
-                      "mllama", "llama4", "llama4_text")
+                      "mllama", "llama4", "llama4_text", "gemma3n",
+                      "gemma3n_text")
 
 # vision-language model_types: text decoder serves through the engine,
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
@@ -222,6 +223,14 @@ def _load_specialized(model_type: str, path: Path, dtype):
 
         cfg = Llama4Config.from_hf(hf_cfg)
         return cfg, llama4_text_weights_from_state_dict(sd, cfg)
+    if model_type in ("gemma3n", "gemma3n_text"):
+        from .models.gemma3n import (
+            Gemma3nConfig,
+            gemma3n_weights_from_state_dict,
+        )
+
+        cfg = Gemma3nConfig.from_hf(hf_cfg)
+        return cfg, gemma3n_weights_from_state_dict(sd, cfg)
     raise ValueError(f"unhandled specialized arch {model_type!r}")
 
 
@@ -230,17 +239,21 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
     the unified llama-family decoder (which serves natively)."""
     from .engine.adapters import (
         DeepseekAdapter,
+        Gemma3nAdapter,
         Lfm2Adapter,
         Llama4Adapter,
         MllamaAdapter,
         Qwen3NextAdapter,
     )
     from .models.deepseek import DeepseekConfig
+    from .models.gemma3n import Gemma3nConfig
     from .models.lfm2 import Lfm2Config
     from .models.llama4 import Llama4Config
     from .models.mllama import MllamaConfig
     from .models.qwen3next import Qwen3NextConfig
 
+    if isinstance(cfg, Gemma3nConfig):
+        return Gemma3nAdapter(cfg, weights, compute_dtype=compute_dtype)
     if isinstance(cfg, DeepseekConfig):
         return DeepseekAdapter(cfg, weights, compute_dtype=compute_dtype)
     if isinstance(cfg, Qwen3NextConfig):
