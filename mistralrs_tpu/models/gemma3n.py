@@ -185,6 +185,67 @@ def gemma3n_weights_from_state_dict(
     }
 
 
+def apply_matformer(
+    cfg: Gemma3nConfig, weights: dict, slice_cfg
+) -> tuple[Gemma3nConfig, dict]:
+    """MatFormer elastic slicing for Gemma 3n (the checkpoint family the
+    reference's `matformer_configs/` target): keep a per-layer FFN prefix
+    and drop whole layers. The python layer loop handles heterogeneous FFN
+    dims natively, so slices are EXACT (no pad-and-mask like the stacked
+    llama path in matformer.py)."""
+    import dataclasses
+
+    skipped = set(slice_cfg.layers_skipped)
+    keep = [i for i in range(cfg.num_layers) if i not in skipped]
+    if cfg.num_kv_shared_layers > 0 and any(
+        i >= cfg.first_shared_layer for i in skipped
+    ):
+        raise ValueError(
+            "matformer: cannot skip KV-shared layers (their sources anchor "
+            "the sharing plan)"
+        )
+    dims = slice_cfg.ffn_hidden_dims
+    if dims is not None and len(dims) != len(keep):
+        raise ValueError(
+            f"ffn_hidden_dims has {len(dims)} entries for {len(keep)} kept layers"
+        )
+    layers = []
+    for j, i in enumerate(keep):
+        lw = dict(weights["layers"][i])
+        if dims is not None:
+            d = dims[j]
+            lw["gate"] = lw["gate"][:d]
+            lw["up"] = lw["up"][:d]
+            lw["down"] = lw["down"][:, :d]
+        layers.append(lw)
+    pl = cfg.hidden_size_per_layer_input
+    keep_idx = jnp.asarray(keep, jnp.int32)
+    epl = weights["embed_per_layer"]
+    epl = epl.reshape(epl.shape[0], cfg.num_layers, pl)[:, keep_idx].reshape(
+        epl.shape[0], -1
+    )
+    plp = weights["pl_projection"]
+    plp = plp.reshape(cfg.num_layers, pl, -1)[keep_idx].reshape(
+        len(keep) * pl, -1
+    )
+    new_cfg = dataclasses.replace(
+        cfg,
+        num_layers=len(keep),
+        intermediate_sizes=tuple(
+            dims if dims is not None else [cfg.intermediate_sizes[i] for i in keep]
+        ),
+        layer_types=tuple(cfg.layer_types[i] for i in keep),
+        activation_sparsity=tuple(cfg.activation_sparsity[i] for i in keep),
+        num_kv_shared_layers=sum(
+            1 for i in keep if cfg.num_kv_shared_layers > 0
+            and i >= cfg.first_shared_layer
+        ),
+    )
+    out = dict(weights)
+    out.update(embed_per_layer=epl, pl_projection=plp, layers=layers)
+    return new_cfg, out
+
+
 def make_paged_cache(
     cfg: Gemma3nConfig, num_blocks: int, block_size: int, n_slots: int = 0,
     dtype=jnp.float32,

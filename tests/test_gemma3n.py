@@ -77,6 +77,46 @@ def test_gemma3n_through_engine():
     assert seq.output_ids == hf_out
 
 
+def test_gemma3n_matformer_slice():
+    """Elastic slicing: identity slice preserves outputs; a real slice
+    (dropped layer + reduced per-layer FFN dims) serves correctly."""
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.matformer import MatformerSlice
+    from mistralrs_tpu.models.gemma3n import apply_matformer
+    from mistralrs_tpu.pipeline import make_adapter
+
+    hf_cfg, model, cfg, weights = _tiny(num_kv_shared_layers=0, vocab_pl=160)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 120, size=9).tolist()
+
+    def run(c, w, n=5):
+        adapter = make_adapter(c, w, compute_dtype=jnp.float32)
+        eng = Engine(c, w, adapter=adapter, num_blocks=32, block_size=16,
+                     max_batch=2, backend="xla", compute_dtype=jnp.float32)
+        seq = eng.add_request(ids, SamplingParams(temperature=0.0, max_tokens=n))
+        eng.run_to_completion()
+        return seq.output_ids
+
+    base = run(cfg, weights)
+    ident_cfg, ident_w = apply_matformer(
+        cfg, weights, MatformerSlice(name="full", ffn_hidden_dims=[96] * 4)
+    )
+    assert run(ident_cfg, ident_w) == base
+
+    sub_cfg, sub_w = apply_matformer(
+        cfg, weights,
+        MatformerSlice(name="sub", ffn_hidden_dims=[48, 96, 64],
+                       layers_skipped=(2,)),
+    )
+    assert sub_cfg.num_layers == 3
+    assert sub_cfg.intermediate_sizes == (48, 96, 64)
+    assert sub_cfg.layer_types == ("sliding_attention", "full_attention",
+                                   "full_attention")
+    out = run(sub_cfg, sub_w)
+    assert len(out) == 5
+
+
 def test_gemma3n_no_sharing_parity():
     """num_kv_shared_layers=0 path (every layer stores KV)."""
     from mistralrs_tpu.engine.engine import Engine
