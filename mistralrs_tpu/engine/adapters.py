@@ -121,7 +121,7 @@ class Gemma3nAdapter:
     shared layers read their source plane."""
 
     supports_prefix_cache = True
-    supports_embeds = False
+    supports_embeds = True
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
@@ -143,7 +143,7 @@ class Gemma3nAdapter:
         return _g3n_fwd(
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map, kv_lens, last_indices,
-            self._block_size, self.compute_dtype,
+            self._block_size, self.compute_dtype, embeds,
         )
 
     def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
@@ -159,7 +159,7 @@ class Gemma3nAdapter:
     jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
 )
 def _g3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
-             last_indices, block_size, compute_dtype):
+             last_indices, block_size, compute_dtype, embeds=None):
     from ..models.gemma3n import gemma3n_forward_paged
 
     return gemma3n_forward_paged(
@@ -167,6 +167,7 @@ def _g3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         slot_map.reshape(ids.shape), kv_lens,
         block_size=block_size, compute_dtype=compute_dtype,
         logits_last_only=True, last_indices=last_indices,
+        input_embeds=embeds,
     )
 
 

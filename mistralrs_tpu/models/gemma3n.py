@@ -126,6 +126,11 @@ class Gemma3nConfig:
         return 32768
 
     @property
+    def embedding_multiplier(self):
+        # engine's text-row embed path: None → √hidden (gemma convention)
+        return None
+
+    @property
     def kv_dim(self) -> int:
         return self.num_kv_heads * self.head_dim
 
@@ -323,6 +328,7 @@ def gemma3n_forward_paged(
     compute_dtype=jnp.float32,
     logits_last_only: bool = True,
     last_indices: Optional[jax.Array] = None,
+    input_embeds: Optional[jax.Array] = None,  # [B, T, H] multimodal merge
 ):
     """Engine-servable Gemma3n step (prefill chunk or decode). Paged-KV
     conventions mirror `forward_paged` (models/llama.py); KV-shared layers
@@ -331,22 +337,26 @@ def gemma3n_forward_paged(
 
     eps = cfg.rms_norm_eps
     b, t = input_ids.shape
-    h0 = (
-        weights["embed"].astype(compute_dtype)[input_ids]
-        * jnp.asarray(cfg.hidden_size ** 0.5, compute_dtype)
-    )
+    if input_embeds is not None:
+        # merged rows arrive pre-scaled (embed_prompt applies the √H scale
+        # to text rows; multimodal rows come from the modality embedders)
+        h0 = input_embeds.astype(compute_dtype)
+    else:
+        h0 = (
+            weights["embed"].astype(compute_dtype)[input_ids]
+            * jnp.asarray(cfg.hidden_size ** 0.5, compute_dtype)
+        )
     # per-layer inputs: scaled per-layer vocab embedding + projection of h0
+    # out-of-range ids (multimodal placeholders) fall back to row 0, matching
+    # HF's `torch.where(ids < vocab_pl, ids, 0)` in Gemma3nModel.forward
     pl_ids = jnp.where(
-        input_ids < cfg.vocab_size_per_layer_input, input_ids, 0
+        (input_ids >= 0) & (input_ids < cfg.vocab_size_per_layer_input),
+        input_ids, 0,
     )
     pli_embed = (
         weights["embed_per_layer"].astype(compute_dtype)[pl_ids]
         * jnp.asarray(cfg.hidden_size_per_layer_input ** 0.5, compute_dtype)
     ).reshape(b, t, cfg.num_layers, cfg.hidden_size_per_layer_input)
-    pli_embed = jnp.where(
-        (input_ids < cfg.vocab_size_per_layer_input)[..., None, None],
-        pli_embed, 0,
-    )
     pl_proj = (h0 @ weights["pl_projection"].T.astype(compute_dtype)) * (
         cfg.hidden_size ** -0.5
     )
