@@ -765,10 +765,13 @@ def forward_paged(
 
     if rope_positions3 is not None and cfg.mrope_section:
         # M-RoPE (qwen2-vl family): rotary angles come from the 3 position
-        # streams; attention masking keeps the plain token-index `positions`
+        # streams; attention masking keeps the plain token-index `positions`.
+        # glm4v composes M-RoPE with PARTIAL rotary (sections cover only
+        # rot_dim/2 channels; apply_rope passes the rest through).
+        _rot = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv = 1.0 / (
             cfg.rope_theta
-            ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim)
+            ** (jnp.arange(0, _rot, 2, dtype=jnp.float32) / _rot)
         )
         if cfg.mrope_interleaved:  # qwen3-vl channel-interleaved layout
             cos_g, sin_g = mrope_cos_sin_interleaved(

@@ -68,7 +68,7 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
-              "qwen3_vl_moe")
+              "qwen3_vl_moe", "glm4v")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -173,6 +173,11 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "qwen3_vl"
         cfg = Qwen3VLConfig.from_hf(hf_cfg)
         weights = qwen3_vl_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "glm4v":
+        from .models.glm4v import Glm4vConfig, glm4v_weights_from_state_dict
+
+        cfg = Glm4vConfig.from_hf(hf_cfg)
+        weights = glm4v_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

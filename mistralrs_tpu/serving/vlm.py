@@ -300,6 +300,46 @@ def qwen3vl_adapter(
     )
 
 
+def glm4v_adapter(
+    weights: dict, cfg, *, image_token: str = "<|image|>",
+    begin_image: str = "<|begin_of_image|>", end_image: str = "<|end_of_image|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """GLM-4V: qwen2-vl-style smart-resize patchify; M-RoPE kwargs."""
+    from ..models.glm4v import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    vis = cfg.vision
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        if len(images) != 1:
+            raise ValueError(
+                "glm4v serving currently supports one image per request"
+            )
+        patches, grid = qwen2vl_patchify(
+            images[0], vis.patch_size, vis.spatial_merge_size,
+            vis.temporal_patch_size,
+        )
+        n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+        return ProcessedMedia(patches, [n], {"grid_thw": grid})
+
+    def prepare(prompt_ids, media):
+        _, embeds, _, pos3 = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            media.extras["grid_thw"], encoder_cache=cache,
+            compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds, "mrope_positions": pos3}
+
+    return VlmAdapter(
+        "glm4v", image_token, process, prepare,
+        expansion=lambda n: f"{begin_image}{image_token * n}{end_image}",
+    )
+
+
 def llama4_adapter(
     weights: dict, cfg, *, image_token: str = "<|image|>",
     encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
@@ -348,6 +388,7 @@ _BUILDER_NAMES = {
     "phi4mm": "phi4mm_adapter",
     "lfm2_vl": "lfm2_vl_adapter",
     "qwen3_vl": "qwen3vl_adapter",
+    "glm4v": "glm4v_adapter",
 }
 
 
