@@ -423,6 +423,51 @@ def cmd_doctor(args):
     return 0
 
 
+def cmd_uqff_inspect(args):
+    """Print a UQFF artifact's inventory (ours or mistral.rs v1.x) without
+    materializing tensors — the `uqff-inspect` analog."""
+    from safetensors import safe_open
+
+    from .uqff import _UQFF_GGML_CODES, is_reference_uqff
+
+    out = {"path": args.path, "format": None, "tensors": []}
+    with safe_open(args.path, framework="np") as f:
+        keys = list(f.keys())
+        meta = f.metadata() or {}
+        if is_reference_uqff(args.path):
+            out["format"] = "mistral.rs-uqff"
+            prefixes = sorted({k.rsplit(".", 1)[0] for k in keys
+                               if k.endswith(".weight")})
+            for p in prefixes:
+                entry = {"name": p}
+                for field in ("format", "dtype", "shape"):
+                    k = f"{p}.{field}"
+                    if k in keys:
+                        v = f.get_tensor(k)
+                        if field == "format":
+                            code = int(v.reshape(-1)[0])
+                            entry["quant"] = str(
+                                _UQFF_GGML_CODES.get(code, code)
+                            )
+                        elif field == "shape":
+                            entry["shape"] = [int(x) for x in v.reshape(-1)]
+                        else:
+                            entry["dtype_code"] = int(v.reshape(-1)[0])
+                out["tensors"].append(entry)
+        else:
+            out["format"] = "mistralrs_tpu-uqff"
+            out["metadata"] = {k: meta[k] for k in sorted(meta)} if meta else {}
+            for k in sorted(keys):
+                sl = f.get_slice(k)
+                out["tensors"].append(
+                    {"name": k, "shape": list(sl.get_shape()),
+                     "dtype": str(sl.get_dtype())}
+                )
+    out["tensor_count"] = len(out["tensors"])
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="mistralrs_tpu", description="TPU-native quantized LLM inference"
@@ -489,6 +534,10 @@ def main(argv=None):
 
     p = sub.add_parser("doctor", help="environment health check")
     p.set_defaults(fn=cmd_doctor)
+
+    p = sub.add_parser("uqff-inspect", help="list a UQFF artifact's contents")
+    p.add_argument("path")
+    p.set_defaults(fn=cmd_uqff_inspect)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -425,6 +425,7 @@ def load_hf_model(
     isq: Optional[GGMLType] = None,
     row_parallel_chunks: int = 1,
     from_uqff: Optional[str] = None,
+    imatrix: Optional[Mapping[str, np.ndarray]] = None,
 ) -> tuple[ModelConfig, dict, dict[str, Any]]:
     """Load a HF model directory (plain, GPTQ or AWQ).
 
@@ -446,5 +447,6 @@ def load_hf_model(
         sd, cfg, dtype=dtype, isq=isq,
         row_parallel_chunks=row_parallel_chunks,
         quant_config=hf_cfg.get("quantization_config"),
+        imatrix=imatrix,
     )
     return cfg, weights, hf_cfg

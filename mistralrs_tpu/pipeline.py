@@ -280,6 +280,7 @@ def load_pipeline(
     chat_template_override: Optional[str] = None,
     tp: int = 1,
     from_uqff: Optional[str] = None,
+    imatrix: Optional[str] = None,  # .npz path from the calibration flow
 ) -> Pipeline:
     """Load a model from a GGUF file or HF-format directory."""
     path = Path(model_path)
@@ -344,8 +345,13 @@ def load_pipeline(
             )
             hf_cfg = json.loads(cfg_file.read_text())
             return Pipeline(cfg, weights, tokenizer, ct, path.name, hf_cfg)
+        im = None
+        if imatrix is not None:
+            from .imatrix import load_imatrix
+
+            im = load_imatrix(imatrix)
         cfg, weights, hf_cfg = load_hf_model(
-            path, dtype=dtype, isq=isq_t, from_uqff=from_uqff
+            path, dtype=dtype, isq=isq_t, from_uqff=from_uqff, imatrix=im
         )
         try:
             tokenizer = from_hf_dir(path)

@@ -129,11 +129,12 @@ class ModelRegistry:
         default: bool = False,
         isq: Optional[str] = None,
         engine_options: Optional[dict[str, Any]] = None,
+        imatrix: Optional[str] = None,
     ) -> ModelInstance:
         """Load a model from disk and register it (the /v1/models/load analog)."""
         from ..pipeline import load_pipeline, make_adapter
 
-        pipe = load_pipeline(path, isq=isq)
+        pipe = load_pipeline(path, isq=isq, imatrix=imatrix)
         adapter = make_adapter(pipe.cfg, pipe.weights)
         engine = Engine(pipe.cfg, pipe.weights, adapter=adapter,
                         **(engine_options or {}))
@@ -143,7 +144,8 @@ class ModelRegistry:
             tokenizer=pipe.tokenizer,
             chat_template=pipe.chat_template,
             source=path,
-            load_options={"isq": isq, "engine_options": engine_options or {}},
+            load_options={"isq": isq, "engine_options": engine_options or {},
+                          "imatrix": imatrix},
         )
         self.register(inst, default=default)
         return inst
@@ -167,6 +169,7 @@ class ModelRegistry:
         self.load(
             model_id, inst.source,
             isq=opts.get("isq"), engine_options=opts.get("engine_options"),
+            imatrix=opts.get("imatrix"),
         )
         return True
 

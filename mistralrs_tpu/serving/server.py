@@ -106,6 +106,11 @@ class ServerState:
         # speech_generation routes)
         self.flux = None  # diffusion.pipeline.FluxPipeline
         self.speech = None  # {"params","cfg","dac_params","dac_cfg","sample_rate"}
+        # /v1/files store (route_registry.rs files+containers analog)
+        self.files: dict[str, dict] = {}
+        self._file_counter = 0
+        # calibration state (re_isq/calibration routes)
+        self.calibration: dict = {"status": "idle"}
         if engine is not None:
             self.registry.register(
                 ModelInstance(
@@ -1002,6 +1007,239 @@ def build_app(state: ServerState) -> web.Application:
                 {"error": {"message": "no such session"}}, status=404
             )
         return web.json_response({"forked": body["dest"]})
+
+    # -- files (route_registry.rs /v1/files + containers analog) -------------
+
+    @routes.post("/v1/files")
+    async def files_upload(request: web.Request):
+        body = await request.json()
+        if "filename" not in body or "content_b64" not in body:
+            return web.json_response(
+                {"error": {"message": "filename and content_b64 required"}},
+                status=422,
+            )
+        import base64
+
+        try:
+            data = base64.b64decode(body["content_b64"])
+        except Exception:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": "invalid base64"}}, status=422
+            )
+        state._file_counter += 1
+        fid = f"file-{state._file_counter}"
+        state.files[fid] = {
+            "id": fid, "object": "file", "filename": body["filename"],
+            "bytes": len(data), "created_at": int(time.time()),
+            "purpose": body.get("purpose", "assistants"), "_data": data,
+        }
+        return web.json_response(
+            {k: v for k, v in state.files[fid].items() if k != "_data"}
+        )
+
+    @routes.get("/v1/files")
+    async def files_list(_req):
+        return web.json_response({
+            "object": "list",
+            "data": [
+                {k: v for k, v in f.items() if k != "_data"}
+                for f in state.files.values()
+            ],
+        })
+
+    @routes.get("/v1/files/{fid}")
+    async def files_get(request: web.Request):
+        f = state.files.get(request.match_info["fid"])
+        if f is None:
+            return web.json_response(
+                {"error": {"message": "no such file"}}, status=404
+            )
+        return web.json_response({k: v for k, v in f.items() if k != "_data"})
+
+    @routes.get("/v1/files/{fid}/content")
+    async def files_content(request: web.Request):
+        f = state.files.get(request.match_info["fid"])
+        if f is None:
+            return web.json_response(
+                {"error": {"message": "no such file"}}, status=404
+            )
+        return web.Response(
+            body=f["_data"], content_type="application/octet-stream"
+        )
+
+    @routes.delete("/v1/files/{fid}")
+    async def files_delete(request: web.Request):
+        ok = state.files.pop(request.match_info["fid"], None) is not None
+        return web.json_response(
+            {"deleted": ok, "id": request.match_info["fid"]},
+            status=200 if ok else 404,
+        )
+
+    # -- re-ISQ + calibration (re_isq / calibration_* route analogs) ---------
+
+    @routes.post("/re_isq")
+    async def re_isq(request: web.Request):
+        """Requantize a served model: reload its source checkpoint with a
+        new ISQ type (+ the last applied imatrix, if any)."""
+        body = await request.json()
+        inst = state.registry.get(body.get("model_id") or body.get("model"))
+        if inst is None:
+            return web.json_response(
+                {"error": {"message": "model not found"}}, status=404
+            )
+        if inst.source is None:
+            return web.json_response(
+                {"error": {"message": "model has no reloadable source"}},
+                status=409,
+            )
+        isq = body.get("isq")
+        if not isq:
+            return web.json_response(
+                {"error": {"message": "isq required"}}, status=422
+            )
+        opts = dict(inst.load_options)
+        loop = asyncio.get_running_loop()
+        try:
+            await loop.run_in_executor(
+                None,
+                lambda: state.registry.load(
+                    inst.model_id, inst.source, isq=isq,
+                    engine_options=opts.get("engine_options"),
+                    imatrix=body.get("imatrix", opts.get("imatrix")),
+                ),
+            )
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        return web.json_response({"status": "requantized", "isq": isq})
+
+    @routes.post("/v1/calibration/start")
+    async def calibration_start(request: web.Request):
+        """Collect an importance matrix over calibration texts against the
+        served model's weights (imatrix.py collector)."""
+        body = await request.json()
+        inst = state.registry.get(body.get("model_id") or body.get("model"))
+        if inst is None:
+            return web.json_response(
+                {"error": {"message": "model not found"}}, status=404
+            )
+        texts = body.get("texts") or []
+        if not texts or inst.tokenizer is None:
+            return web.json_response(
+                {"error": {"message": "texts required (and a tokenizer)"}},
+                status=422,
+            )
+        if state.calibration.get("status") == "running":
+            return web.json_response(
+                {"error": {"message": "calibration already running"}},
+                status=409,
+            )
+        from ..models.config import ModelConfig
+
+        if not isinstance(inst.engine.cfg, ModelConfig):
+            return web.json_response(
+                {"error": {"message": "calibration: llama-family models only"}},
+                status=409,
+            )
+        state.calibration = {"status": "running", "tokens": 0,
+                             "model_id": inst.model_id}
+
+        def run():
+            import numpy as np
+
+            from ..imatrix import ImatrixCollector
+
+            try:
+                coll = ImatrixCollector(inst.engine.cfg)
+                chunk = int(body.get("chunk_tokens", 512))
+                for text in texts:
+                    ids = inst.tokenizer.encode(text)
+                    for s in range(0, max(len(ids) - 1, 1), chunk):
+                        piece = ids[s : s + chunk]
+                        if len(piece) < 2:
+                            continue
+                        coll.update(
+                            inst.engine.weights,
+                            np.asarray([piece], np.int32),
+                        )
+                        state.calibration["tokens"] = coll.tokens
+                state.calibration["_imatrix"] = coll.finalize()
+                state.calibration["status"] = "done"
+            except Exception as e:  # noqa: BLE001
+                state.calibration["status"] = "error"
+                state.calibration["error"] = f"{type(e).__name__}: {e}"
+
+        import threading
+
+        threading.Thread(target=run, daemon=True).start()
+        return web.json_response({"status": "running"})
+
+    @routes.get("/v1/calibration/status")
+    async def calibration_status(_req):
+        return web.json_response(
+            {k: v for k, v in state.calibration.items() if not k.startswith("_")}
+        )
+
+    @routes.post("/v1/calibration/apply")
+    async def calibration_apply(request: web.Request):
+        """Save the collected imatrix and requantize the model with it."""
+        body = await request.json()
+        if state.calibration.get("status") != "done":
+            return web.json_response(
+                {"error": {"message": "no finished calibration"}}, status=409
+            )
+        inst = state.registry.get(
+            body.get("model_id") or state.calibration.get("model_id")
+        )
+        if inst is None or inst.source is None:
+            return web.json_response(
+                {"error": {"message": "model not found or not reloadable"}},
+                status=404,
+            )
+        import tempfile
+
+        from ..imatrix import save_imatrix
+
+        path = body.get("save_path") or tempfile.mktemp(suffix=".imatrix.npz")
+        save_imatrix(path, state.calibration["_imatrix"])
+        isq = body.get("isq") or inst.load_options.get("isq")
+        loop = asyncio.get_running_loop()
+        try:
+            await loop.run_in_executor(
+                None,
+                lambda: state.registry.load(
+                    inst.model_id, inst.source, isq=isq,
+                    engine_options=inst.load_options.get("engine_options"),
+                    imatrix=path,
+                ),
+            )
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        return web.json_response(
+            {"status": "applied", "imatrix_path": path, "isq": isq}
+        )
+
+    @routes.get("/v1/system/doctor")
+    async def system_doctor(_req):
+        import platform
+
+        import jax
+
+        checks = {"python": platform.python_version(), "jax": jax.__version__}
+        try:
+            devs = jax.devices()
+            checks["backend"] = jax.default_backend()
+            checks["devices"] = [str(d) for d in devs]
+            checks["device_ok"] = True
+        except Exception as e:  # noqa: BLE001
+            checks["device_ok"] = False
+            checks["device_error"] = str(e)
+        for mod in ("flax", "optax", "transformers"):
+            try:
+                checks[mod] = __import__(mod).__version__
+            except Exception:  # noqa: BLE001
+                checks[mod] = None
+        checks["models"] = [i.model_id for i in state.registry.list()]
+        return web.json_response(checks)
 
     app.add_routes(routes)
     return app

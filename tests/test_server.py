@@ -387,3 +387,64 @@ async def test_agent_session_routes(client, server_state):
     assert (await r.json())["deleted"]
     r = await client.get("/v1/agent/sessions/zzz")
     assert r.status == 404
+
+
+async def test_files_routes(client):
+    import base64
+
+    payload = base64.b64encode(b"hello files").decode()
+    r = await client.post(
+        "/v1/files", json={"filename": "a.txt", "content_b64": payload}
+    )
+    assert r.status == 200
+    fid = (await r.json())["id"]
+    r = await client.get("/v1/files")
+    assert any(f["id"] == fid for f in (await r.json())["data"])
+    r = await client.get(f"/v1/files/{fid}")
+    assert (await r.json())["bytes"] == len(b"hello files")
+    r = await client.get(f"/v1/files/{fid}/content")
+    assert await r.read() == b"hello files"
+    r = await client.delete(f"/v1/files/{fid}")
+    assert (await r.json())["deleted"]
+    r = await client.get(f"/v1/files/{fid}")
+    assert r.status == 404
+    r = await client.post("/v1/files", json={"filename": "x"})
+    assert r.status == 422
+
+
+async def test_system_doctor_route(client):
+    r = await client.get("/v1/system/doctor")
+    body = await r.json()
+    assert body["device_ok"] and body["models"] == ["tiny-test"]
+
+
+async def test_re_isq_route(client):
+    # default instance has no reloadable source → 409
+    r = await client.post("/re_isq", json={"isq": "q4k"})
+    assert r.status == 409
+    r = await client.post("/re_isq", json={"isq": "q4k", "model": "zzz"})
+    assert r.status == 404
+
+
+async def test_calibration_routes(client):
+    import asyncio as aio
+
+    r = await client.get("/v1/calibration/status")
+    assert (await r.json())["status"] == "idle"
+    r = await client.post("/v1/calibration/start", json={"texts": []})
+    assert r.status == 422
+    r = await client.post(
+        "/v1/calibration/start", json={"texts": ["hello world, calibrate me"]}
+    )
+    assert r.status == 200
+    for _ in range(200):
+        r = await client.get("/v1/calibration/status")
+        body = await r.json()
+        if body["status"] in ("done", "error"):
+            break
+        await aio.sleep(0.1)
+    assert body["status"] == "done", body
+    assert body["tokens"] > 0
+    # apply fails (no reloadable source) but the imatrix was collected
+    r = await client.post("/v1/calibration/apply", json={"isq": "q4k"})
+    assert r.status == 404
