@@ -884,8 +884,15 @@ def build_app(state: ServerState) -> web.Application:
                         jnp.asarray(codes.T[None], jnp.int32),
                     )
                 ).reshape(-1)
+            rate = sp.get("sample_rate", 44100)
+            if samples.size > 1:
+                from ..audio.bs1770 import normalize_loudness
+
+                # the reference normalizes TTS output to −14 LUFS
+                # (speech_models/utils.rs normalize_loudness)
+                samples = normalize_loudness(samples, rate)
             buf = io.BytesIO()
-            write_wav(buf, samples, sample_rate=sp.get("sample_rate", 44100))
+            write_wav(buf, samples, sample_rate=rate)
             return buf.getvalue()
 
         wav = await asyncio.get_event_loop().run_in_executor(None, run)
