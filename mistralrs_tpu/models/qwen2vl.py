@@ -52,6 +52,95 @@ class Qwen2VLConfig:
         )
 
 
+@dataclass(frozen=True)
+class Qwen25VLConfig:
+    """Qwen2.5-VL: same M-RoPE text serving as qwen2-vl, with the windowed
+    RMSNorm tower (`vision/qwen2vl.py` Qwen25VL variant) — the analog of the
+    reference's `vision_models/qwen2_5_vl/`."""
+
+    text: ModelConfig
+    vision: "Qwen25VLVisionConfig"
+    mrope_section: tuple[int, ...]
+    image_token_id: int
+
+    @classmethod
+    def from_hf(cls, d: Mapping[str, Any]) -> "Qwen25VLConfig":
+        from ..vision.qwen2vl import Qwen25VLVisionConfig
+
+        tc = dict(d["text_config"])
+        text = config_from_hf(tc | {"architectures": ["Qwen2ForCausalLM"]})
+        sec = tuple((tc.get("rope_scaling") or {}).get("mrope_section", ()))
+        text = __import__("dataclasses").replace(
+            text, rope_scaling=None, mrope_section=sec
+        )
+        return cls(
+            text=text,
+            vision=Qwen25VLVisionConfig.from_hf(d["vision_config"]),
+            mrope_section=sec,
+            image_token_id=d["image_token_id"],
+        )
+
+
+def qwen25vl_weights_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: Qwen25VLConfig, dtype=jnp.float32,
+    **text_kwargs,
+) -> dict:
+    from ..vision.qwen2vl import qwen25vl_vision_params
+
+    text_sd = {
+        k[len("model.language_model."):]: v
+        for k, v in sd.items()
+        if k.startswith("model.language_model.")
+    }
+    if "lm_head.weight" in sd:
+        text_sd["lm_head.weight"] = sd["lm_head.weight"]
+    vis_sd = {
+        k[len("model.visual."):]: v
+        for k, v in sd.items()
+        if k.startswith("model.visual.")
+    }
+    return {
+        "text": weights_from_state_dict(text_sd, cfg.text, dtype=dtype,
+                                        **text_kwargs),
+        "vision": qwen25vl_vision_params(vis_sd, cfg.vision, dtype=dtype),
+    }
+
+
+def qwen25vl_prepare_multimodal_prompt(
+    weights: dict,
+    cfg: Qwen25VLConfig,
+    prompt_ids: list[int],
+    patches,
+    grid_thw: Optional[tuple[int, int, int]] = None,
+    encoder_cache=None,
+    compute_dtype=jnp.float32,
+):
+    """→ (prompt_ids, prompt_embeds, extra_hash, mrope_positions [3, T])."""
+    from ..multimodal import prepare_vlm_prompt
+    from ..vision.qwen2vl import qwen25vl_vision_forward
+
+    def encode(pv):
+        return qwen25vl_vision_forward(
+            weights["vision"], cfg.vision, jnp.asarray(pv), grid_thw
+        )[None]
+
+    ids, embeds, extra = prepare_vlm_prompt(
+        prompt_ids, patches,
+        embed_weights=weights["text"]["embed"],
+        image_token_id=cfg.image_token_id,
+        encode=encode,
+        encoder_cache=encoder_cache,
+        cache_namespace="qwen25vl",
+        compute_dtype=compute_dtype,
+    )
+    pos3 = mrope_position_ids(
+        np.asarray(prompt_ids), cfg.image_token_id,
+        grid_thw if patches is not None else (0, 0, 0),
+        merge=cfg.vision.spatial_merge_size,
+    )
+    return ids, embeds, extra, pos3
+
+
 def mrope_position_ids(
     input_ids: np.ndarray,  # [T] (single sequence)
     image_token_id: int,

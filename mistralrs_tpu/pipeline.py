@@ -68,7 +68,7 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
-              "qwen3_vl_moe", "glm4v")
+              "qwen3_vl_moe", "glm4v", "qwen2_5_vl")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -178,6 +178,14 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
 
         cfg = Glm4vConfig.from_hf(hf_cfg)
         weights = glm4v_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "qwen2_5_vl":
+        from .models.qwen2vl import (
+            Qwen25VLConfig,
+            qwen25vl_weights_from_state_dict,
+        )
+
+        cfg = Qwen25VLConfig.from_hf(hf_cfg)
+        weights = qwen25vl_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

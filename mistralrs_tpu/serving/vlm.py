@@ -258,6 +258,46 @@ def qwen2vl_adapter(
     )
 
 
+def qwen25vl_adapter(
+    weights: dict, cfg, *, image_token: str = "<|image_pad|>",
+    vision_start: str = "<|vision_start|>", vision_end: str = "<|vision_end|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Qwen2.5-VL: qwen2-vl patchify, windowed tower, M-RoPE kwargs."""
+    from ..models.qwen2vl import qwen25vl_prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    vis = cfg.vision
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        if len(images) != 1:
+            raise ValueError(
+                "qwen2.5-vl serving currently supports one image per request"
+            )
+        patches, grid = qwen2vl_patchify(
+            images[0], vis.patch_size, vis.spatial_merge_size,
+            vis.temporal_patch_size,
+        )
+        n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+        return ProcessedMedia(patches, [n], {"grid_thw": grid})
+
+    def prepare(prompt_ids, media):
+        _, embeds, _, pos3 = qwen25vl_prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            media.extras["grid_thw"], encoder_cache=cache,
+            compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds, "mrope_positions": pos3}
+
+    return VlmAdapter(
+        "qwen25vl", image_token, process, prepare,
+        expansion=lambda n: f"{vision_start}{image_token * n}{vision_end}",
+    )
+
+
 def qwen3vl_adapter(
     weights: dict, cfg, *, image_token: str = "<|image_pad|>",
     vision_start: str = "<|vision_start|>", vision_end: str = "<|vision_end|>",
@@ -389,6 +429,7 @@ _BUILDER_NAMES = {
     "lfm2_vl": "lfm2_vl_adapter",
     "qwen3_vl": "qwen3vl_adapter",
     "glm4v": "glm4v_adapter",
+    "qwen2_5_vl": "qwen25vl_adapter",
 }
 
 

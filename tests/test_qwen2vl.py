@@ -194,3 +194,77 @@ def test_qwen25vl_vision_parity():
                     grid_thw=torch.tensor([list(grid)])).numpy()
     got = np.asarray(qwen25vl_vision_forward(params, cfg, jnp.asarray(patches), grid))
     np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)
+
+
+def test_qwen25vl_through_engine():
+    """Qwen2.5-VL end-to-end: windowed tower + M-RoPE text through the
+    paged engine, greedy parity vs HF generate."""
+    import torch
+
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLConfig as HfCfg,
+        Qwen2_5_VLTextConfig,
+        Qwen2_5_VLVisionConfig,
+    )
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.qwen2vl import (
+        Qwen25VLConfig,
+        qwen25vl_prepare_multimodal_prompt,
+        qwen25vl_weights_from_state_dict,
+    )
+
+    vc = Qwen2_5_VLVisionConfig(
+        depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+        out_hidden_size=48, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, window_size=8, fullatt_block_indexes=[1],
+    )
+    tc = Qwen2_5_VLTextConfig(
+        vocab_size=160, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+    )
+    hf_cfg = HfCfg(
+        vision_config=vc.to_dict(), text_config=tc.to_dict(),
+        image_token_id=150, video_token_id=151, vision_start_token_id=152,
+        pad_token_id=0,
+    )
+    torch.manual_seed(320)
+    model = Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+    cfg = Qwen25VLConfig.from_hf(hf_cfg.to_dict())
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    weights = qwen25vl_weights_from_state_dict(sd, cfg)
+
+    grid = (1, 6, 4)  # 3x2 merged grid: windows of 2x2 + padding drop
+    rng = np.random.default_rng(4)
+    patches = rng.standard_normal((24, 3 * 2 * 16)).astype(np.float32)
+    n_tok = 6
+    ids = [3, 17, 152] + [150] * n_tok + [9, 22]
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+            max_new_tokens=6, do_sample=False,
+        )[0, len(ids):].tolist()
+
+    pids, embeds, extra, pos3 = qwen25vl_prepare_multimodal_prompt(
+        weights, cfg, ids, patches, grid, compute_dtype=jnp.float32
+    )
+    assert extra
+    eng = Engine(
+        cfg.text, weights["text"], num_blocks=32, block_size=16, max_batch=2,
+        backend="xla", compute_dtype=jnp.float32,
+    )
+    seq = eng.add_request(
+        pids, SamplingParams(temperature=0.0, max_tokens=6),
+        prompt_embeds=embeds, mrope_positions=pos3,
+    )
+    eng.run_to_completion()
+    assert seq.output_ids == hf_out
