@@ -68,7 +68,8 @@ _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
 _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
-              "qwen3_vl_moe", "glm4v", "qwen2_5_vl")
+              "qwen3_vl_moe", "glm4v", "qwen2_5_vl", "qwen2_5_omni",
+              "qwen2_5_omni_thinker")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -186,6 +187,15 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
 
         cfg = Qwen25VLConfig.from_hf(hf_cfg)
         weights = qwen25vl_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type in ("qwen2_5_omni", "qwen2_5_omni_thinker"):
+        from .models.qwen25omni import (
+            Qwen25OmniThinkerConfig,
+            qwen25omni_weights_from_state_dict,
+        )
+
+        model_type = "qwen2_5_omni"
+        cfg = Qwen25OmniThinkerConfig.from_hf(hf_cfg)
+        weights = qwen25omni_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)
@@ -321,6 +331,7 @@ def load_pipeline(
         _cfg_probe = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
         if model_type in _VLM_ARCHS and (
             "vision_config" in _cfg_probe or "audio_config" in _cfg_probe
+            or "thinker_config" in _cfg_probe
         ):
             cfg, weights, vlm, hf_cfg = _load_vlm(model_type, path, dtype, isq_t)
             try:

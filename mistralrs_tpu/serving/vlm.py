@@ -340,6 +340,59 @@ def qwen3vl_adapter(
     )
 
 
+def qwen25omni_adapter(
+    weights: dict, cfg, *, audio_token: str = "<|audio_pad|>",
+    image_token: str = "<|image_pad|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Qwen2.5-Omni thinker: audio (waveform → whisper mel → chunked
+    tower) or image (qwen2.5-vl tower) per request."""
+    from ..audio.mel import log_mel_spectrogram
+    from ..models.qwen25omni import num_audio_tokens, prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    cache = encoder_cache or EncoderCache()
+    vis = cfg.vision
+
+    def process(media):
+        if len(media) != 1:
+            raise ValueError("qwen2.5-omni serving: one media item per request")
+        m = media[0]
+        if np.asarray(m).ndim == 1:  # waveform
+            wav = np.asarray(m, np.float32)
+            pad = -len(wav) % 160 or 160
+            mel = log_mel_spectrogram(
+                wav, num_mel_bins=cfg.audio.num_mel_bins,
+                pad_to_samples=len(wav) + pad,
+            )
+            return ProcessedMedia(mel, [num_audio_tokens(cfg, mel.shape[1])],
+                                  {"kind": "audio"})
+        patches, grid = qwen2vl_patchify(
+            m, vis.patch_size, vis.spatial_merge_size, vis.temporal_patch_size
+        )
+        n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+        return ProcessedMedia(patches, [n], {"kind": "image",
+                                             "grid_thw": grid})
+
+    def prepare(prompt_ids, media):
+        if media.extras["kind"] == "audio":
+            _, embeds, _, _ = prepare_multimodal_prompt(
+                weights, cfg, prompt_ids, mel=media.pixels,
+                encoder_cache=cache, compute_dtype=dtype,
+            )
+            return {"prompt_embeds": embeds}
+        _, embeds, _, pos3 = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, patches=media.pixels,
+            grid_thw=media.extras["grid_thw"], encoder_cache=cache,
+            compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds, "mrope_positions": pos3}
+
+    return VlmAdapter("qwen25omni", audio_token, process, prepare)
+
+
 def glm4v_adapter(
     weights: dict, cfg, *, image_token: str = "<|image|>",
     begin_image: str = "<|begin_of_image|>", end_image: str = "<|end_of_image|>",
@@ -430,6 +483,7 @@ _BUILDER_NAMES = {
     "qwen3_vl": "qwen3vl_adapter",
     "glm4v": "glm4v_adapter",
     "qwen2_5_vl": "qwen25vl_adapter",
+    "qwen2_5_omni": "qwen25omni_adapter",
 }
 
 

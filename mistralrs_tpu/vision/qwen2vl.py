@@ -273,9 +273,20 @@ def qwen25vl_vision_params(
     blocks = []
     for i in range(cfg.depth):
         p = f"blocks.{i}."
+        if prefix + p + "attn.qkv.weight" in sd:
+            qkv, qkv_b = g(p + "attn.qkv.weight"), g(p + "attn.qkv.bias")
+        else:
+            # qwen2.5-omni's vision attention splits q/k/v — fuse to the
+            # [q; k; v] layout the forward's (n, 3, nh, hd) reshape expects
+            qkv = jnp.concatenate(
+                [g(p + f"attn.{n}.weight") for n in ("q", "k", "v")], axis=0
+            )
+            qkv_b = jnp.concatenate(
+                [g(p + f"attn.{n}.bias") for n in ("q", "k", "v")], axis=0
+            )
         blocks.append({
             "norm1_w": g(p + "norm1.weight"), "norm2_w": g(p + "norm2.weight"),
-            "qkv": g(p + "attn.qkv.weight"), "qkv_b": g(p + "attn.qkv.bias"),
+            "qkv": qkv, "qkv_b": qkv_b,
             "proj": g(p + "attn.proj.weight"), "proj_b": g(p + "attn.proj.bias"),
             "gate": g(p + "mlp.gate_proj.weight"), "gate_b": g(p + "mlp.gate_proj.bias"),
             "up": g(p + "mlp.up_proj.weight"), "up_b": g(p + "mlp.up_proj.bias"),
