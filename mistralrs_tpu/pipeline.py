@@ -69,7 +69,7 @@ _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
               "qwen3_vl_moe", "glm4v", "qwen2_5_vl", "qwen2_5_omni",
-              "qwen2_5_omni_thinker")
+              "qwen2_5_omni_thinker", "phi3_v")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -196,6 +196,12 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "qwen2_5_omni"
         cfg = Qwen25OmniThinkerConfig.from_hf(hf_cfg)
         weights = qwen25omni_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type == "phi3_v":
+        from .models.phi3v import Phi3VConfig, phi3v_weights_from_state_dict
+
+        model_type = "phi3v"
+        cfg = Phi3VConfig.from_hf(hf_cfg)
+        weights = phi3v_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)
@@ -332,6 +338,7 @@ def load_pipeline(
         if model_type in _VLM_ARCHS and (
             "vision_config" in _cfg_probe or "audio_config" in _cfg_probe
             or "thinker_config" in _cfg_probe
+            or "img_processor" in _cfg_probe  # phi3_v layout
         ):
             cfg, weights, vlm, hf_cfg = _load_vlm(model_type, path, dtype, isq_t)
             try:

@@ -484,6 +484,7 @@ _BUILDER_NAMES = {
     "glm4v": "glm4v_adapter",
     "qwen2_5_vl": "qwen25vl_adapter",
     "qwen2_5_omni": "qwen25omni_adapter",
+    "phi3v": "phi3v_adapter",
 }
 
 
@@ -787,6 +788,76 @@ def phi4mm_adapter(
         return {"prompt_embeds": embeds}
 
     return VlmAdapter("phi4mm", image_token, process, prepare)
+
+
+def phi3v_adapter(
+    weights: dict, cfg, *, image_token: str = "<|image_1|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+    max_crops: int = 16,
+) -> VlmAdapter:
+    """Phi-3-vision HD transform: best-aspect crop grid (area ≤ max_crops),
+    global thumbnail FIRST, CLIP normalization."""
+    from ..models.phi3v import num_image_tokens
+    from ..models.phi3v import prepare_multimodal_prompt as prep
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    s = cfg.crop_size
+    cache = encoder_cache or EncoderCache()
+    sizes: dict[int, tuple[int, int]] = {}
+
+    def _norm(arr_hwc: np.ndarray) -> np.ndarray:
+        arr = arr_hwc.astype(np.float32) / 255.0
+        arr = (arr - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(
+            CLIP_STD, np.float32
+        )
+        return arr.transpose(2, 0, 1)
+
+    def _resize(im: np.ndarray, th: int, tw: int) -> np.ndarray:
+        try:
+            from PIL import Image
+
+            return np.asarray(
+                Image.fromarray(im).resize((tw, th), Image.BICUBIC), np.uint8
+            )
+        except ImportError:
+            h, w = im.shape[:2]
+            yi = (np.arange(th) * h // th).clip(0, h - 1)
+            xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+            return im[yi][:, xi]
+
+    def process(images):
+        if len(images) != 1:
+            raise ValueError("phi3v serving: one image per request")
+        im = images[0]
+        oh, ow = im.shape[:2]
+        best, best_err = (1, 1), float("inf")
+        for hr in range(1, max_crops + 1):
+            for wr in range(1, max_crops // hr + 1):
+                err = abs(hr / wr - oh / ow)
+                if err < best_err or (err == best_err and hr * wr > best[0] * best[1]):
+                    best, best_err = (hr, wr), err
+        hr, wr = best
+        canvas = _resize(im, hr * s, wr * s)
+        crops = [
+            canvas[r : r + s, c : c + s]
+            for r in range(0, hr * s, s)
+            for c in range(0, wr * s, s)
+        ]
+        glb = _resize(im, s, s)
+        px = np.stack([_norm(t) for t in [glb] + crops])
+        sizes[0] = (hr * s, wr * s)
+        return ProcessedMedia(px, [num_image_tokens(cfg, sizes[0])])
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prep(
+            weights, cfg, prompt_ids, media.pixels, sizes[0],
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("phi3v", image_token, process, prepare)
 
 
 def lfm2_vl_adapter(
