@@ -69,7 +69,7 @@ _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
               "qwen3_vl_moe", "glm4v", "qwen2_5_vl", "qwen2_5_omni",
-              "qwen2_5_omni_thinker", "phi3_v")
+              "qwen2_5_omni_thinker", "phi3_v", "minicpmo", "minicpmv")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -202,6 +202,15 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "phi3v"
         cfg = Phi3VConfig.from_hf(hf_cfg)
         weights = phi3v_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type in ("minicpmo", "minicpmv"):
+        from .models.minicpmo import (
+            MiniCpmOConfig,
+            minicpmo_weights_from_state_dict,
+        )
+
+        model_type = "minicpmo"
+        cfg = MiniCpmOConfig.from_hf(hf_cfg)
+        weights = minicpmo_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

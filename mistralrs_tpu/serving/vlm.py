@@ -485,6 +485,7 @@ _BUILDER_NAMES = {
     "qwen2_5_vl": "qwen25vl_adapter",
     "qwen2_5_omni": "qwen25omni_adapter",
     "phi3v": "phi3v_adapter",
+    "minicpmo": "minicpmo_adapter",
 }
 
 
@@ -788,6 +789,37 @@ def phi4mm_adapter(
         return {"prompt_embeds": embeds}
 
     return VlmAdapter("phi4mm", image_token, process, prepare)
+
+
+def minicpmo_adapter(
+    weights: dict, cfg, *, image_token: str = "<image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """MiniCPM-O single-tile path: every image resamples to query_num
+    tokens."""
+    from ..models.minicpmo import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    size = cfg.vision.image_size
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        px = np.stack([
+            preprocess_image(im, size=size, mean=(0.5,) * 3, std=(0.5,) * 3)
+            for im in images
+        ])
+        return ProcessedMedia(px, [cfg.query_num] * len(images))
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("minicpmo", image_token, process, prepare)
 
 
 def phi3v_adapter(
