@@ -81,7 +81,7 @@ class Qwen3NextAdapter:
     caching is off: recurrent state cannot be revived from KV blocks."""
 
     supports_prefix_cache = False
-    supports_embeds = False
+    supports_embeds = True  # qwen3.5-vl serves through merged embeds
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
@@ -99,19 +99,21 @@ class Qwen3NextAdapter:
         )
 
     def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
-                last_indices, slot_ids, resets, embeds=None):
+                last_indices, slot_ids, resets, embeds=None,
+                rope_pos3=None, deepstack=None):
         return _q3n_fwd(
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map, kv_lens, slot_ids, resets, last_indices,
-            self._block_size, self.compute_dtype,
+            self._block_size, self.compute_dtype, embeds, rope_pos3,
+            deepstack,
         )
 
     def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
-               samp_state, key):
+               samp_state, key, rope_pos3=None):
         return _q3n_decode(
             self.weights, self._fcfg, tokens, positions, cache, bt,
             slot_map, kv_lens, samp_state, key,
-            self._block_size, self.compute_dtype,
+            self._block_size, self.compute_dtype, rope_pos3,
         )
 
 
@@ -274,7 +276,8 @@ def _lfm2_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
     jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
 )
 def _q3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
-             slot_ids, resets, last_indices, block_size, compute_dtype):
+             slot_ids, resets, last_indices, block_size, compute_dtype,
+             embeds=None, rope_pos3=None, deepstack=None):
     from ..models.qwen3next import qwen3next_forward_paged
 
     return qwen3next_forward_paged(
@@ -282,6 +285,7 @@ def _q3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         slot_map.reshape(ids.shape), kv_lens, slot_ids, resets,
         block_size=block_size, decode=False, compute_dtype=compute_dtype,
         logits_last_only=True, last_indices=last_indices,
+        input_embeds=embeds, rope_positions3=rope_pos3, deepstack=deepstack,
     )
 
 
@@ -289,7 +293,8 @@ def _q3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
     jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
 )
 def _q3n_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
-                kv_lens, samp_state, key, block_size, compute_dtype):
+                kv_lens, samp_state, key, block_size, compute_dtype,
+                rope_pos3=None):
     from ..models.qwen3next import qwen3next_forward_paged
 
     b = tokens.shape[0]
@@ -298,7 +303,7 @@ def _q3n_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
         weights, cfg, tokens[:, None], positions[:, None], cache, bt,
         slot_map[:, None], kv_lens, slot_ids, jnp.zeros((b,), jnp.int32),
         block_size=block_size, decode=True, compute_dtype=compute_dtype,
-        logits_last_only=True,
+        logits_last_only=True, rope_positions3=rope_pos3,
     )
     new_tokens, logprobs, tops, samp_state = sample(
         logits[:, -1], samp_state, key

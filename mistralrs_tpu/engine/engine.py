@@ -519,12 +519,12 @@ class Engine:
             jnp.asarray(ids, jnp.int32), self.weights["embed"],
             dtype=self.compute_dtype,
         )
-        if self.cfg.arch.startswith("gemma"):
+        if getattr(self.cfg, "arch", "").startswith("gemma"):
             rows = rows * jnp.asarray(
-                self.cfg.embedding_multiplier or self.cfg.hidden_size**0.5,
+                getattr(self.cfg, "embedding_multiplier", None) or self.cfg.hidden_size**0.5,
                 rows.dtype,
             )
-        elif self.cfg.embedding_multiplier:
+        elif getattr(self.cfg, "embedding_multiplier", None):
             rows = rows * jnp.asarray(self.cfg.embedding_multiplier, rows.dtype)
         return rows
 
@@ -654,11 +654,17 @@ class Engine:
                         self.cache = self.adapter.release(
                             self.cache, sp.seq.slot
                         )
+            pf_kwargs = {}
+            if rope_pos3 is not None:
+                pf_kwargs["rope_pos3"] = rope_pos3
+            if deepstack is not None:
+                pf_kwargs["deepstack"] = deepstack
             logits, self.cache = self.adapter.prefill(
                 self.cache, jnp.asarray(ids_arr), jnp.asarray(positions),
                 jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
                 jnp.asarray(kv_lens), jnp.asarray(last_idx),
                 jnp.asarray(slot_ids), jnp.asarray(resets), embeds,
+                **pf_kwargs,
             )
         elif self.mesh is not None:
             fwd_args = (
@@ -890,12 +896,24 @@ class Engine:
             bt[s, : len(table)] = table
 
         self._key, sub = jax.random.split(self._key)
+        rope_pos3 = None
+        if self.mrope:
+            # all 3 streams = token index + per-sequence mrope delta
+            deltas = np.zeros((b,), np.int32)
+            for seq in seqs:
+                deltas[seq.slot] = getattr(seq, "rope_delta", 0)
+            rope_pos3 = jnp.asarray(
+                np.broadcast_to(positions + deltas, (3, b))[..., None]
+            )
         if self.adapter is not None:
+            dec_kwargs = {}
+            if rope_pos3 is not None:
+                dec_kwargs["rope_pos3"] = rope_pos3
             new_tokens, logprobs, tops, self.cache, self.samp_state = (
                 self.adapter.decode(
                     self.cache, jnp.asarray(tokens), jnp.asarray(positions),
                     jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
-                    jnp.asarray(kv_lens), self.samp_state, sub,
+                    jnp.asarray(kv_lens), self.samp_state, sub, **dec_kwargs,
                 )
             )
         elif self.mesh is not None:
@@ -909,15 +927,6 @@ class Engine:
                 logits[:, -1], self.samp_state, sub
             )
         else:
-            rope_pos3 = None
-            if self.mrope:
-                # all 3 streams = token index + per-sequence mrope delta
-                deltas = np.zeros((b,), np.int32)
-                for seq in seqs:
-                    deltas[seq.slot] = getattr(seq, "rope_delta", 0)
-                rope_pos3 = jnp.asarray(
-                    np.broadcast_to(positions + deltas, (3, b))[..., None]
-                )
             new_tokens, logprobs, tops, self.cache, self.samp_state = _decode_fn(
                 self.weights, self._fcfg, jnp.asarray(tokens), jnp.asarray(positions),
                 self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
@@ -1085,11 +1094,11 @@ class Engine:
             jnp.asarray(folded_ids, jnp.int32), self.weights["embed"],
             dtype=pe.dtype,
         )
-        if self.cfg.arch.startswith("gemma"):
+        if getattr(self.cfg, "arch", "").startswith("gemma"):
             rows = rows * jnp.asarray(
-                self.cfg.embedding_multiplier or self.cfg.hidden_size**0.5,
+                getattr(self.cfg, "embedding_multiplier", None) or self.cfg.hidden_size**0.5,
                 rows.dtype,
             )
-        elif self.cfg.embedding_multiplier:
+        elif getattr(self.cfg, "embedding_multiplier", None):
             rows = rows * jnp.asarray(self.cfg.embedding_multiplier, rows.dtype)
         seq.prompt_embeds = jnp.concatenate([pe, rows], axis=0)  # type: ignore[attr-defined]

@@ -54,6 +54,8 @@ class Qwen3NextConfig:
     tie_word_embeddings: bool = False
     eos_token_ids: tuple[int, ...] = ()
     max_position_embeddings: int = 32768
+    # qwen3.5: interleaved M-RoPE sections over the partial rotary channels
+    mrope_section: tuple[int, ...] = ()
 
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Qwen3NextConfig":
@@ -269,6 +271,13 @@ def _moe(cfg: Qwen3NextConfig, lw, x):
     return out + shared * gate.astype(shared.dtype)
 
 
+def _mlp_or_moe(cfg: Qwen3NextConfig, lw: dict, x: jax.Array) -> jax.Array:
+    """MoE (qwen3-next) or dense silu MLP (qwen3.5 text, text.rs Mlp)."""
+    if cfg.num_experts > 0:
+        return _moe(cfg, lw, x)
+    return (jax.nn.silu(x @ lw["gate"].T) * (x @ lw["up"].T)) @ lw["down"].T
+
+
 def qwen3next_forward(
     weights: dict,
     cfg: Qwen3NextConfig,
@@ -307,7 +316,7 @@ def qwen3next_forward(
             ci += 1
         h = h + out
         x = rms_norm_gemma(h, lw["ffn_norm"], cfg.rms_norm_eps)
-        h = h + _moe(cfg, lw, x)
+        h = h + _mlp_or_moe(cfg, lw, x)
 
     h = rms_norm_gemma(h, weights["final_norm"], cfg.rms_norm_eps)
     lm_head = weights.get("lm_head")
@@ -419,17 +428,33 @@ def qwen3next_forward_paged(
     compute_dtype=jnp.float32,
     logits_last_only: bool = True,
     last_indices: Optional[jax.Array] = None,
+    input_embeds: Optional[jax.Array] = None,  # [B, T, H] multimodal merge
+    rope_positions3: Optional[jax.Array] = None,  # [3, B, T] (qwen3.5-vl)
+    deepstack: Optional[jax.Array] = None,  # [k, B, T, H] visual adds
 ):
     """Engine-servable hybrid step (prefill chunk or decode): paged KV for
     full-attention layers, slot-keyed conv/recurrent pools for GDN layers.
     Mirrors `forward_paged` (models/llama.py) batch/slot/table conventions;
     the reference serves this arch via the Pipeline trait + hybrid cache
-    (`mistralrs-core/src/kv_cache/hybrid_cache.rs`)."""
+    (`mistralrs-core/src/kv_cache/hybrid_cache.rs`). The qwen3.5-vl
+    extensions (merged embeds, interleaved M-RoPE over the partial rotary
+    channels, DeepStack adds after the first k layers) ride the same step
+    (`vision_models/qwen3_5/text.rs`)."""
     b, t = input_ids.shape
-    h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
+    if input_embeds is not None:
+        h = input_embeds.astype(compute_dtype)
+    else:
+        h = jnp.asarray(weights["embed"], compute_dtype)[input_ids]
     rot = int(cfg.head_dim * cfg.partial_rotary_factor)
     inv = rope_frequencies(rot, cfg.rope_theta, None)
-    cos, sin = rope_cos_sin(positions, inv)
+    if rope_positions3 is not None and cfg.mrope_section:
+        from ..ops.rope import mrope_cos_sin_interleaved
+
+        cos, sin = mrope_cos_sin_interleaved(
+            rope_positions3, inv, cfg.mrope_section
+        )
+    else:
+        cos, sin = rope_cos_sin(positions, inv)
 
     n_lin = cache["conv"].shape[0]
     trash_slot = cache["conv"].shape[1] - 1
@@ -496,7 +521,9 @@ def qwen3next_forward_paged(
             ci += 1
         h = h + out
         x = rms_norm_gemma(h, lw["ffn_norm"], cfg.rms_norm_eps)
-        h = h + _moe(cfg, lw, x)
+        h = h + _mlp_or_moe(cfg, lw, x)
+        if deepstack is not None and li < deepstack.shape[0]:
+            h = h + deepstack[li].astype(h.dtype)
 
     h = rms_norm_gemma(h, weights["final_norm"], cfg.rms_norm_eps)
     if logits_last_only:
@@ -528,23 +555,33 @@ def qwen3next_weights_from_state_dict(
         lw: dict[str, Any] = {
             "attn_norm": g(p + "input_layernorm.weight"),
             "ffn_norm": g(p + "post_attention_layernorm.weight"),
-            "router": g(p + "mlp.gate.weight"),
-            "se_gate": g(p + "mlp.shared_expert.gate_proj.weight"),
-            "se_up": g(p + "mlp.shared_expert.up_proj.weight"),
-            "se_down": g(p + "mlp.shared_expert.down_proj.weight"),
-            "shared_gate": g(p + "mlp.shared_expert_gate.weight"),
-            "experts": {
-                key: jnp.stack(
-                    [
-                        g(p + f"mlp.experts.{e}.{hf}.weight")
-                        for e in range(cfg.num_experts)
-                    ]
-                )
-                for key, hf in (
-                    ("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")
-                )
-            },
         }
+        if cfg.num_experts > 0:
+            lw.update(
+                router=g(p + "mlp.gate.weight"),
+                se_gate=g(p + "mlp.shared_expert.gate_proj.weight"),
+                se_up=g(p + "mlp.shared_expert.up_proj.weight"),
+                se_down=g(p + "mlp.shared_expert.down_proj.weight"),
+                shared_gate=g(p + "mlp.shared_expert_gate.weight"),
+                experts={
+                    key: jnp.stack(
+                        [
+                            g(p + f"mlp.experts.{e}.{hf}.weight")
+                            for e in range(cfg.num_experts)
+                        ]
+                    )
+                    for key, hf in (
+                        ("gate", "gate_proj"), ("up", "up_proj"),
+                        ("down", "down_proj"),
+                    )
+                },
+            )
+        else:  # qwen3.5 dense MLP
+            lw.update(
+                gate=g(p + "mlp.gate_proj.weight"),
+                up=g(p + "mlp.up_proj.weight"),
+                down=g(p + "mlp.down_proj.weight"),
+            )
         if lt == "full_attention":
             lw.update(
                 wq=g(p + "self_attn.q_proj.weight"),

@@ -69,7 +69,8 @@ _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "voxtral", "mistral3", "llava_next", "idefics2",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
               "qwen3_vl_moe", "glm4v", "qwen2_5_vl", "qwen2_5_omni",
-              "qwen2_5_omni_thinker", "phi3_v", "minicpmo", "minicpmv")
+              "qwen2_5_omni_thinker", "phi3_v", "minicpmo", "minicpmv",
+              "qwen3_5", "qwen3_5_moe")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -211,6 +212,12 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "minicpmo"
         cfg = MiniCpmOConfig.from_hf(hf_cfg)
         weights = minicpmo_weights_from_state_dict(sd, cfg, **kw)
+    elif model_type in ("qwen3_5", "qwen3_5_moe"):
+        from .models.qwen3_5 import Qwen35Config, qwen3_5_weights_from_state_dict
+
+        model_type = "qwen3_5"
+        cfg = Qwen35Config.from_hf(hf_cfg)
+        weights = qwen3_5_weights_from_state_dict(sd, cfg, dtype=dtype)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

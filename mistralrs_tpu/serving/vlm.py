@@ -393,6 +393,46 @@ def qwen25omni_adapter(
     return VlmAdapter("qwen25omni", audio_token, process, prepare)
 
 
+def qwen3_5_adapter(
+    weights: dict, cfg, *, image_token: str = "<|image_pad|>",
+    vision_start: str = "<|vision_start|>", vision_end: str = "<|vision_end|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Qwen3.5: qwen2-vl patchify → DeepStack tower → hybrid GDN text
+    (embeds + M-RoPE + deepstack through the Qwen3NextAdapter)."""
+    from ..models.qwen3_5 import prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    vis = cfg.vision
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        if len(images) != 1:
+            raise ValueError("qwen3.5 serving: one image per request")
+        patches, grid = qwen2vl_patchify(
+            images[0], vis.patch_size, vis.spatial_merge_size,
+            vis.temporal_patch_size,
+        )
+        n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+        return ProcessedMedia(patches, [n], {"grid_thw": grid})
+
+    def prepare(prompt_ids, media):
+        _, embeds, _, pos3, ds_rows = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            media.extras["grid_thw"], encoder_cache=cache,
+            compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds, "mrope_positions": pos3,
+                "deepstack_embeds": ds_rows}
+
+    return VlmAdapter(
+        "qwen3_5", image_token, process, prepare,
+        expansion=lambda n: f"{vision_start}{image_token * n}{vision_end}",
+    )
+
+
 def glm4v_adapter(
     weights: dict, cfg, *, image_token: str = "<|image|>",
     begin_image: str = "<|begin_of_image|>", end_image: str = "<|end_of_image|>",
@@ -486,6 +526,7 @@ _BUILDER_NAMES = {
     "qwen2_5_omni": "qwen25omni_adapter",
     "phi3v": "phi3v_adapter",
     "minicpmo": "minicpmo_adapter",
+    "qwen3_5": "qwen3_5_adapter",
 }
 
 
