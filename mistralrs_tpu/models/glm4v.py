@@ -31,17 +31,29 @@ class Glm4vConfig:
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Glm4vConfig":
         tc = dict(d["text_config"])
-        text = config_from_hf(tc | {"architectures": ["Glm4ForCausalLM"]})
+        moe = bool(tc.get("n_routed_experts"))
+        arch = "Glm4MoeForCausalLM" if moe else "Glm4ForCausalLM"
+        text = config_from_hf(tc | {"architectures": [arch]})
         rs = tc.get("rope_scaling") or {}
-        text = __import__("dataclasses").replace(
+        import dataclasses
+
+        text = dataclasses.replace(
             text,
             rope_scaling=None,
             mrope_section=tuple(rs.get("mrope_section", ())),
-            # Glm4vTextAttention hardcodes head_dim = hidden/heads and
-            # bias=True on q/k/v (o_proj bias-free), ignoring config fields
-            head_dim=tc["hidden_size"] // tc["num_attention_heads"],
-            attention_bias=True,
+            # Glm4vMoeTextAttention has NO q/k norms despite the config's
+            # use_qk_norm flag (HF modeling ignores it)
+            qk_norm=False if moe else text.qk_norm,
         )
+        if not moe:
+            # Glm4vTextAttention hardcodes head_dim = hidden/heads and
+            # bias=True on q/k/v (o_proj bias-free), ignoring config fields;
+            # the MoE variant (GLM-4.5V) honors its config fields instead
+            text = dataclasses.replace(
+                text,
+                head_dim=tc["hidden_size"] // tc["num_attention_heads"],
+                attention_bias=True,
+            )
         return cls(
             text=text,
             vision=Glm4vVisionConfig.from_hf(d["vision_config"]),

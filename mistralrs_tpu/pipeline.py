@@ -70,7 +70,7 @@ _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
               "qwen3_vl_moe", "glm4v", "qwen2_5_vl", "qwen2_5_omni",
               "qwen2_5_omni_thinker", "phi3_v", "minicpmo", "minicpmv",
-              "qwen3_5", "qwen3_5_moe")
+              "qwen3_5", "qwen3_5_moe", "glm4v_moe")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -175,9 +175,10 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "qwen3_vl"
         cfg = Qwen3VLConfig.from_hf(hf_cfg)
         weights = qwen3_vl_weights_from_state_dict(sd, cfg, **kw)
-    elif model_type == "glm4v":
+    elif model_type in ("glm4v", "glm4v_moe"):
         from .models.glm4v import Glm4vConfig, glm4v_weights_from_state_dict
 
+        model_type = "glm4v"
         cfg = Glm4vConfig.from_hf(hf_cfg)
         weights = glm4v_weights_from_state_dict(sd, cfg, **kw)
     elif model_type == "qwen2_5_vl":

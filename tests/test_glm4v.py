@@ -111,6 +111,77 @@ def test_glm4v_through_engine():
     assert seq.output_ids == hf_out
 
 
+def test_glm4v_moe_through_engine():
+    """GLM-4.5V: glm4moe text (sigmoid noaux-tc routing, dense-prefix) +
+    glm4v tower + chunked partial M-RoPE — greedy parity vs HF."""
+    from transformers.models.glm4v_moe.configuration_glm4v_moe import (
+        Glm4vMoeConfig,
+        Glm4vMoeTextConfig,
+        Glm4vMoeVisionConfig,
+    )
+    from transformers.models.glm4v_moe.modeling_glm4v_moe import (
+        Glm4vMoeForConditionalGeneration,
+    )
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+
+    vc = Glm4vMoeVisionConfig(
+        depth=2, hidden_size=32, num_heads=4, out_hidden_size=48,
+        intermediate_size=64, patch_size=8, temporal_patch_size=2,
+        spatial_merge_size=2, image_size=32,
+    )
+    tc = Glm4vMoeTextConfig(
+        vocab_size=160, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        partial_rotary_factor=0.5, use_qk_norm=True, attention_bias=True,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1, norm_topk_prob=True,
+        rope_scaling={"rope_type": "default", "mrope_section": [2, 1, 1]},
+    )
+    hf_cfg = Glm4vMoeConfig(
+        vision_config=vc.to_dict(), text_config=tc.to_dict(),
+        image_token_id=150, video_token_id=151,
+        image_start_token_id=152, image_end_token_id=153, pad_token_id=0,
+    )
+    torch.manual_seed(350)
+    model = Glm4vMoeForConditionalGeneration(hf_cfg).eval()
+    cfg = Glm4vConfig.from_hf(hf_cfg.to_dict())
+    assert cfg.text.arch == "glm4moe" and cfg.text.num_experts == 4
+    assert cfg.text.mrope_section == (2, 1, 1) and cfg.text.head_dim == 16
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    weights = glm4v_weights_from_state_dict(sd, cfg)
+
+    grid = (1, 4, 4)
+    rng = np.random.default_rng(5)
+    patches = rng.standard_normal((16, 3 * 2 * 8 * 8)).astype(np.float32)
+    n_tok = num_image_tokens(cfg, grid)
+    ids = [3, 152] + [150] * n_tok + [153, 9]
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+            max_new_tokens=6, do_sample=False,
+        )[0, len(ids):].tolist()
+
+    pids, embeds, extra, pos3 = prepare_multimodal_prompt(
+        weights, cfg, ids, patches, grid, compute_dtype=jnp.float32
+    )
+    eng = Engine(
+        cfg.text, weights["text"], num_blocks=32, block_size=16, max_batch=2,
+        backend="xla", compute_dtype=jnp.float32,
+    )
+    seq = eng.add_request(
+        pids, SamplingParams(temperature=0.0, max_tokens=6),
+        prompt_embeds=embeds, mrope_positions=pos3,
+    )
+    eng.run_to_completion()
+    assert seq.output_ids == hf_out
+
+
 def test_glm4v_serving_adapter():
     from mistralrs_tpu.serving.vlm import build_adapter
 
