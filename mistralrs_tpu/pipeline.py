@@ -70,7 +70,7 @@ _VLM_ARCHS = ("llava", "idefics3", "gemma3", "qwen2_vl", "llama4",
               "phi4_multimodal", "lfm2-vl", "lfm2_vl", "qwen3_vl",
               "qwen3_vl_moe", "glm4v", "qwen2_5_vl", "qwen2_5_omni",
               "qwen2_5_omni_thinker", "phi3_v", "minicpmo", "minicpmv",
-              "qwen3_5", "qwen3_5_moe", "glm4v_moe")
+              "qwen3_5", "qwen3_5_moe", "glm4v_moe", "qwen3_omni_moe")
 
 
 def _load_vlm(model_type: str, path: Path, dtype, isq):
@@ -219,6 +219,14 @@ def _load_vlm(model_type: str, path: Path, dtype, isq):
         model_type = "qwen3_5"
         cfg = Qwen35Config.from_hf(hf_cfg)
         weights = qwen3_5_weights_from_state_dict(sd, cfg, dtype=dtype)
+    elif model_type == "qwen3_omni_moe":
+        from .models.qwen3omni import (
+            Qwen3OmniThinkerConfig,
+            qwen3omni_weights_from_state_dict,
+        )
+
+        cfg = Qwen3OmniThinkerConfig.from_hf(hf_cfg)
+        weights = qwen3omni_weights_from_state_dict(sd, cfg, **kw)
     else:
         raise ValueError(f"unhandled VLM arch {model_type!r}")
     adapter = build_adapter(model_type, weights, cfg, compute_dtype=dtype)

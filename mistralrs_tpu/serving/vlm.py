@@ -433,6 +433,41 @@ def qwen3_5_adapter(
     )
 
 
+def qwen3omni_adapter(
+    weights: dict, cfg, *, audio_token: str = "<|audio_pad|>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Qwen3-Omni thinker (audio understanding): waveform → whisper mel →
+    /8 chunked tower → qwen3-moe decoder."""
+    from ..audio.mel import log_mel_spectrogram
+    from ..models.qwen3omni import num_audio_tokens, prepare_multimodal_prompt
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.bfloat16
+    cache = encoder_cache or EncoderCache()
+
+    def process(media):
+        if len(media) != 1:
+            raise ValueError("qwen3-omni serving: one audio per request")
+        wav = np.asarray(media[0], np.float32)
+        pad = -len(wav) % 160 or 160
+        mel = log_mel_spectrogram(
+            wav, num_mel_bins=cfg.audio.num_mel_bins,
+            pad_to_samples=len(wav) + pad,
+        )
+        return ProcessedMedia(mel, [num_audio_tokens(cfg, mel.shape[1])])
+
+    def prepare(prompt_ids, media):
+        _, embeds, _ = prepare_multimodal_prompt(
+            weights, cfg, prompt_ids, media.pixels,
+            encoder_cache=cache, compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("qwen3omni", audio_token, process, prepare)
+
+
 def glm4v_adapter(
     weights: dict, cfg, *, image_token: str = "<|image|>",
     begin_image: str = "<|begin_of_image|>", end_image: str = "<|end_of_image|>",
@@ -527,6 +562,7 @@ _BUILDER_NAMES = {
     "phi3v": "phi3v_adapter",
     "minicpmo": "minicpmo_adapter",
     "qwen3_5": "qwen3_5_adapter",
+    "qwen3_omni_moe": "qwen3omni_adapter",
 }
 
 
