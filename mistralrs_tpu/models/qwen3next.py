@@ -161,6 +161,73 @@ def _delta_rule_scan(q, k, v, g, beta, state0):
     return jnp.moveaxis(outs, 0, 1), state
 
 
+def _delta_rule_chunked(q, k, v, g, beta, state0, chunk: int = 64):
+    """Chunk-parallel gated delta rule — the MXU formulation of
+    `_delta_rule_scan` (identical math; the reference's CUDA path is fla's
+    `chunk_gated_delta_rule`). Within a chunk of length L, the per-token
+    deltas satisfy the unit-lower-triangular system
+
+        (I + A) Δ = β ⊙ (V − e^{G} ⊙ (K S₀))
+        A[i,j] = β_i e^{G_i − G_j} (k_i·k_j)   (j < i)
+
+    solved with one triangular solve per chunk; outputs and the carried
+    state are then plain matmuls. q/k: [B,T,N,dk]; v: [B,T,N,dv];
+    g/beta: [B,T,N]; state0 [B,N,dk,dv] f32. Pads T up to a chunk multiple
+    (zero β ⇒ padded rows don't disturb the state)."""
+    b, t, n, dk = q.shape
+    dv = v.shape[-1]
+    L = min(chunk, t)
+    pad = (-t) % L
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))  # noqa: E731
+        q, k, v, g, beta = map(zpad, (q, k, v, g, beta))
+    nc = q.shape[1] // L
+    qc = jnp.transpose(q.reshape(b, nc, L, n, dk), (1, 0, 3, 2, 4))
+    kc = jnp.transpose(k.reshape(b, nc, L, n, dk), (1, 0, 3, 2, 4))
+    vc = jnp.transpose(v.reshape(b, nc, L, n, dv), (1, 0, 3, 2, 4))
+    gc = jnp.transpose(g.reshape(b, nc, L, n), (1, 0, 3, 2))
+    bc = jnp.transpose(beta.reshape(b, nc, L, n), (1, 0, 3, 2))
+    tri_lower = jnp.tril(jnp.ones((L, L), bool), k=-1)
+    tri_incl = jnp.tril(jnp.ones((L, L), bool))
+
+    def chunk_step(state, xs):
+        qq, kk, vv, gg, bb = xs  # [B,N,L,*]
+        G = jnp.cumsum(gg, axis=-1)  # inclusive prefix log-decay
+        # decay ratios e^{G_i - G_j}, masked to j ≤ i (values ≤ 1: stable)
+        ratio = jnp.exp(G[..., :, None] - G[..., None, :])
+        kkt = jnp.einsum("bnik,bnjk->bnij", kk, kk)
+        a = jnp.where(tri_lower, ratio * kkt, 0.0) * bb[..., :, None]
+        rhs = bb[..., None] * (
+            vv - jnp.exp(G)[..., None] * jnp.einsum(
+                "bnlk,bnkv->bnlv", kk, state
+            )
+        )
+        from jax.scipy.linalg import solve_triangular
+
+        delta = solve_triangular(
+            jnp.eye(L) + a, rhs, lower=True, unit_diagonal=True
+        )  # [B,N,L,dv]
+        # outputs: o_t = e^{G_t} S₀ᵀ q_t + Σ_{i≤t} e^{G_t-G_i}(q_t·k_i) Δ_i
+        qk = jnp.einsum("bntk,bnik->bnti", qq, kk)
+        m = jnp.where(tri_incl, ratio * qk, 0.0)
+        out = (
+            jnp.exp(G)[..., None]
+            * jnp.einsum("bntk,bnkv->bntv", qq, state)
+            + jnp.einsum("bnti,bniv->bntv", m, delta)
+        )
+        # carried state: S_L = e^{G_L} S₀ + Σ_i e^{G_L-G_i} k_i Δ_iᵀ
+        wts = jnp.exp(G[..., -1:] - G)  # [B,N,L]
+        new_state = (
+            jnp.exp(G[..., -1])[..., None, None] * state
+            + jnp.einsum("bnlk,bnl,bnlv->bnkv", kk, wts, delta)
+        )
+        return new_state, out
+
+    state, outs = jax.lax.scan(chunk_step, state0, (qc, kc, vc, gc, bc))
+    out = jnp.transpose(outs, (1, 0, 3, 2, 4)).reshape(b, nc * L, n, dv)
+    return out[:, :t], state
+
+
 def _causal_conv(bx, w, kernel):
     """bx [B, T, C], w [C, K] → causal depthwise conv [B, T, C]."""
     t = bx.shape[1]
@@ -209,7 +276,17 @@ def _gdn_mixer(cfg: Qwen3NextConfig, lw, x, conv_state, rec_state, decode):
     q = _l2norm(q.astype(jnp.float32)) * (cfg.d_k**-0.5)
     k = _l2norm(k.astype(jnp.float32))
     v32 = v.astype(jnp.float32)
-    out, new_rec = _delta_rule_scan(q, k, v32, g, beta, rec_state)
+    import os as _os
+
+    gdn_chunk = int(_os.environ.get("MRSTPU_GDN_CHUNK", "64"))
+    if t > 1 and gdn_chunk > 0:
+        # chunk-parallel formulation: MXU matmuls + one triangular solve
+        # per chunk instead of a length-T sequential scan
+        out, new_rec = _delta_rule_chunked(
+            q, k, v32, g, beta, rec_state, chunk=gdn_chunk
+        )
+    else:
+        out, new_rec = _delta_rule_scan(q, k, v32, g, beta, rec_state)
     # gated RMSNorm (plain weight) then silu(z) gate
     normed = rms_norm(out, lw["gdn_norm"], cfg.rms_norm_eps)
     normed = normed * jax.nn.silu(z.astype(jnp.float32))
@@ -403,8 +480,16 @@ def _gdn_mixer_paged(cfg, lw, x, conv_prev, rec_prev, row_len, decode):
         k = jnp.repeat(k, r, axis=2)
     q = _l2norm(q.astype(jnp.float32)) * (cfg.d_k**-0.5)
     k = _l2norm(k.astype(jnp.float32))
-    out, new_rec = _delta_rule_scan(q, k, v.astype(jnp.float32), g, beta,
-                                    rec_prev)
+    import os as _os
+
+    gdn_chunk = int(_os.environ.get("MRSTPU_GDN_CHUNK", "64"))
+    if t > 1 and gdn_chunk > 0:
+        out, new_rec = _delta_rule_chunked(
+            q, k, v.astype(jnp.float32), g, beta, rec_prev, chunk=gdn_chunk
+        )
+    else:
+        out, new_rec = _delta_rule_scan(q, k, v.astype(jnp.float32), g, beta,
+                                        rec_prev)
     normed = rms_norm(out, lw["gdn_norm"], cfg.rms_norm_eps)
     normed = normed * jax.nn.silu(z.astype(jnp.float32))
     out = normed.reshape(b, t, cfg.value_dim).astype(x.dtype)

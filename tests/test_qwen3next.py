@@ -68,3 +68,43 @@ def test_qwen3next_cached_decode_matches_hf_generate():
         )[0, len(prompt):].tolist()
     got = qwen3next_greedy_generate(weights, cfg, prompt, max_new_tokens=8)
     assert got == ref[: len(got)]
+
+
+def test_chunked_delta_rule_matches_scan():
+    """Chunk-parallel gated delta rule ≡ sequential scan (same math),
+    including chunk-boundary state carry, non-multiple lengths, nonzero
+    initial state, and masked pad rows (beta=g=0)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.models.qwen3next import (
+        _delta_rule_chunked,
+        _delta_rule_scan,
+    )
+
+    rng = np.random.default_rng(7)
+    b, n, dk, dv = 2, 3, 8, 16
+    for t, chunk in [(1, 4), (4, 4), (9, 4), (64, 16), (37, 16)]:
+        q = rng.standard_normal((b, t, n, dk)).astype(np.float32)
+        k = rng.standard_normal((b, t, n, dk)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        k /= np.linalg.norm(k, axis=-1, keepdims=True)
+        v = rng.standard_normal((b, t, n, dv)).astype(np.float32)
+        g = -np.abs(rng.standard_normal((b, t, n))).astype(np.float32) * 0.3
+        beta = rng.uniform(0.1, 1.0, (b, t, n)).astype(np.float32)
+        # mask a tail on row 1 (paged pad-row convention)
+        if t > 2:
+            beta[1, -2:] = 0.0
+            g[1, -2:] = 0.0
+        s0 = rng.standard_normal((b, n, dk, dv)).astype(np.float32) * 0.2
+        o_ref, s_ref = _delta_rule_scan(*map(jnp.asarray, (q, k, v, g, beta, s0)))
+        o_chk, s_chk = _delta_rule_chunked(
+            *map(jnp.asarray, (q, k, v, g, beta, s0)), chunk=chunk
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_chk), np.asarray(o_ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"outputs t={t} chunk={chunk}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_chk), np.asarray(s_ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"state t={t} chunk={chunk}",
+        )
