@@ -27,6 +27,20 @@ def _add_model_args(p: argparse.ArgumentParser):
                    help="draft model path → speculative decoding (greedy)")
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative draft tokens per verification step")
+    # multi-chip / multi-host (the analog of the reference's TP session,
+    # mistralrs-core/src/distributed.rs:431 begin_tensor_parallel_session)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (chips per model replica)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel replicas (each tp chips wide)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of the jax.distributed coordinator "
+                        "(multi-host pod slice; every host runs this command)")
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=None,
+                   help="this host's rank (0 owns the public server)")
+    p.add_argument("--replicator-port", type=int, default=19777,
+                   help="TCP port for host-0 request replication")
 
 
 def _apply_toml_config(args):
@@ -73,13 +87,49 @@ def parser_default(args, attr) -> bool:
     return getattr(args, attr, None) == _ARG_DEFAULTS.get(attr, None)
 
 
+def _multihost_args(args) -> bool:
+    return getattr(args, "coordinator", None) is not None
+
+
+def _build_mesh(args, cfg):
+    """Resolve --tp/--dp into a device mesh (with auto TP step-down), or
+    None for the single-chip default."""
+    tp, dp = getattr(args, "tp", 1), getattr(args, "dp", 1)
+    if tp * dp <= 1:
+        return None
+    from .parallel.tp import build_mesh, resolve_tp
+
+    tcfg = getattr(cfg, "text", None) or cfg
+    eff = resolve_tp(tp, tcfg.num_heads, tcfg.num_kv_heads, tcfg.vocab_size,
+                     getattr(tcfg, "intermediate_size", 0) or 0)
+    if eff != tp:
+        print(f"warning: tp={tp} does not divide model dims; stepping down "
+              f"to tp={eff}", file=sys.stderr)
+        tp = eff
+    if tp * dp <= 1:
+        return None
+    if _multihost_args(args):
+        from .parallel.multihost import build_pod_mesh
+
+        return build_pod_mesh(tp=tp, dp=dp)
+    return build_mesh(tp=tp, dp=dp)
+
+
 def _build_engine(args):
+    _apply_toml_config(args)
+    if _multihost_args(args):
+        # must run before ANY jax backend initialization
+        if args.host_id is None:
+            print("error: --coordinator needs --host-id", file=sys.stderr)
+            raise SystemExit(2)
+        from .parallel.multihost import initialize_multihost
+
+        initialize_multihost(args.coordinator, args.num_hosts, args.host_id)
     import jax.numpy as jnp
 
     from .engine.engine import Engine
     from .pipeline import load_pipeline
 
-    _apply_toml_config(args)
     if not args.model:
         print("error: no model path (argument or [model].path in --config)",
               file=sys.stderr)
@@ -95,7 +145,11 @@ def _build_engine(args):
     from .pipeline import make_adapter
 
     adapter = make_adapter(pipe.cfg, pipe.weights)
-    if adapter is None:
+    wants_mesh = getattr(args, "tp", 1) * getattr(args, "dp", 1) > 1
+    if adapter is None and not wants_mesh:
+        # merged QKV / gate+up: single-chip perf win; the TP sharding specs
+        # address the unfused layout (column shards of a concatenated QKV
+        # would need per-shard interleaving)
         pipe.weights = fuse_projections(pipe.weights, pipe.cfg)
     max_len = args.max_seq_len or min(pipe.cfg.max_position_embeddings, 8192)
     num_blocks = args.num_kv_blocks
@@ -117,18 +171,27 @@ def _build_engine(args):
         dpipe = load_pipeline(args.draft_model)
         dpipe.weights = fuse_projections(dpipe.weights, dpipe.cfg)
         draft = (dpipe.cfg, dpipe.weights)
+    mesh = _build_mesh(args, pipe.cfg)
+    max_batch = args.max_batch
+    if mesh is not None:
+        dp = int(mesh.shape.get("data", 1))
+        if max_batch % dp:  # engine requires equal per-group slot planes
+            max_batch += dp - max_batch % dp
+            print(f"warning: rounding --max-batch up to {max_batch} "
+                  f"(divisible by dp={dp})", file=sys.stderr)
     eng = Engine(
         pipe.cfg,
         pipe.weights,
         num_blocks=num_blocks,
         block_size=args.block_size,
-        max_batch=args.max_batch,
+        max_batch=max_batch,
         max_model_len=max_len,
         kv_quant=args.kv_quant,
         tokenizer=pipe.tokenizer,
         draft=draft,
         gamma=getattr(args, "gamma", 4),
         adapter=adapter,
+        mesh=mesh,
     )
     return pipe, eng
 
@@ -181,10 +244,32 @@ def cmd_serve(args):
     if pipe.tokenizer is None:
         print("error: model has no tokenizer; `serve` needs one", file=sys.stderr)
         return 1
+    driver = None
+    if _multihost_args(args) and args.num_hosts > 1:
+        from .parallel.multihost import (
+            LockstepDriver, RequestReplicator, default_decode_request,
+        )
+
+        host0 = args.coordinator.rsplit(":", 1)[0]
+        rep = RequestReplicator(args.host_id, args.num_hosts,
+                                port=args.replicator_port, host0_address=host0)
+        if args.host_id != 0:
+            # worker host: no HTTP server — admit replicated requests and
+            # step in lockstep with host 0 (daemon loop analog, §3.4)
+            rep.connect(timeout=300.0)
+            print(f"worker host {args.host_id}: lockstep loop", flush=True)
+            LockstepDriver(rep, eng, default_decode_request).run_worker()
+            return 0
+        rep.start_server()
+        driver = LockstepDriver(rep, eng)
     state = ServerState(eng, pipe.tokenizer, pipe.chat_template, pipe.model_id,
-                        vlm=pipe.vlm)
+                        vlm=pipe.vlm, driver=driver)
     print(f"serving {pipe.model_id} on {args.host}:{args.port}", flush=True)
-    serve(state, host=args.host, port=args.port)
+    try:
+        serve(state, host=args.host, port=args.port)
+    finally:
+        if driver is not None:
+            driver.shutdown()
     return 0
 
 

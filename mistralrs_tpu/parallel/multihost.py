@@ -135,26 +135,35 @@ class RequestReplicator:
             self._client.close()
 
 
-def run_replicated_engine(
-    replicator: RequestReplicator,
-    engine,
-    decode_request: Callable[[dict], tuple[list[int], Any]],
-) -> None:
-    """Worker-host loop: mirror every replicated request into the local
-    engine with a null responder, then step in lockstep with host 0.
+def encode_params(params) -> dict:
+    """SamplingParams → JSON-safe dict for request replication. Grammar
+    constraints and logprobs are host-0-only state that cannot ride the wire;
+    they do not change scheduling, so workers sample unconstrained (their
+    outputs are dropped — only host 0's responses reach users)."""
+    import dataclasses
 
-    NOTE: prefer :class:`LockstepDriver` — this free-running loop admits
-    requests asynchronously, so a worker can schedule a step before a
-    request lands that host 0 already included (schedule divergence)."""
-    def feeder():
-        for req in replicator.recv_loop():
-            prompt_ids, params = decode_request(req)
-            engine.add_request(prompt_ids, params, request_id=req.get("request_id"))
+    d = dataclasses.asdict(params)
+    d.pop("constraint", None)
+    d["logit_bias"] = {str(k): v for k, v in (d.get("logit_bias") or {}).items()}
+    for key in ("stop_token_ids", "stop_strings", "dry_sequence_breaker_ids"):
+        d[key] = list(d.get(key) or ())
+    return d
 
-    threading.Thread(target=feeder, daemon=True).start()
-    while True:
-        if engine.has_work:
-            engine.step()
+
+def decode_params(d: dict):
+    """Inverse of :func:`encode_params`."""
+    from ..engine.sampler import SamplingParams
+
+    d = dict(d)
+    d["logit_bias"] = {int(k): float(v) for k, v in (d.get("logit_bias") or {}).items()}
+    for key in ("stop_token_ids", "stop_strings", "dry_sequence_breaker_ids"):
+        d[key] = tuple(d.get(key) or ())
+    return SamplingParams(**d)
+
+
+def default_decode_request(req: dict) -> tuple:
+    """Standard wire format: {"request_id", "prompt_ids", "params"}."""
+    return list(req["prompt_ids"]), decode_params(req.get("params") or {})
 
 
 class LockstepDriver:
@@ -183,13 +192,16 @@ class LockstepDriver:
 
     # -- host 0 --------------------------------------------------------------
 
-    def submit(self, request: dict, prompt_ids, params) -> Any:
+    def submit(self, request: dict, prompt_ids, params, **local_kwargs) -> Any:
         """Queue a request (admitted at the next step on ALL ranks).
-        Returns the local Sequence for response streaming."""
+        Returns the local Sequence for response streaming. ``local_kwargs``
+        (on_tokens, priority, ...) apply only to host 0's engine — they don't
+        affect scheduling, so ranks stay in lockstep."""
         with self._lock:
             self._pending.append(dict(request))
         seq = self.engine.add_request(
-            prompt_ids, params, request_id=request.get("request_id")
+            prompt_ids, params, request_id=request.get("request_id"),
+            **local_kwargs,
         )
         return seq
 
@@ -226,7 +238,8 @@ class LockstepDriver:
             for req in msg.get("requests", ()):
                 prompt_ids, params = self.decode_request(req)
                 self.engine.add_request(
-                    prompt_ids, params, request_id=req.get("request_id")
+                    prompt_ids, params, request_id=req.get("request_id"),
+                    priority=int(req.get("priority", 0)),
                 )
             for rid in msg.get("aborts", ()):
                 seq = self.engine.abort(rid)

@@ -39,12 +39,13 @@ _ROW_KEYS = {"wo", "down"}
 _REPL = P()
 
 
-def resolve_tp(requested: int, n_heads: int, n_kv_heads: int, vocab: int) -> int:
+def resolve_tp(requested: int, n_heads: int, n_kv_heads: int, vocab: int,
+               intermediate: int = 0) -> int:
     """Auto step-down so heads divide evenly (analog of
     `resolve_tensor_parallelism`, mistralrs-core/src/distributed.rs:149)."""
     tp = requested
     while tp > 1 and (
-        n_heads % tp or n_kv_heads % tp or vocab % tp
+        n_heads % tp or n_kv_heads % tp or vocab % tp or intermediate % tp
     ):
         tp -= 1
     return max(tp, 1)

@@ -28,6 +28,10 @@ class ModelInstance:
     source: Optional[str] = None  # path, for reload
     load_options: dict[str, Any] = field(default_factory=dict)
     vlm: Optional[Any] = None  # serving/vlm.py VlmAdapter (image inputs)
+    # multi-host lockstep driver (parallel/multihost.py LockstepDriver):
+    # when set, stepping and admission replicate to worker hosts so every
+    # rank's scheduler sees the identical request stream
+    driver: Optional[Any] = None
     _wake: threading.Event = field(default_factory=threading.Event)
     _stop: bool = False
     _thread: Optional[threading.Thread] = None
@@ -55,7 +59,10 @@ class ModelInstance:
         while not self._stop:
             if self.engine.has_work:
                 try:
-                    self.engine.step()
+                    if self.driver is not None:
+                        self.driver.step()
+                    else:
+                        self.engine.step()
                 except Exception:  # noqa: BLE001 — keep the engine alive
                     traceback.print_exc()
                     for seq in list(self.engine.scheduler.running) + list(
@@ -96,9 +103,26 @@ class ModelInstance:
             # `RebootState`, lib.rs:432): the engine object survives — only
             # the stepping thread is restarted
             self.start()
-        seq = self.engine.add_request(
-            prompt_ids, params, on_tokens=on_tokens, **mm_kwargs
-        )
+        if self.driver is not None:
+            if mm_kwargs:
+                raise NotImplementedError(
+                    "multimodal requests on a multi-host deployment (tensor "
+                    "media payloads are not replicated over the wire)"
+                )
+            import uuid
+
+            from ..parallel.multihost import encode_params
+
+            rid = f"mh-{uuid.uuid4().hex[:12]}"
+            seq = self.driver.submit(
+                {"request_id": rid, "prompt_ids": list(prompt_ids),
+                 "params": encode_params(params)},
+                list(prompt_ids), params, on_tokens=on_tokens,
+            )
+        else:
+            seq = self.engine.add_request(
+                prompt_ids, params, on_tokens=on_tokens, **mm_kwargs
+            )
         self._wake.set()
         return seq
 

@@ -94,6 +94,7 @@ class ServerState:
         model_id: str = "default",
         registry: Optional[ModelRegistry] = None,
         vlm=None,
+        driver=None,  # parallel/multihost.py LockstepDriver (host 0)
     ):
         self.registry = registry or ModelRegistry()
         self.metrics = Metrics()
@@ -119,6 +120,7 @@ class ServerState:
                     tokenizer=tokenizer,
                     chat_template=chat_template,
                     vlm=vlm,
+                    driver=driver,
                 ),
                 default=True,
             )
