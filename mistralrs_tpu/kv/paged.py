@@ -28,11 +28,16 @@ from ..models.config import ModelConfig
 
 @dataclass(frozen=True)
 class PagedKVCache:
-    """k/v pools: [L, n_kv, S_total(slots), head_dim] (+ scales if quantized)."""
+    """k/v pools: [L, n_kv, S_total(slots), head_dim] (+ scales if quantized).
+
+    Scales are SLOT-major — [L, S_total, n_kv] — so the fused Pallas decode
+    kernel can DMA a block's scales as an 8-aligned sublane slice and RMW
+    this step's scale row exactly like the KV write window (the analog of
+    the reference's update_kvscales.cu living inside pagedattention_v2)."""
 
     k: jax.Array
     v: jax.Array
-    k_scale: Optional[jax.Array] = None  # [L, n_kv, S_total] for int8/fp8 KV
+    k_scale: Optional[jax.Array] = None  # [L, S_total, n_kv] for int8/fp8 KV
     v_scale: Optional[jax.Array] = None
 
     @classmethod
@@ -58,7 +63,7 @@ class PagedKVCache:
         if kv_quant is None:
             return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
-        sshape = shape[:-1]
+        sshape = (shape[0], shape[2], shape[1])  # [L, S_total, n_kv]
         return cls(
             jnp.zeros(shape, store),
             jnp.zeros(shape, store),
@@ -86,7 +91,7 @@ def write_kv(
     k_new: jax.Array,  # [T, n_kv, hd]
     v_new: jax.Array,
     slots: jax.Array,  # [T] int32 physical slot ids; negative → dropped
-    k_scale: Optional[jax.Array] = None,  # [n_kv, S_total]
+    k_scale: Optional[jax.Array] = None,  # [S_total, n_kv] (slot-major)
     v_scale: Optional[jax.Array] = None,
 ):
     """reshape_and_cache: scatter new KV rows into the pool. Dropped rows
@@ -118,7 +123,7 @@ def write_kv(
             enc = (x.astype(jnp.float32) / jnp.maximum(s, 1e-10)[..., None]).astype(
                 cache.dtype
             )
-        return cache.at[:, safe].set(enc), scale.at[:, safe].set(s)
+        return cache.at[:, safe].set(enc), scale.at[safe].set(jnp.swapaxes(s, 0, 1))
 
     ck, ks = q(k_hm, cache_k, k_scale)
     cv, vs = q(v_hm, cache_v, v_scale)
@@ -143,8 +148,9 @@ def gather_kv(
     k = cache_k[:, slots]  # [n_kv, B, S, hd]
     v = cache_v[:, slots]
     if k_scale is not None:
-        k = k.astype(jnp.float32) * k_scale[:, slots][..., None]
-        v = v.astype(jnp.float32) * v_scale[:, slots][..., None]
+        # slot-major scales [S_total, n_kv] → [n_kv, B, S, 1]
+        k = k.astype(jnp.float32) * jnp.transpose(k_scale[slots], (2, 0, 1))[..., None]
+        v = v.astype(jnp.float32) * jnp.transpose(v_scale[slots], (2, 0, 1))[..., None]
     # → [B, S, n_kv, hd] (XLA fuses the transpose into the gather consumer)
     return (
         jnp.transpose(k, (1, 2, 0, 3)).astype(dtype),

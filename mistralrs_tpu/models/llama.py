@@ -798,7 +798,6 @@ def forward_paged(
     use_decode_kernel = (
         t == 1
         and not force_gather
-        and not has_scales
         and cfg.attn_logit_softcap is None
         and "sinks" not in weights["layers"]  # gpt_oss: XLA path handles sinks
         and table_slots >= _kernel_min_slots
@@ -873,12 +872,21 @@ def forward_paged(
         if use_decode_kernel:
             # fused reshape_and_cache + flash decode: the FULL pools are
             # aliased through the kernel (layer plane selected inside) — no
-            # per-layer slice/stack traffic in the scan
-            attn, kp, vp = paged_decode_attention_fused(
-                q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
-                block_tables, kv_lens, win, li,
-                block_size=block_size, scale=cfg.attn_scale,
-            )
+            # per-layer slice/stack traffic in the scan. Quantized pools
+            # (int8/fp8 + slot-major scales) quantize the step's KV rows
+            # in-kernel and fold scales into the flash step.
+            if has_scales:
+                attn, kp, vp, ksp, vsp = paged_decode_attention_fused(
+                    q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
+                    block_tables, kv_lens, win, li, ksp, vsp,
+                    block_size=block_size, scale=cfg.attn_scale,
+                )
+            else:
+                attn, kp, vp = paged_decode_attention_fused(
+                    q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
+                    block_tables, kv_lens, win, li,
+                    block_size=block_size, scale=cfg.attn_scale,
+                )
             attn = attn[:, None]
         else:
             k_c = jax.lax.dynamic_index_in_dim(kp, li, 0, keepdims=False)

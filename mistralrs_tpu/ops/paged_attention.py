@@ -37,34 +37,49 @@ def _decode_kernel(
     window_ref,  # [1] int32 (SMEM): 0 → full attention
     slots_ref,  # [B] int32: write slot for this step's KV (< 0 → trash)
     layer_ref,  # [1] int32: which layer's pool plane to use
-    # inputs
-    q_ref,  # [1, n_kv, group_p, hd] VMEM block for seq b
-    k_new_ref,  # [1, n_kv, hd] VMEM: this step's KV rows for seq b
-    v_new_ref,
-    k_pool_ref,  # [L, n_kv, S_total, hd] in ANY/HBM (aliased through)
-    v_pool_ref,
-    # outputs
-    o_ref,  # [1, n_kv, group_p, hd]
-    k_pool_out,  # aliased views of the pools
-    v_pool_out,
-    # scratch
-    k_buf,  # [2, n_kv, chunk*bs, hd] VMEM
-    v_buf,
-    wk_buf,  # [n_kv, 8, hd] VMEM: aligned read-modify-write window (K)
-    wv_buf,
-    sem,  # DMA semaphores (2, 2, n_kv, chunk)
-    wsem,  # write semaphores (2,)
-    *,
+    *refs,
+    # refs layout (quantized=False):
+    #   q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
+    #   o_ref, k_pool_out, v_pool_out,
+    #   k_buf, v_buf, wk_buf, wv_buf, sem, wsem
+    # refs layout (quantized=True) additionally carries the slot-major
+    # scale planes + their scratch:
+    #   q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
+    #   ks_pool_ref, vs_pool_ref,
+    #   o_ref, k_pool_out, v_pool_out, ks_pool_out, vs_pool_out,
+    #   k_buf, v_buf, ks_buf, vs_buf, wk_buf, wv_buf, wks_buf, wvs_buf,
+    #   sem, ssem, wsem
     block_size: int,
     chunk: int,  # blocks fetched/processed per flash step
     scale: float,
+    quantized: bool = False,
 ):
     """One grid program per SEQUENCE covering all KV heads: per-program
     fixed cost (DMA issue latency, semaphore waits, loop setup) was the
     decode bottleneck at a (seq, head) grid — merging heads cuts programs
     8x and overlaps every head's block DMAs in one wave (measured 3.4 ms →
     see STATUS; the analog of the reference packing all heads into one CTA
-    wave in pagedattention_v2)."""
+    wave in pagedattention_v2).
+
+    quantized=True: int8/fp8-e4m3 pools with per-(slot, head) f32 scales
+    (slot-major [L, S_total, n_kv]). The step's KV rows are quantized
+    IN-kernel (abs-max per head) and both the code window and the scale
+    window are RMW-written; each chunk's scales ride two extra DMAs and
+    fold into the flash step after the QK dot / before the PV dot — KV
+    stays 1-byte in HBM end-to-end (the analog of fp8 paged KV inside
+    pagedattention_v2 + update_kvscales.cu)."""
+    if quantized:
+        (q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
+         ks_pool_ref, vs_pool_ref,
+         o_ref, k_pool_out, v_pool_out, ks_pool_out, vs_pool_out,
+         k_buf, v_buf, ks_buf, vs_buf, wk_buf, wv_buf, wks_buf, wvs_buf,
+         sem, ssem, wsem) = refs
+    else:
+        (q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
+         o_ref, k_pool_out, v_pool_out,
+         k_buf, v_buf, wk_buf, wv_buf, sem, wsem) = refs
+        ks_pool_out = vs_pool_out = ks_buf = vs_buf = None
+        wks_buf = wvs_buf = ssem = None
     b = pl.program_id(0)
     li = layer_ref[0]
     kv_len = kv_lens_ref[b]
@@ -95,6 +110,17 @@ def _decode_kernel(
             sem.at[slot, which, h, j],
         )
 
+    def sdma(ci, j, slot, which):
+        """Async copy of block j's scale rows (slot-major [S, n_kv])."""
+        pool = ks_pool_out if which == 0 else vs_pool_out
+        buf = ks_buf if which == 0 else vs_buf
+        blk = block_tables_ref[b, ci * chunk + j]
+        return pltpu.make_async_copy(
+            pool.at[li, pl.ds(blk * block_size, block_size)],
+            buf.at[slot, pl.ds(j * block_size, block_size)],
+            ssem.at[slot, which, j],
+        )
+
     # Always fetch every block of a chunk: rows past kv_len read (padded)
     # table entry 0 — valid memory, and the flash mask zeroes their weight.
     # Fetching garbage instead would risk NaN·0 = NaN in the p @ v product.
@@ -103,12 +129,20 @@ def _decode_kernel(
             for j in range(chunk):
                 dma(ci, h, j, slot, 0).start()
                 dma(ci, h, j, slot, 1).start()
+        if quantized:
+            for j in range(chunk):
+                sdma(ci, j, slot, 0).start()
+                sdma(ci, j, slot, 1).start()
 
     def wait_chunk(ci, slot):
         for h in range(n_kv):
             for j in range(chunk):
                 dma(ci, h, j, slot, 0).wait()
                 dma(ci, h, j, slot, 1).wait()
+        if quantized:
+            for j in range(chunk):
+                sdma(ci, j, slot, 0).wait()
+                sdma(ci, j, slot, 1).wait()
 
     # this step's write slot lands in the LAST chunk (position kv_len−1),
     # so with >1 chunk the first chunk's reads can overlap the write RMW
@@ -124,19 +158,44 @@ def _decode_kernel(
     )
     kin.start()
     vin.start()
+    if quantized:
+        skin = pltpu.make_async_copy(
+            ks_pool_out.at[li, pl.ds(win, 8)], wks_buf, wsem.at[2]
+        )
+        svin = pltpu.make_async_copy(
+            vs_pool_out.at[li, pl.ds(win, 8)], wvs_buf, wsem.at[3]
+        )
+        skin.start()
+        svin.start()
     kin.wait()
     vin.wait()
+
+    # this step's KV rows: quantize in-kernel (per-head abs-max) when the
+    # pools are 1-byte — the analog of reshape_and_cache + update_kvscales
+    if quantized:
+        def qenc(x, dt):
+            amax = jnp.max(jnp.abs(x), axis=-1)  # [n_kv]
+            cap = 127.0 if dt == jnp.int8 else 448.0
+            s = amax / cap
+            y = x / jnp.maximum(s, 1e-10)[:, None]
+            if dt == jnp.int8:
+                y = jnp.clip(jnp.round(y), -127, 127)
+            return y.astype(dt), s
+
+        k_row, k_s = qenc(k_new_ref[0].astype(jnp.float32), k_pool_out.dtype)
+        v_row, v_s = qenc(v_new_ref[0].astype(jnp.float32), v_pool_out.dtype)
+    else:
+        k_row, v_row = k_new_ref[0], v_new_ref[0]
+
     # place the rows via a masked select (dynamic sublane stores are not
     # expressible in Mosaic)
     rows = jax.lax.broadcasted_iota(jnp.int32, wk_buf.shape, 1)
     sel = rows == row
     wk_buf[...] = jnp.where(
-        sel, jnp.broadcast_to(k_new_ref[0][:, None, :], wk_buf.shape),
-        wk_buf[...],
+        sel, jnp.broadcast_to(k_row[:, None, :], wk_buf.shape), wk_buf[...]
     )
     wv_buf[...] = jnp.where(
-        sel, jnp.broadcast_to(v_new_ref[0][:, None, :], wv_buf.shape),
-        wv_buf[...],
+        sel, jnp.broadcast_to(v_row[:, None, :], wv_buf.shape), wv_buf[...]
     )
     kout = pltpu.make_async_copy(
         wk_buf, k_pool_out.at[li, :, pl.ds(win, 8)], wsem.at[0]
@@ -146,6 +205,25 @@ def _decode_kernel(
     )
     kout.start()
     vout.start()
+    if quantized:
+        skin.wait()
+        svin.wait()
+        srows = jax.lax.broadcasted_iota(jnp.int32, wks_buf.shape, 0)
+        ssel = srows == row
+        wks_buf[...] = jnp.where(
+            ssel, jnp.broadcast_to(k_s[None, :], wks_buf.shape), wks_buf[...]
+        )
+        wvs_buf[...] = jnp.where(
+            ssel, jnp.broadcast_to(v_s[None, :], wvs_buf.shape), wvs_buf[...]
+        )
+        skout = pltpu.make_async_copy(
+            wks_buf, ks_pool_out.at[li, pl.ds(win, 8)], wsem.at[2]
+        )
+        svout = pltpu.make_async_copy(
+            wvs_buf, vs_pool_out.at[li, pl.ds(win, 8)], wsem.at[3]
+        )
+        skout.start()
+        svout.start()
     # the write-back lands in the LAST chunk's block — its completion only
     # gates that chunk's reads, so the wait happens right before they start
     # (hiding the write latency behind all earlier chunks' flash steps)
@@ -158,6 +236,9 @@ def _decode_kernel(
     def wait_writeback():
         kout.wait()
         vout.wait()
+        if quantized:
+            skout.wait()
+            svout.wait()
 
     # single-chunk case: the write block IS (or may be) in chunk 0 — its
     # reads must start after the write RMW completes
@@ -189,6 +270,11 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, _BDN, preferred_element_type=jnp.float32
         )  # [n_kv, group_p, span]
+        if quantized:
+            # per-row scales fold in AFTER the QK dot (q·(k·s) == (q·k)·s)
+            ks_t = jnp.swapaxes(ks_buf[slot], 0, 1)  # [n_kv, span]
+            vs_t = jnp.swapaxes(vs_buf[slot], 0, 1)
+            s = s * ks_t[:, None, :]
         pos = ci * span + jax.lax.broadcasted_iota(jnp.int32, (1, 1, span), 2)
         mask = pos < kv_len
         w = window_ref[0]
@@ -198,6 +284,9 @@ def _decode_kernel(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+        if quantized:
+            # v's scale folds into p before the PV dot ((p·s)·v == p·(s·v))
+            p = p * vs_t[:, None, :]
         acc = acc * alpha + jax.lax.dot_general(
             p, v, _BPV, preferred_element_type=jnp.float32
         )
@@ -229,6 +318,8 @@ def paged_decode_attention_fused(
     kv_lens: jax.Array,  # [B] int32 (length AFTER this step's write)
     window: jax.Array | int = 0,  # scalar; 0 → full attention
     layer: jax.Array | int = 0,  # which layer plane of a 4-D pool
+    k_scale: Optional[jax.Array] = None,  # [L, S_total, n_kv] slot-major
+    v_scale: Optional[jax.Array] = None,  # (int8/fp8 KV pools)
     *,
     block_size: int,
     scale: Optional[float] = None,
@@ -239,23 +330,32 @@ def paged_decode_attention_fused(
     pools pass through with input/output aliasing and only the selected
     layer plane is touched — KV is written and read exactly once, with no
     XLA slicing/stacking of pool planes under the layer scan.
-    Returns (out [B, n_q, hd], k_pool, v_pool)."""
+
+    With ``k_scale``/``v_scale`` the pools are int8/fp8-e4m3: the step's KV
+    is quantized in-kernel and scales fold into the flash step (KV traffic
+    halves vs bf16). Returns (out [B, n_q, hd], k_pool, v_pool[, k_scale,
+    v_scale])."""
     b, n_q, hd = q.shape
+    quantized = k_scale is not None
     squeeze = k_pool.ndim == 3
     if squeeze:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
+        if quantized:
+            k_scale = k_scale[None]
+            v_scale = v_scale[None]
     n_kv = k_pool.shape[1]
     group = n_q // n_kv
     if scale is None:
         scale = 1.0 / math.sqrt(hd)
     if chunk is None:
         # target ~512 KV rows per flash step, capped so the double-buffered
-        # all-heads scratch (2 slots × (K+V) × n_kv × span × hd × 2B) stays
-        # within ~6 MB of VMEM
+        # all-heads scratch (2 slots × (K+V) × n_kv × span × hd × itemsize)
+        # stays within ~6 MB of VMEM
+        isz = jnp.dtype(k_pool.dtype).itemsize
         chunk = max(1, min(block_tables.shape[1], 512 // block_size))
         while chunk > 1 and (
-            2 * 2 * n_kv * chunk * block_size * hd * 2 > 6 * 1024 * 1024
+            2 * 2 * n_kv * chunk * block_size * hd * isz > 6 * 1024 * 1024
         ):
             chunk //= 2
     # pad the query group to the f32 sublane quantum
@@ -271,78 +371,116 @@ def paged_decode_attention_fused(
 
     window_arr = jnp.asarray(window, jnp.int32).reshape(1)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    span = chunk * block_size
+    in_specs = [
+        pl.BlockSpec((1, n_kv, group_p, hd), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_kv, hd), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_kv, hd), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n_kv, group_p, hd), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_kv, group_p, hd), q.dtype),
+        jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+        jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((2, n_kv, span, hd), k_pool.dtype),
+        pltpu.VMEM((2, n_kv, span, hd), v_pool.dtype),
+    ]
+    inputs = [block_tables, kv_lens, window_arr,
+              jnp.asarray(slots, jnp.int32), layer_arr, qg,
+              k_new.astype(jnp.bfloat16 if quantized else k_pool.dtype),
+              v_new.astype(jnp.bfloat16 if quantized else v_pool.dtype),
+              k_pool, v_pool]
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2  # scale pools
+        out_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ]
+        scratch += [
+            pltpu.VMEM((2, span, n_kv), jnp.float32),  # ks_buf
+            pltpu.VMEM((2, span, n_kv), jnp.float32),  # vs_buf
+        ]
+        inputs += [k_scale, v_scale]
+        # args: 5 prefetch + q(5), k_new(6), v_new(7), pools(8,9), scales(10,11)
+        aliases = {8: 1, 9: 2, 10: 3, 11: 4}
+    else:
+        aliases = {8: 1, 9: 2}
+    scratch += [
+        pltpu.VMEM((n_kv, 8, hd), k_pool.dtype),  # wk_buf
+        pltpu.VMEM((n_kv, 8, hd), v_pool.dtype),  # wv_buf
+    ]
+    if quantized:
+        scratch += [
+            pltpu.VMEM((8, n_kv), jnp.float32),  # wks_buf
+            pltpu.VMEM((8, n_kv), jnp.float32),  # wvs_buf
+        ]
+    scratch += [pltpu.SemaphoreType.DMA((2, 2, n_kv, chunk))]
+    if quantized:
+        scratch += [pltpu.SemaphoreType.DMA((2, 2, chunk))]  # ssem
+    scratch += [pltpu.SemaphoreType.DMA((4 if quantized else 2,))]  # wsem
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n_kv, group_p, hd), lambda i, *_: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, n_kv, hd), lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, n_kv, hd), lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, n_kv, group_p, hd), lambda i, *_: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, n_kv, chunk * block_size, hd), k_pool.dtype),
-            pltpu.VMEM((2, n_kv, chunk * block_size, hd), v_pool.dtype),
-            pltpu.VMEM((n_kv, 8, hd), k_pool.dtype),
-            pltpu.VMEM((n_kv, 8, hd), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, n_kv, chunk)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
     )
-    out4, k_pool, v_pool = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
-            _decode_kernel, block_size=block_size, chunk=chunk, scale=scale
+            _decode_kernel, block_size=block_size, chunk=chunk, scale=scale,
+            quantized=quantized,
         ),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_kv, group_p, hd), q.dtype),
-            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
-            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
-        ),
-        # args: 5 scalar-prefetch + q, k_new, v_new, k_pool(8), v_pool(9)
-        input_output_aliases={8: 1, 9: 2},
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(block_tables, kv_lens, window_arr,
-      jnp.asarray(slots, jnp.int32), layer_arr, qg,
-      k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype), k_pool, v_pool)
+    )(*inputs)
+    if quantized:
+        out4, k_pool, v_pool, k_scale, v_scale = outs
+    else:
+        out4, k_pool, v_pool = outs
     if squeeze:
         k_pool = k_pool[0]
         v_pool = v_pool[0]
-    return out4[:, :, :group].reshape(b, n_q, hd), k_pool, v_pool
+        if quantized:
+            k_scale = k_scale[0]
+            v_scale = v_scale[0]
+    out = out4[:, :, :group].reshape(b, n_q, hd)
+    if quantized:
+        return out, k_pool, v_pool, k_scale, v_scale
+    return out, k_pool, v_pool
 
 
 def paged_decode_attention(
-    q, k_pool, v_pool, block_tables, kv_lens, window=0, *,
+    q, k_pool, v_pool, block_tables, kv_lens, window=0,
+    k_scale=None, v_scale=None, *,
     block_size, scale=None, chunk=None, interpret=False
 ):
     """Read-only variant (testing): no KV write, pools unchanged."""
-    out, _, _ = paged_decode_attention_fused(
+    new_dt = jnp.bfloat16 if k_scale is not None else k_pool.dtype
+    outs = paged_decode_attention_fused(
         q, k_pool, v_pool,
-        jnp.zeros((q.shape[0], k_pool.shape[0], q.shape[2]), k_pool.dtype),
-        jnp.zeros((q.shape[0], v_pool.shape[0], q.shape[2]), v_pool.dtype),
+        jnp.zeros((q.shape[0], k_pool.shape[0], q.shape[2]), new_dt),
+        jnp.zeros((q.shape[0], v_pool.shape[0], q.shape[2]), new_dt),
         jnp.full((q.shape[0],), -1, jnp.int32),
-        block_tables, kv_lens, window,
+        block_tables, kv_lens, window, 0, k_scale, v_scale,
         block_size=block_size, scale=scale, chunk=chunk, interpret=interpret,
     )
-    return out
+    return outs[0]

@@ -226,7 +226,8 @@ def paged_cache_pspecs(quantized_kv: bool = False):
     from ..kv.paged import PagedKVCache
 
     spec = P(None, TP_AXIS, DP_AXIS, None)
-    sspec = P(None, TP_AXIS, DP_AXIS) if quantized_kv else None
+    # slot-major scales [L, S_total, n_kv]: slots over data, heads over model
+    sspec = P(None, DP_AXIS, TP_AXIS) if quantized_kv else None
     return PagedKVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 

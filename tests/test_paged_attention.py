@@ -139,3 +139,92 @@ def test_calculate_cache_config():
         hbm_bytes=64 << 20, weight_bytes=0, utilization=1.0,
     )
     assert n_q > int(n_f * 1.7)
+
+
+@pytest.mark.parametrize("kv_quant", ["int8", "fp8"])
+def test_quantized_kv_kernel_matches_gather(kv_quant):
+    """int8/fp8 pools + slot-major scales through the fused kernel vs the
+    XLA gather reference (the analog of fp8 KV inside pagedattention_v2)."""
+    from mistralrs_tpu.kv.paged import write_kv
+
+    rng = np.random.default_rng(7)
+    B, n_kv, group, hd, bs, W = 3, 2, 4, 64, 16, 8
+    n_q = n_kv * group
+    S_total = 17 * bs  # 16 blocks + trash
+    store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
+    kp = jnp.zeros((n_kv, S_total, hd), store)
+    vp = jnp.zeros((n_kv, S_total, hd), store)
+    ks = jnp.zeros((S_total, n_kv), jnp.float32)
+    vs = jnp.zeros((S_total, n_kv), jnp.float32)
+    # populate every live slot through write_kv (XLA quantization path)
+    T = 16 * bs
+    k_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
+    v_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
+    slots = jnp.arange(T, dtype=jnp.int32)
+    kp, vp, ks, vs = write_kv(kp, vp, k_rows, v_rows, slots, ks, vs)
+
+    q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
+    bt = jnp.asarray(rng.integers(0, 15, (B, W)), jnp.int32)
+    kv_lens = jnp.asarray([37, 5, W * bs], jnp.int32)
+    out = paged_decode_attention(
+        q, kp, vp, bt, kv_lens, 0, ks, vs, block_size=bs, interpret=True
+    )
+    kk, vv = gather_kv(kp, vp, bt, bs, ks, vs, dtype=jnp.float32)
+    ref = sdpa(
+        q[:, None].astype(jnp.float32), kk, vv,
+        q_positions=(kv_lens - 1)[:, None], kv_len=kv_lens,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref[:, 0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_quantized_fused_write_matches_write_kv():
+    """In-kernel quantize-on-write == the XLA write_kv quantization: codes,
+    scales, and attention output all agree."""
+    from mistralrs_tpu.kv.paged import write_kv
+    from mistralrs_tpu.ops.paged_attention import paged_decode_attention_fused
+
+    rng = np.random.default_rng(11)
+    B, n_kv, group, hd, bs, W = 2, 2, 4, 64, 16, 4
+    n_q = n_kv * group
+    S_total = 9 * bs
+    kp = jnp.zeros((n_kv, S_total, hd), jnp.int8)
+    vp = jnp.zeros((n_kv, S_total, hd), jnp.int8)
+    ks = jnp.zeros((S_total, n_kv), jnp.float32)
+    vs = jnp.zeros((S_total, n_kv), jnp.float32)
+    T = 8 * bs
+    k_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
+    v_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
+    kp, vp, ks, vs = write_kv(kp, vp, k_rows, v_rows,
+                              jnp.arange(T, dtype=jnp.int32), ks, vs)
+
+    q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.bfloat16)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    slots = jnp.asarray([1 * bs + 4, -1], jnp.int32)
+    kv_lens = jnp.asarray([21, 33], jnp.int32)
+
+    out_f, kp_f, vp_f, ks_f, vs_f = paged_decode_attention_fused(
+        q, kp, vp, k_new, v_new, slots, bt, kv_lens, 0, 0, ks, vs,
+        block_size=bs, interpret=True,
+    )
+    kp2, vp2, ks2, vs2 = write_kv(kp, vp, k_new, v_new, slots, ks, vs)
+    out_r = paged_decode_attention(
+        q, kp2, vp2, bt, kv_lens, 0, ks2, vs2, block_size=bs, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f, np.float32), np.asarray(out_r, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kp_f[:, :-1]), np.asarray(kp2[:, :-1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ks_f[:-1]), np.asarray(ks2[:-1]), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(vs_f[:-1]), np.asarray(vs2[:-1]), rtol=1e-6, atol=1e-8
+    )
