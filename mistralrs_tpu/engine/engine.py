@@ -264,9 +264,12 @@ class Engine:
         if adapter is not None:
             self.cache = adapter.create_cache(num_blocks, block_size, max_batch)
         else:
+            from ..kv.paged import auto_head_dim_pad
+
             self.cache = PagedKVCache.create(
                 cfg, num_blocks, block_size, dtype=compute_dtype,
                 kv_quant=kv_quant, groups=self.dp,
+                head_dim_pad=auto_head_dim_pad(cfg.head_dim, backend),
             )
         if mesh is not None:
             from ..parallel.tp import shard_paged_cache
@@ -281,8 +284,11 @@ class Engine:
         if draft is not None:
             self.draft_cfg, self.draft_weights = draft
             self._dfcfg = _freeze(self.draft_cfg)
+            from ..kv.paged import auto_head_dim_pad as _ahdp
+
             self.draft_cache = PagedKVCache.create(
-                self.draft_cfg, num_blocks, block_size, dtype=compute_dtype
+                self.draft_cfg, num_blocks, block_size, dtype=compute_dtype,
+                head_dim_pad=_ahdp(self.draft_cfg.head_dim, backend),
             )
             # decode rounds commit up to gamma+1 tokens → allocate ahead
             self.scheduler.lookahead = gamma + 1

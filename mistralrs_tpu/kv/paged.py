@@ -49,6 +49,10 @@ class PagedKVCache:
         dtype=jnp.bfloat16,
         kv_quant: Optional[str] = None,  # None | 'int8' | 'fp8'
         groups: int = 1,  # data-parallel groups: slot axis = groups × plane
+        head_dim_pad: Optional[int] = None,  # pool head_dim (≥ cfg.head_dim):
+        # pad to the 128-lane Mosaic quantum so hd=64/80/96 archs decode
+        # through the fused Pallas kernel (forward_paged pads K/V rows on
+        # write and slices the attention output back)
     ) -> "PagedKVCache":
         # +1 trash block PER GROUP: dropped writes (slot −1) scatter into it
         # so they can never collide with live slots (duplicate scatter
@@ -58,7 +62,7 @@ class PagedKVCache:
             cfg.num_layers,
             cfg.num_kv_heads,
             groups * (num_blocks + 1) * block_size,
-            cfg.head_dim,
+            max(head_dim_pad or 0, cfg.head_dim),
         )
         if kv_quant is None:
             return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
@@ -76,6 +80,10 @@ class PagedKVCache:
         return self.k_scale is not None
 
     @property
+    def head_dim(self) -> int:
+        return self.k.shape[-1]
+
+    @property
     def num_slots(self) -> int:
         return self.k.shape[2]
 
@@ -83,6 +91,26 @@ class PagedKVCache:
 jax.tree_util.register_dataclass(
     PagedKVCache, data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[]
 )
+
+
+def auto_head_dim_pad(head_dim: int, backend: Optional[str] = None) -> Optional[int]:
+    """Pool head_dim for the fused decode kernel: pad to the next 128-lane
+    multiple on TPU so hd=64/80/96 archs (phi2/phi3, gemma2, many small
+    models) take the kernel instead of the 3x-traffic gather path. Env
+    ``MRSTPU_PA_PAD_HD`` overrides ('0' disables; a number forces a value,
+    which CPU tests use to exercise the padded path)."""
+    import os
+
+    env = os.environ.get("MRSTPU_PA_PAD_HD")
+    if env is not None:
+        n = int(env)
+        return None if n <= 0 else max(n, head_dim)
+    if head_dim % 128 == 0:
+        return None
+    on_tpu = backend == "pallas" or (
+        backend is None and jax.default_backend() == "tpu"
+    )
+    return -(-head_dim // 128) * 128 if on_tpu else None
 
 
 def write_kv(

@@ -795,14 +795,16 @@ def forward_paged(
 
     table_slots = jnp.shape(block_tables)[1] * block_size
     _kernel_min_slots = int(_os.environ.get("MRSTPU_PA_KERNEL_MIN_SLOTS", "0"))
+    pool_hd = cache.k.shape[-1]  # ≥ cfg.head_dim when padded for the kernel
+    attn_scale = (
+        cfg.attn_scale if cfg.attn_scale is not None else cfg.head_dim**-0.5
+    )
     use_decode_kernel = (
         t == 1
         and not force_gather
-        and cfg.attn_logit_softcap is None
-        and "sinks" not in weights["layers"]  # gpt_oss: XLA path handles sinks
         and table_slots >= _kernel_min_slots
-        and cfg.head_dim % 128 == 0  # Mosaic lane dim: hd=64/80 fails to
-        # compile ("unsupported shape cast") — those archs use the gather path
+        and pool_hd % 128 == 0  # Mosaic lane quantum (auto_head_dim_pad
+        # pads hd=64/80/96 pools up; unpadded odd-hd pools use gather)
         and (backend == "pallas" or (backend is None and jax.default_backend() == "tpu"))
     )
 
@@ -869,23 +871,32 @@ def forward_paged(
             q = qn(q, lw["q_norm"], cfg.rms_norm_eps)
             k = qn(k, lw["k_norm"], cfg.rms_norm_eps)
 
+        if pool_hd != cfg.head_dim:
+            # 128-lane-padded pools: zero-pad Q/K/V channels (zeros add
+            # nothing to the dots; attn output sliced back below)
+            pads = ((0, 0), (0, 0), (0, 0), (0, pool_hd - cfg.head_dim))
+            q, k, v = jnp.pad(q, pads), jnp.pad(k, pads), jnp.pad(v, pads)
+
         if use_decode_kernel:
             # fused reshape_and_cache + flash decode: the FULL pools are
             # aliased through the kernel (layer plane selected inside) — no
             # per-layer slice/stack traffic in the scan. Quantized pools
             # (int8/fp8 + slot-major scales) quantize the step's KV rows
             # in-kernel and fold scales into the flash step.
+            _soft = float(cfg.attn_logit_softcap or 0.0)
             if has_scales:
                 attn, kp, vp, ksp, vsp = paged_decode_attention_fused(
                     q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
                     block_tables, kv_lens, win, li, ksp, vsp,
-                    block_size=block_size, scale=cfg.attn_scale,
+                    lw.get("sinks"),
+                    block_size=block_size, scale=attn_scale, softcap=_soft,
                 )
             else:
                 attn, kp, vp = paged_decode_attention_fused(
                     q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
-                    block_tables, kv_lens, win, li,
-                    block_size=block_size, scale=cfg.attn_scale,
+                    block_tables, kv_lens, win, li, None, None,
+                    lw.get("sinks"),
+                    block_size=block_size, scale=attn_scale, softcap=_soft,
                 )
             attn = attn[:, None]
         else:
@@ -901,8 +912,8 @@ def forward_paged(
             )
             k_c, v_c, k_s, v_s = write_kv(
                 k_c, v_c,
-                k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
-                v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
+                k.reshape(b * t, cfg.num_kv_heads, pool_hd),
+                v.reshape(b * t, cfg.num_kv_heads, pool_hd),
                 flat_slots, k_s, v_s,
             )
             kp = jax.lax.dynamic_update_index_in_dim(kp, k_c, li, 0)
@@ -917,11 +928,13 @@ def forward_paged(
                 q, kk, vv,
                 q_positions=positions,
                 kv_len=kv_lens,
-                scale=cfg.attn_scale,
+                scale=attn_scale,
                 logit_softcap=cfg.attn_logit_softcap,
                 sliding_window=win,
                 sinks=lw.get("sinks"),  # gpt_oss
             )
+        if pool_hd != cfg.head_dim:
+            attn = attn[..., : cfg.head_dim]
         attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
         attn_out = _row_linear(
             attn, lw["wo"], lw.get("wo_bias"), tp_axis, backend,

@@ -53,6 +53,8 @@ def _decode_kernel(
     chunk: int,  # blocks fetched/processed per flash step
     scale: float,
     quantized: bool = False,
+    softcap: float = 0.0,  # 0 → no attn-logit softcap (gemma2 uses 50.0)
+    has_sinks: bool = False,  # per-head sink logits ride as the last input
 ):
     """One grid program per SEQUENCE covering all KV heads: per-program
     fixed cost (DMA issue latency, semaphore waits, loop setup) was the
@@ -68,15 +70,23 @@ def _decode_kernel(
     fold into the flash step after the QK dot / before the PV dot — KV
     stays 1-byte in HBM end-to-end (the analog of fp8 paged KV inside
     pagedattention_v2 + update_kvscales.cu)."""
+    refs = list(refs)
+    sinks_ref = None
     if quantized:
         (q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
-         ks_pool_ref, vs_pool_ref,
-         o_ref, k_pool_out, v_pool_out, ks_pool_out, vs_pool_out,
+         ks_pool_ref, vs_pool_ref) = refs[:7]
+        del refs[:7]
+        if has_sinks:
+            sinks_ref = refs.pop(0)
+        (o_ref, k_pool_out, v_pool_out, ks_pool_out, vs_pool_out,
          k_buf, v_buf, ks_buf, vs_buf, wk_buf, wv_buf, wks_buf, wvs_buf,
          sem, ssem, wsem) = refs
     else:
-        (q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
-         o_ref, k_pool_out, v_pool_out,
+        (q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref) = refs[:5]
+        del refs[:5]
+        if has_sinks:
+            sinks_ref = refs.pop(0)
+        (o_ref, k_pool_out, v_pool_out,
          k_buf, v_buf, wk_buf, wv_buf, sem, wsem) = refs
         ks_pool_out = vs_pool_out = ks_buf = vs_buf = None
         wks_buf = wvs_buf = ssem = None
@@ -275,6 +285,8 @@ def _decode_kernel(
             ks_t = jnp.swapaxes(ks_buf[slot], 0, 1)  # [n_kv, span]
             vs_t = jnp.swapaxes(vs_buf[slot], 0, 1)
             s = s * ks_t[:, None, :]
+        if softcap:
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
         pos = ci * span + jax.lax.broadcasted_iota(jnp.int32, (1, 1, span), 2)
         mask = pos < kv_len
         w = window_ref[0]
@@ -293,8 +305,15 @@ def _decode_kernel(
         return acc, m_new, l
 
     acc0 = jnp.zeros((n_kv, group_p, hd), jnp.float32)
-    m0 = jnp.full((n_kv, group_p, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((n_kv, group_p, 1), jnp.float32)
+    if has_sinks:
+        # sink logit seeds the running max/denominator: softmax over
+        # [scores, sink] with the sink's value contribution discarded —
+        # exactly sdpa's concat-then-drop semantics in flash form
+        m0 = sinks_ref[...].astype(jnp.float32)[:, :, None]
+        l0 = jnp.ones((n_kv, group_p, 1), jnp.float32)
+    else:
+        m0 = jnp.full((n_kv, group_p, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((n_kv, group_p, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
@@ -305,7 +324,7 @@ def _round_up(x, m):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "scale", "chunk", "interpret"),
+    static_argnames=("block_size", "scale", "chunk", "interpret", "softcap"),
 )
 def paged_decode_attention_fused(
     q: jax.Array,  # [B, n_q, hd]
@@ -320,11 +339,13 @@ def paged_decode_attention_fused(
     layer: jax.Array | int = 0,  # which layer plane of a 4-D pool
     k_scale: Optional[jax.Array] = None,  # [L, S_total, n_kv] slot-major
     v_scale: Optional[jax.Array] = None,  # (int8/fp8 KV pools)
+    sinks: Optional[jax.Array] = None,  # [n_q] per-head sink logits (gpt_oss)
     *,
     block_size: int,
     scale: Optional[float] = None,
     chunk: Optional[int] = None,
     interpret: bool = False,
+    softcap: float = 0.0,  # attn-logit softcap (gemma2)
 ):
     """Fused reshape_and_cache + paged flash decode. The FULL multi-layer
     pools pass through with input/output aliasing and only the selected
@@ -418,6 +439,16 @@ def paged_decode_attention_fused(
         aliases = {8: 1, 9: 2, 10: 3, 11: 4}
     else:
         aliases = {8: 1, 9: 2}
+    has_sinks = sinks is not None
+    if has_sinks:
+        sg = sinks.reshape(n_kv, group).astype(jnp.float32)
+        if group_p != group:
+            # padded query rows still flow through softmax (sliced out after);
+            # reuse the head's sink so they can't overflow
+            sg = jnp.pad(sg, ((0, 0), (0, group_p - group)), mode="edge")
+        in_specs.append(pl.BlockSpec((n_kv, group_p), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(sg)
     scratch += [
         pltpu.VMEM((n_kv, 8, hd), k_pool.dtype),  # wk_buf
         pltpu.VMEM((n_kv, 8, hd), v_pool.dtype),  # wv_buf
@@ -442,7 +473,8 @@ def paged_decode_attention_fused(
     outs = pl.pallas_call(
         functools.partial(
             _decode_kernel, block_size=block_size, chunk=chunk, scale=scale,
-            quantized=quantized,
+            quantized=quantized, softcap=float(softcap or 0.0),
+            has_sinks=has_sinks,
         ),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
@@ -470,8 +502,8 @@ def paged_decode_attention_fused(
 
 def paged_decode_attention(
     q, k_pool, v_pool, block_tables, kv_lens, window=0,
-    k_scale=None, v_scale=None, *,
-    block_size, scale=None, chunk=None, interpret=False
+    k_scale=None, v_scale=None, sinks=None, *,
+    block_size, scale=None, chunk=None, interpret=False, softcap=0.0
 ):
     """Read-only variant (testing): no KV write, pools unchanged."""
     new_dt = jnp.bfloat16 if k_scale is not None else k_pool.dtype
@@ -480,7 +512,8 @@ def paged_decode_attention(
         jnp.zeros((q.shape[0], k_pool.shape[0], q.shape[2]), new_dt),
         jnp.zeros((q.shape[0], v_pool.shape[0], q.shape[2]), new_dt),
         jnp.full((q.shape[0],), -1, jnp.int32),
-        block_tables, kv_lens, window, 0, k_scale, v_scale,
+        block_tables, kv_lens, window, 0, k_scale, v_scale, sinks,
         block_size=block_size, scale=scale, chunk=chunk, interpret=interpret,
+        softcap=softcap,
     )
     return outs[0]

@@ -228,3 +228,139 @@ def test_quantized_fused_write_matches_write_kv():
     np.testing.assert_allclose(
         np.asarray(vs_f[:-1]), np.asarray(vs2[:-1]), rtol=1e-6, atol=1e-8
     )
+
+
+def test_softcap_kernel_matches_sdpa():
+    """Attn-logit softcap (gemma2) inside the kernel vs the sdpa reference."""
+    rng = np.random.default_rng(5)
+    B, n_kv, group, hd, bs, W = 2, 2, 2, 64, 16, 6
+    n_q = n_kv * group
+    S_total = 12 * bs
+    kp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)) * 3, jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, n_q, hd)) * 3, jnp.bfloat16)
+    bt = jnp.asarray(rng.integers(0, 11, (B, W)), jnp.int32)
+    kv_lens = jnp.asarray([41, W * bs], jnp.int32)
+    out = paged_decode_attention(
+        q, kp, vp, bt, kv_lens, 0, block_size=bs, interpret=True, softcap=30.0
+    )
+    kk, vv = gather_kv(kp, vp, bt, bs, dtype=jnp.float32)
+    ref = sdpa(
+        q[:, None].astype(jnp.float32), kk, vv,
+        q_positions=(kv_lens - 1)[:, None], kv_len=kv_lens, logit_softcap=30.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref[:, 0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_sinks_kernel_matches_sdpa():
+    """gpt_oss attention sinks: flash-form seeding (m0=sink, l0=1) vs the
+    sdpa concat-then-drop reference."""
+    rng = np.random.default_rng(6)
+    B, n_kv, group, hd, bs, W = 2, 2, 4, 64, 16, 6
+    n_q = n_kv * group
+    S_total = 12 * bs
+    kp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
+    sinks = jnp.asarray(rng.standard_normal(n_q) * 2, jnp.float32)
+    bt = jnp.asarray(rng.integers(0, 11, (B, W)), jnp.int32)
+    kv_lens = jnp.asarray([7, 53], jnp.int32)
+    from mistralrs_tpu.ops.paged_attention import paged_decode_attention_fused
+
+    outs = paged_decode_attention_fused(
+        q, kp, vp,
+        jnp.zeros((B, n_kv, hd), jnp.bfloat16),
+        jnp.zeros((B, n_kv, hd), jnp.bfloat16),
+        jnp.full((B,), -1, jnp.int32), bt, kv_lens, 0, 0, None, None, sinks,
+        block_size=bs, interpret=True,
+    )
+    kk, vv = gather_kv(kp, vp, bt, bs, dtype=jnp.float32)
+    ref = sdpa(
+        q[:, None].astype(jnp.float32), kk, vv,
+        q_positions=(kv_lens - 1)[:, None], kv_len=kv_lens, sinks=sinks,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0], np.float32), np.asarray(ref[:, 0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_padded_head_dim_pool_matches_unpadded():
+    """hd=64 pools padded to 128 lanes (auto_head_dim_pad): kernel over the
+    padded pool == sdpa over the unpadded KV (zeros add nothing)."""
+    rng = np.random.default_rng(8)
+    B, n_kv, group, hd, hd_p, bs, W = 2, 2, 4, 64, 128, 16, 6
+    n_q = n_kv * group
+    S_total = 12 * bs
+    kp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
+    pad = ((0, 0), (0, 0), (0, hd_p - hd))
+    kp_p, vp_p = jnp.pad(kp, pad), jnp.pad(vp, pad)
+    q_p = jnp.pad(q, ((0, 0), (0, 0), (0, hd_p - hd)))
+    bt = jnp.asarray(rng.integers(0, 11, (B, W)), jnp.int32)
+    kv_lens = jnp.asarray([41, 86], jnp.int32)
+    out = paged_decode_attention(
+        q_p, kp_p, vp_p, bt, kv_lens, 0, block_size=bs, interpret=True,
+        scale=hd**-0.5,
+    )[..., :hd]
+    kk, vv = gather_kv(kp, vp, bt, bs, dtype=jnp.float32)
+    ref = sdpa(
+        q[:, None].astype(jnp.float32), kk, vv,
+        q_positions=(kv_lens - 1)[:, None], kv_len=kv_lens,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref[:, 0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_engine_padded_pool_outputs_identical(monkeypatch, tmp_path):
+    """MRSTPU_PA_PAD_HD forces the padded-pool path through the ENGINE
+    (gather route on CPU): outputs must match the unpadded engine."""
+    import jax
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.config import ModelConfig
+    from mistralrs_tpu.models.hf_loader import weights_from_state_dict
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        max_position_embeddings=256,
+    )
+    rng = np.random.default_rng(0)
+    r = lambda *s: rng.standard_normal(s, dtype=np.float32) * 0.05
+    sd = {"model.embed_tokens.weight": r(256, 64),
+          "model.norm.weight": np.ones(64, np.float32),
+          "lm_head.weight": r(256, 64)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(64, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(64, np.float32)
+        sd[p + "self_attn.q_proj.weight"] = r(64, 64)
+        sd[p + "self_attn.k_proj.weight"] = r(32, 64)
+        sd[p + "self_attn.v_proj.weight"] = r(32, 64)
+        sd[p + "self_attn.o_proj.weight"] = r(64, 64)
+        sd[p + "mlp.gate_proj.weight"] = r(128, 64)
+        sd[p + "mlp.up_proj.weight"] = r(128, 64)
+        sd[p + "mlp.down_proj.weight"] = r(64, 128)
+    w = weights_from_state_dict(sd, cfg, dtype=jnp.float32)
+
+    def run():
+        eng = Engine(cfg, dict(w), num_blocks=32, block_size=16, max_batch=2,
+                     backend="xla", compute_dtype=jnp.float32)
+        seqs = [eng.add_request([1, 5, 9, 20, 7],
+                                SamplingParams(temperature=0.0, max_tokens=10))]
+        eng.run_to_completion()
+        return seqs[0].output_ids, eng
+
+    ref, eng0 = run()
+    assert eng0.cache.head_dim == cfg.head_dim
+    monkeypatch.setenv("MRSTPU_PA_PAD_HD", "32")
+    got, eng1 = run()
+    assert eng1.cache.head_dim == 32
+    assert got == ref
