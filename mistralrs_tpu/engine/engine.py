@@ -213,13 +213,11 @@ class Engine:
         self.mrope = bool(getattr(cfg, "mrope_section", ()))
         self.mesh = mesh
         self.dp = 1
-        self._tp_fwd = None
-        self._tp_fwd_embeds = None
+        self._tp_fwds: dict = {}  # (embeds, rope3, deepstack) → jitted fwd
+        self._kv_quant = kv_quant
         if mesh is not None:
-            if self.mrope:
-                raise NotImplementedError("M-RoPE serving with a mesh")
             from ..parallel.tp import (
-                DP_AXIS, TP_AXIS, paged_tp_forward_fn, shard_weights,
+                DP_AXIS, TP_AXIS, shard_weights,
             )
 
             tp = int(mesh.shape.get(TP_AXIS, 1))
@@ -238,15 +236,6 @@ class Engine:
             weights = shard_weights(
                 mesh, weights,
                 specs=weight_pspecs(weights, ep=expert_parallel(cfg, tp)),
-            )
-            self._tp_fwd = paged_tp_forward_fn(
-                mesh, cfg, weights, block_size=block_size, backend=backend,
-                compute_dtype=compute_dtype, quantized_kv=kv_quant is not None,
-            )
-            self._tp_fwd_embeds = paged_tp_forward_fn(
-                mesh, cfg, weights, block_size=block_size, backend=backend,
-                compute_dtype=compute_dtype, quantized_kv=kv_quant is not None,
-                with_embeds=True,
             )
         self.lora_names = tuple(weights.pop("lora_names", ()))
         self.weights = weights
@@ -325,6 +314,22 @@ class Engine:
             "prompt_tokens": 0, "generated_tokens": 0, "preemptions": 0,
             "prefix_cache_hit_tokens": 0, "steps": 0,
         }
+
+    def _tp_forward(self, embeds=None, rope3=None, deepstack=None):
+        """Lazily built mesh forward variant (the optional-input combos are
+        separate shard_map jits; the common text decode uses the bare one)."""
+        key = (embeds is not None, rope3 is not None, deepstack is not None)
+        fn = self._tp_fwds.get(key)
+        if fn is None:
+            from ..parallel.tp import paged_tp_forward_fn
+
+            fn = self._tp_fwds[key] = paged_tp_forward_fn(
+                self.mesh, self.cfg, self.weights, block_size=self.block_size,
+                backend=self.backend, compute_dtype=self.compute_dtype,
+                quantized_kv=self._kv_quant is not None,
+                with_embeds=key[0], with_rope3=key[1], with_deepstack=key[2],
+            )
+        return fn
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -673,15 +678,16 @@ class Engine:
                 **pf_kwargs,
             )
         elif self.mesh is not None:
-            fwd_args = (
+            fwd_args = [
                 self.weights, jnp.asarray(ids_arr), jnp.asarray(positions),
                 self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
                 jnp.asarray(kv_lens), jnp.asarray(last_idx),
-            )
-            if embeds is not None:
-                logits, self.cache = self._tp_fwd_embeds(*fwd_args, embeds)
-            else:
-                logits, self.cache = self._tp_fwd(*fwd_args)
+            ]
+            for extra in (embeds, rope_pos3, deepstack):
+                if extra is not None:
+                    fwd_args.append(extra)
+            fn = self._tp_forward(embeds, rope_pos3, deepstack)
+            logits, self.cache = fn(*fwd_args)
         else:
             logits, self.cache = _prefill_fn(
                 self.weights, self._fcfg, jnp.asarray(ids_arr),
@@ -923,12 +929,15 @@ class Engine:
                 )
             )
         elif self.mesh is not None:
-            logits, self.cache = self._tp_fwd(
+            fwd_args = [
                 self.weights, jnp.asarray(tokens)[:, None],
                 jnp.asarray(positions)[:, None], self.cache, jnp.asarray(bt),
                 jnp.asarray(slot_map, jnp.int32)[:, None], jnp.asarray(kv_lens),
                 jnp.zeros((b,), jnp.int32),  # last_indices: T=1 → index 0
-            )
+            ]
+            if rope_pos3 is not None:
+                fwd_args.append(rope_pos3)
+            logits, self.cache = self._tp_forward(rope3=rope_pos3)(*fwd_args)
             new_tokens, logprobs, tops, self.samp_state = sample(
                 logits[:, -1], self.samp_state, sub
             )

@@ -255,6 +255,8 @@ def paged_tp_forward_fn(
     compute_dtype=jnp.bfloat16,
     quantized_kv: bool = False,
     with_embeds: bool = False,
+    with_rope3: bool = False,  # M-RoPE streams [3, B, T] (qwen-VL family)
+    with_deepstack: bool = False,  # [k, B, T, H] qwen3-vl DeepStack rows
 ):
     """Build the jitted multi-chip PAGED forward for the serving engine —
     the composition the reference achieves with Row/ColumnParallelLayer
@@ -278,14 +280,17 @@ def paged_tp_forward_fn(
     cspecs = paged_cache_pspecs(quantized_kv)
 
     def body(w, ids, positions, cache, bt, slot_map, kv_lens, last_idx,
-             *embeds):
-        emb = embeds[0] if embeds else None
+             *extras):
+        extras = list(extras)
+        emb = extras.pop(0) if with_embeds else None
+        rope3 = extras.pop(0) if with_rope3 else None
+        ds = extras.pop(0) if with_deepstack else None
         return forward_paged(
             w, lcfg, ids, positions, cache, bt, slot_map.reshape(-1), kv_lens,
             block_size=block_size, backend=backend, logits_last_only=True,
             compute_dtype=compute_dtype,
             tp_axis=TP_AXIS if tp > 1 else None, input_embeds=emb,
-            last_indices=last_idx,
+            last_indices=last_idx, rope_positions3=rope3, deepstack=ds,
         )
 
     in_specs = [
@@ -300,6 +305,10 @@ def paged_tp_forward_fn(
     ]
     if with_embeds:
         in_specs.append(P(DP_AXIS, None, None))
+    if with_rope3:
+        in_specs.append(P(None, DP_AXIS, None))
+    if with_deepstack:
+        in_specs.append(P(None, DP_AXIS, None, None))
     mapped = jax.shard_map(
         body,
         mesh=mesh,

@@ -293,3 +293,70 @@ def test_moe_expert_parallel_engine():
     ref = run(None)
     got = run(build_mesh(tp=4, dp=1))  # 1 whole expert per shard
     assert got == ref
+
+
+def test_tp_engine_mrope_matches_single_device():
+    """mesh × M-RoPE (qwen-VL serving): the 3 position streams shard over
+    data and ride into the shard_map forward; outputs must match the
+    single-chip engine for mixed multimodal/text batches."""
+    _need(4)
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, mrope_section=(4, 2, 2))
+    sd = _tiny_state_dict(cfg, seed=11)
+    weights = weights_from_state_dict(sd, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+
+    def requests(eng):
+        seqs = []
+        # multimodal-style: embeds + grid-style position streams
+        T = 6
+        embeds = rng.standard_normal((T, cfg.hidden_size)).astype(np.float32) * 0.05
+        pos3 = np.stack([
+            np.arange(T), np.arange(T) // 2, np.arange(T) % 3
+        ]).astype(np.int32)
+        seqs.append(eng.add_request(
+            [7] * T, SamplingParams(temperature=0.0, max_tokens=8),
+            prompt_embeds=embeds, mrope_positions=pos3,
+        ))
+        # plain text rows in the same batch
+        seqs.append(eng.add_request(
+            [1, 5, 9, 200, 7], SamplingParams(temperature=0.0, max_tokens=8)))
+        seqs.append(eng.add_request(
+            [2, 4, 6, 8], SamplingParams(temperature=0.0, max_tokens=8)))
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    rng = np.random.default_rng(0)
+    eng0 = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+                  backend="xla", compute_dtype=jnp.float32)
+    ref = requests(eng0)
+    rng = np.random.default_rng(0)
+    eng1 = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+                  backend="xla", compute_dtype=jnp.float32,
+                  mesh=build_mesh(tp=2, dp=2))
+    got = requests(eng1)
+    assert got == ref
+
+
+def test_tp_engine_deepstack_matches_single_device():
+    """mesh × DeepStack (qwen3-vl): per-layer visual adds shard over data."""
+    _need(4)
+    sd = _tiny_state_dict(CFG, seed=13)
+    weights = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    T = 5
+    ds = rng.standard_normal((T, 2, CFG.hidden_size)).astype(np.float32) * 0.1
+
+    def run(mesh=None):
+        eng = Engine(CFG, weights, num_blocks=64, block_size=16, max_batch=4,
+                     backend="xla", compute_dtype=jnp.float32, mesh=mesh)
+        seqs = [
+            eng.add_request([9] * T, SamplingParams(temperature=0.0, max_tokens=8),
+                            deepstack_embeds=ds),
+            eng.add_request([1, 5, 9], SamplingParams(temperature=0.0, max_tokens=8)),
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    assert run(build_mesh(tp=2, dp=2)) == run()
