@@ -89,18 +89,109 @@ class Qwen3NextAdapter:
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
+        self.mesh = None
+        self._tp_fns: dict = {}
+
+    def shard(self, mesh):
+        """Shard weights + state pools over the mesh's model axis — the
+        mesh×hybrid-arch composition (reference: every-model TP,
+        `mistralrs-quant/src/distributed/layers.rs:58` from qwen3_next.rs).
+        Attention KV shards on kv-heads; the GDN conv window and delta-rule
+        state shard on their heads (conv rows permuted to shard-major);
+        experts shard EP-style with the router replicated. dp=1 only — GDN
+        slot pools are not group-partitioned."""
+        from ..models.qwen3next import (
+            permute_gdn_conv_for_tp, q3n_cache_pspecs, q3n_local_config,
+            q3n_weight_pspecs,
+        )
+        from ..parallel.tp import DP_AXIS, TP_AXIS
+        from jax.sharding import NamedSharding
+
+        if int(mesh.shape.get(DP_AXIS, 1)) != 1:
+            raise NotImplementedError("GDN adapter mesh: dp=1 only")
+        tp = int(mesh.shape[TP_AXIS])
+        self.mesh = mesh
+        self._tp_axis = TP_AXIS
+        self._lcfg = _hashable(q3n_local_config(self.cfg, tp))
+        w = permute_gdn_conv_for_tp(self.weights, self.cfg, tp)
+        self._wspecs = q3n_weight_pspecs(w, TP_AXIS)
+        self.weights = jax.tree_util.tree_map(
+            lambda a, s: None if a is None
+            else jax.device_put(a, NamedSharding(mesh, s)),
+            w, self._wspecs, is_leaf=lambda x: x is None,
+        )
+        self._cspecs = q3n_cache_pspecs(TP_AXIS)
 
     def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
         from ..models.qwen3next import make_paged_cache
 
         self._block_size = block_size
-        return make_paged_cache(
+        cache = make_paged_cache(
             self.cfg, num_blocks, block_size, n_slots, dtype=self.compute_dtype
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            cache = jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+                cache, self._cspecs,
+            )
+        return cache
+
+    def _tp_step(self, decode: bool, embeds, rope3, deepstack):
+        """Lazily built shard_map step (batch inputs replicated; weights +
+        pools sharded; logits replicated by the row-parallel psums)."""
+        from jax.sharding import PartitionSpec as P
+        from ..models.qwen3next import qwen3next_forward_paged
+
+        key = (decode, embeds is not None, rope3 is not None,
+               deepstack is not None)
+        fn = self._tp_fns.get(key)
+        if fn is not None:
+            return fn
+        lcfg, bsz, cdt, axis = (
+            self._lcfg, self._block_size, self.compute_dtype, self._tp_axis
+        )
+        rep = P()
+
+        def body(w, ids, positions, cache, bt, slot_map, kv_lens, slot_ids,
+                 resets, last_idx, *extras):
+            extras = list(extras)
+            emb = extras.pop(0) if key[1] else None
+            r3 = extras.pop(0) if key[2] else None
+            ds = extras.pop(0) if key[3] else None
+            return qwen3next_forward_paged(
+                w, lcfg, ids, positions, cache, bt,
+                slot_map.reshape(ids.shape), kv_lens, slot_ids, resets,
+                block_size=bsz, decode=decode, compute_dtype=cdt,
+                logits_last_only=True,
+                last_indices=None if decode else last_idx,
+                input_embeds=emb, rope_positions3=r3, deepstack=ds,
+                tp_axis=axis,
+            )
+
+        in_specs = [self._wspecs] + [rep] * 9
+        for flag in key[1:]:
+            if flag:
+                in_specs.append(rep)
+        # cache sits at position 3
+        in_specs[3] = self._cspecs
+        mapped = jax.shard_map(
+            body, mesh=self.mesh, in_specs=tuple(in_specs),
+            out_specs=(rep, self._cspecs), check_vma=False,
+        )
+        fn = self._tp_fns[key] = jax.jit(mapped)
+        return fn
 
     def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
                 last_indices, slot_ids, resets, embeds=None,
                 rope_pos3=None, deepstack=None):
+        if self.mesh is not None:
+            fn = self._tp_step(False, embeds, rope_pos3, deepstack)
+            extras = [e for e in (embeds, rope_pos3, deepstack)
+                      if e is not None]
+            return fn(self.weights, ids, positions, cache, bt, slot_map,
+                      kv_lens, slot_ids, resets, last_indices, *extras)
         return _q3n_fwd(
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map, kv_lens, slot_ids, resets, last_indices,
@@ -110,6 +201,23 @@ class Qwen3NextAdapter:
 
     def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
                samp_state, key, rope_pos3=None):
+        if self.mesh is not None:
+            b = tokens.shape[0]
+            slot_ids = jnp.where(
+                slot_map >= 0, jnp.arange(b, dtype=jnp.int32), -1
+            )
+            fn = self._tp_step(True, None, rope_pos3, None)
+            extras = [rope_pos3] if rope_pos3 is not None else []
+            logits, cache = fn(
+                self.weights, tokens[:, None], positions[:, None], cache, bt,
+                slot_map[:, None], kv_lens, slot_ids,
+                jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
+                *extras,
+            )
+            new_tokens, logprobs, tops, samp_state = sample(
+                logits[:, -1], samp_state, key
+            )
+            return new_tokens, logprobs, tops, cache, samp_state
         return _q3n_decode(
             self.weights, self._fcfg, tokens, positions, cache, bt,
             slot_map, kv_lens, samp_state, key,

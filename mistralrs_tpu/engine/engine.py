@@ -193,10 +193,14 @@ class Engine:
     ):
         self.adapter = adapter
         if adapter is not None:
-            if mesh is not None or draft is not None or kv_quant is not None:
-                raise NotImplementedError(
-                    "arch adapters: single-chip, no draft, no KV quant"
-                )
+            if draft is not None or kv_quant is not None:
+                raise NotImplementedError("arch adapters: no draft, no KV quant")
+            if mesh is not None:
+                if not hasattr(adapter, "shard"):
+                    raise NotImplementedError(
+                        f"{type(adapter).__name__} does not support mesh serving"
+                    )
+                adapter.shard(mesh)  # TP over the model axis (dp=1)
             if not adapter.supports_prefix_cache:
                 enable_prefix_caching = False
         self.cfg = cfg
@@ -215,7 +219,7 @@ class Engine:
         self.dp = 1
         self._tp_fwds: dict = {}  # (embeds, rope3, deepstack) → jitted fwd
         self._kv_quant = kv_quant
-        if mesh is not None:
+        if mesh is not None and adapter is None:
             from ..parallel.tp import (
                 DP_AXIS, TP_AXIS, shard_weights,
             )
@@ -260,7 +264,7 @@ class Engine:
                 kv_quant=kv_quant, groups=self.dp,
                 head_dim_pad=auto_head_dim_pad(cfg.head_dim, backend),
             )
-        if mesh is not None:
+        if mesh is not None and adapter is None:
             from ..parallel.tp import shard_paged_cache
 
             self.cache = shard_paged_cache(mesh, self.cache)

@@ -319,17 +319,26 @@ def _full_attn_mixer(cfg: Qwen3NextConfig, lw, x, k_cache, v_cache, cos, sin,
     return attn.reshape(b, t, -1) @ lw["wo"].T, k_cache, v_cache
 
 
-def _moe(cfg: Qwen3NextConfig, lw, x):
+def _moe(cfg: Qwen3NextConfig, lw, x, tp_axis=None):
+    # router stays replicated: every shard ranks the GLOBAL expert set, then
+    # under EP each shard computes only its local experts (global index =
+    # shard offset + scan index) and the layer-level psum combines
     rl = (x @ lw["router"].T).astype(jnp.float32)
     probs = jax.nn.softmax(rl, axis=-1)
     topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     if cfg.norm_topk_prob:
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     b, t, _ = x.shape
+    n_global = rl.shape[-1]
     full_w = (
-        jnp.zeros((b, t, cfg.num_experts), jnp.float32)
+        jnp.zeros((b, t, n_global), jnp.float32)
         .at[jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], topi]
         .add(topw)
+    )
+    n_local = lw["experts"]["gate"].shape[0]
+    idx0 = (
+        (jax.lax.axis_index(tp_axis) * n_local).astype(jnp.int32)
+        if tp_axis is not None else jnp.int32(0)
     )
 
     def expert(carry, ew):
@@ -339,7 +348,7 @@ def _moe(cfg: Qwen3NextConfig, lw, x):
         return (acc, idx + 1), None
 
     (out, _), _ = jax.lax.scan(
-        expert, (jnp.zeros_like(x), jnp.int32(0)), lw["experts"]
+        expert, (jnp.zeros_like(x), idx0), lw["experts"]
     )
     shared = (
         jax.nn.silu(x @ lw["se_gate"].T) * (x @ lw["se_up"].T)
@@ -348,10 +357,11 @@ def _moe(cfg: Qwen3NextConfig, lw, x):
     return out + shared * gate.astype(shared.dtype)
 
 
-def _mlp_or_moe(cfg: Qwen3NextConfig, lw: dict, x: jax.Array) -> jax.Array:
+def _mlp_or_moe(cfg: Qwen3NextConfig, lw: dict, x: jax.Array,
+                tp_axis=None) -> jax.Array:
     """MoE (qwen3-next) or dense silu MLP (qwen3.5 text, text.rs Mlp)."""
     if cfg.num_experts > 0:
-        return _moe(cfg, lw, x)
+        return _moe(cfg, lw, x, tp_axis)
     return (jax.nn.silu(x @ lw["gate"].T) * (x @ lw["up"].T)) @ lw["down"].T
 
 
@@ -516,6 +526,7 @@ def qwen3next_forward_paged(
     input_embeds: Optional[jax.Array] = None,  # [B, T, H] multimodal merge
     rope_positions3: Optional[jax.Array] = None,  # [3, B, T] (qwen3.5-vl)
     deepstack: Optional[jax.Array] = None,  # [k, B, T, H] visual adds
+    tp_axis: Optional[str] = None,  # shard_map mesh axis (TP serving)
 ):
     """Engine-servable hybrid step (prefill chunk or decode): paged KV for
     full-attention layers, slot-keyed conv/recurrent pools for GDN layers.
@@ -604,9 +615,14 @@ def qwen3next_forward_paged(
             )
             new_cache["rec"] = new_cache["rec"].at[ci, slot_safe].set(nrec)
             ci += 1
+        if tp_axis is not None:
+            out = jax.lax.psum(out, tp_axis)  # row-parallel wo/out_proj
         h = h + out
         x = rms_norm_gemma(h, lw["ffn_norm"], cfg.rms_norm_eps)
-        h = h + _mlp_or_moe(cfg, lw, x)
+        ffn = _mlp_or_moe(cfg, lw, x, tp_axis)
+        if tp_axis is not None:
+            ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel down + EP combine
+        h = h + ffn
         if deepstack is not None and li < deepstack.shape[0]:
             h = h + deepstack[li].astype(h.dtype)
 
@@ -723,3 +739,103 @@ def qwen3next_greedy_generate(
         )
         tok = jnp.argmax(logits[:, -1], axis=-1)
     return out
+
+
+# -- mesh (TP) serving support ----------------------------------------------
+# The analog of the reference's every-model TP (`mistralrs-quant/src/
+# distributed/layers.rs:58` used from models/qwen3_next.rs): column-shard
+# the projections on heads, shard the GDN conv window / delta-rule state on
+# heads, EP-shard the expert bank, and psum at the row-parallel boundaries
+# (see tp_axis in qwen3next_forward_paged).
+
+
+def q3n_local_config(cfg: Qwen3NextConfig, tp: int) -> Qwen3NextConfig:
+    """Per-shard config: attention + GDN heads and the expert count divide."""
+    if tp == 1:
+        return cfg
+    import dataclasses
+
+    for dim, name in (
+        (cfg.num_heads, "num_heads"), (cfg.num_kv_heads, "num_kv_heads"),
+        (cfg.n_k_heads, "n_k_heads"), (cfg.n_v_heads, "n_v_heads"),
+    ):
+        if dim % tp:
+            raise ValueError(f"tp={tp} does not divide {name}={dim}")
+    if cfg.num_experts and cfg.num_experts % tp:
+        raise ValueError(f"tp={tp} does not divide num_experts={cfg.num_experts}")
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        n_k_heads=cfg.n_k_heads // tp,
+        n_v_heads=cfg.n_v_heads // tp,
+        num_experts=cfg.num_experts // tp if cfg.num_experts else 0,
+    )
+
+
+def permute_gdn_conv_for_tp(weights: dict, cfg: Qwen3NextConfig, tp: int) -> dict:
+    """Reorder conv1d rows from the global [q‖k‖v] concat layout to
+    shard-major [q_i‖k_i‖v_i]*tp so a contiguous row shard is each rank's
+    local conv over its own heads (the conv state pool follows the local
+    layout automatically — it is produced shard-locally)."""
+    if tp == 1:
+        return weights
+    kd, vd = cfg.key_dim, cfg.value_dim
+    kq, vq = kd // tp, vd // tp
+    idx = []
+    for i in range(tp):
+        idx += list(range(i * kq, (i + 1) * kq))
+        idx += list(range(kd + i * kq, kd + (i + 1) * kq))
+        idx += list(range(2 * kd + i * vq, 2 * kd + (i + 1) * vq))
+    idx = np.asarray(idx)
+    new_layers = []
+    for lw in weights["layers"]:
+        if "conv_w" in lw:
+            lw = dict(lw, conv_w=lw["conv_w"][idx])
+        new_layers.append(lw)
+    return dict(weights, layers=new_layers)
+
+
+def q3n_weight_pspecs(weights: dict, tp_axis: str = "model") -> dict:
+    """PartitionSpec pytree matching qwen3next weights (apply
+    permute_gdn_conv_for_tp FIRST — conv_w specs assume shard-major rows)."""
+    from jax.sharding import PartitionSpec as P
+
+    col, row, rep = P(tp_axis, None), P(None, tp_axis), P()
+    per_key = {
+        "wq": col, "wk": col, "wv": col, "wo": row,
+        "in_proj_qkvz": col, "in_proj_ba": col, "conv_w": col,
+        "out_proj": row, "A_log": P(tp_axis), "dt_bias": P(tp_axis),
+        "se_gate": col, "se_up": col, "se_down": row,
+        "gate": col, "up": col, "down": row,
+    }
+    layers = []
+    for lw in weights["layers"]:
+        d = {}
+        for key, w in lw.items():
+            if w is None:
+                d[key] = None
+            elif key == "experts":
+                d[key] = {k2: P(tp_axis, None, None) for k2 in w}
+            else:
+                d[key] = per_key.get(key, rep)
+        layers.append(d)
+    return {
+        "embed": rep,
+        "layers": layers,
+        "final_norm": rep,
+        "lm_head": rep if weights.get("lm_head") is not None else None,
+    }
+
+
+def q3n_cache_pspecs(tp_axis: str = "model") -> dict:
+    """Hybrid cache pspecs: KV pools shard on kv-heads, conv on the (shard-
+    major) conv rows, recurrent state on value heads."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        "k": P(None, None, tp_axis, None),  # [L_full, S, n_kv, hd]
+        "v": P(None, None, tp_axis, None),
+        "conv": P(None, None, tp_axis, None),  # [L_lin, slots, conv_dim, K]
+        "rec": P(None, None, tp_axis, None, None),  # [L_lin, slots, n_v, dk, dv]
+    }

@@ -360,3 +360,64 @@ def test_tp_engine_deepstack_matches_single_device():
         return [s.output_ids for s in seqs]
 
     assert run(build_mesh(tp=2, dp=2)) == run()
+
+
+def test_qwen3next_gdn_adapter_on_mesh():
+    """mesh × hybrid-arch adapter: Qwen3-Next GDN serves on a tp=8 mesh
+    with conv/delta state sharded on heads and EP experts — outputs match
+    the single-chip adapter engine (the reference TP-shards every model,
+    distributed/layers.rs:58)."""
+    _need(2)
+    import transformers
+
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from mistralrs_tpu.models.qwen3next import (
+        Qwen3NextConfig, qwen3next_weights_from_state_dict,
+    )
+
+    hf_cfg = transformers.Qwen3NextConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,
+        layer_types=["linear_attention", "full_attention",
+                     "linear_attention", "full_attention"],
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=3,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, decoder_sparse_step=1,
+        mlp_only_layers=[], norm_topk_prob=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    import torch
+
+    torch.manual_seed(22)
+    model = transformers.Qwen3NextForCausalLM(hf_cfg).eval()
+    cfg = Qwen3NextConfig.from_hf(hf_cfg.to_dict())
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    weights = qwen3next_weights_from_state_dict(sd, cfg)
+    rng = np.random.default_rng(9)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)]
+        for n in (5, 11, 3)  # 11 > prefill_chunk → GDN state across chunks
+    ]
+
+    def run(mesh=None):
+        adapter = Qwen3NextAdapter(cfg, weights)
+        eng = Engine(
+            cfg, weights, num_blocks=64, block_size=4, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            mesh=mesh,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=6))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    ref = run()
+    got = run(build_mesh(tp=2, dp=1))  # n_k_heads=2 caps tp at 2
+    assert got == ref
