@@ -25,9 +25,117 @@ from .models.llama import KVCache, forward
 
 @dataclass
 class XLoraConfig:
+    """Mirror of the reference's `xlora_config.json` surface
+    (`mistralrs-core/src/xlora_models/config.rs:31`)."""
+
     n_adapters: int
     softmax_temperature: float = 1.0
     scaling_pass_value: float = 0.0  # adapter weight during the scratch pass
+    xlora_depth: int = 2
+    xlora_size: int = 2048
+    layerwise_scalings: bool = False  # last layer emits L×A instead of A
+    enable_softmax: bool = True
+    enable_relu_and_dropout: bool = False
+    use_bias: bool = True
+    top_k_lora: Optional[int] = None  # keep top-k adapters, zero the rest
+    global_scaling_weight: float = 1.0
+
+    @classmethod
+    def from_json(cls, d: Mapping[str, Any], n_adapters: Optional[int] = None) -> "XLoraConfig":
+        adapters = d.get("adapters")
+        if n_adapters is None:
+            n_adapters = len(adapters) if adapters is not None else 0
+        return cls(
+            n_adapters=n_adapters,
+            softmax_temperature=float(d.get("softmax_temperature", 1.0)),
+            scaling_pass_value=float(d.get("scaling_pass_value", 0.0)),
+            xlora_depth=int(d.get("xlora_depth", 1)),
+            xlora_size=int(d.get("xlora_size", 2048)),
+            layerwise_scalings=bool(d.get("layerwise_scalings", False)),
+            enable_softmax=bool(d.get("enable_softmax", True)),
+            enable_relu_and_dropout=bool(d.get("enable_relu_and_dropout", False)),
+            use_bias=bool(d.get("use_bias", True)),
+            top_k_lora=d.get("top_k_lora"),
+            global_scaling_weight=float(d.get("global_scaling_weight", 1.0)),
+        )
+
+
+def load_classifier(
+    source, xcfg: XLoraConfig, dtype=jnp.float32
+) -> dict:
+    """Load a TRAINED X-LoRA classifier checkpoint (the analog of
+    `XLoraClassifier::new` reading `inner.{i}.*`/`last.*` tensors,
+    `mistralrs-core/src/xlora_models/classifier.rs:31`).
+
+    ``source`` is a state-dict mapping or a safetensors path; keys may be
+    prefixed (HF saves ``internal_xlora_classifier.``)."""
+    if not isinstance(source, Mapping):
+        from safetensors.numpy import load_file
+
+        source = load_file(str(source))
+    sd = {}
+    for k, v in source.items():
+        for pre in ("internal_xlora_classifier.", "xlora_classifier."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v, np.float32)
+    layers = []
+    i = 0
+    while f"inner.{i}.weight" in sd:
+        layers.append({
+            "w": jnp.asarray(sd[f"inner.{i}.weight"], dtype),
+            "b": (jnp.asarray(sd[f"inner.{i}.bias"], dtype)
+                  if f"inner.{i}.bias" in sd else None),
+        })
+        i += 1
+    if "last.weight" not in sd:
+        raise ValueError(
+            f"classifier checkpoint has no last.weight (keys: {sorted(sd)[:8]}…)"
+        )
+    layers.append({
+        "w": jnp.asarray(sd["last.weight"], dtype),
+        "b": jnp.asarray(sd["last.bias"], dtype) if "last.bias" in sd else None,
+    })
+    expect = xcfg.xlora_depth
+    if len(layers) != expect:
+        raise ValueError(
+            f"classifier depth mismatch: checkpoint has {len(layers)} "
+            f"linear layers, xlora_config says xlora_depth={expect}"
+        )
+    return {"layers": layers}
+
+
+def load_xlora_dir(path, dtype=jnp.float32):
+    """Load a saved X-LoRA artifact directory:
+
+        xlora_config.json
+        xlora_classifier.safetensors
+        adapters/<name>/{adapter_config.json, adapter_model.safetensors}
+
+    Returns (xcfg, classifier, adapters) where ``adapters`` feeds
+    :func:`attach_xlora`. Reference: ordering follows the config's adapter
+    list (`xlora_models/mod.rs` loads adapters by config order)."""
+    import json
+    from pathlib import Path
+
+    from safetensors.numpy import load_file
+
+    p = Path(path)
+    with open(p / "xlora_config.json") as f:
+        raw = json.load(f)
+    names = raw.get("adapters")
+    if isinstance(names, dict):
+        names = sorted(names)
+    xcfg = XLoraConfig.from_json(raw, n_adapters=len(names or []))
+    classifier = load_classifier(p / "xlora_classifier.safetensors", xcfg, dtype)
+    adapters = []
+    for name in names or []:
+        adir = p / "adapters" / name
+        with open(adir / "adapter_config.json") as f:
+            acfg = json.load(f)
+        adapters.append((acfg, load_file(str(adir / "adapter_model.safetensors"))))
+    return xcfg, classifier, adapters
 
 
 def attach_xlora(
@@ -80,14 +188,42 @@ def make_classifier(hidden_size: int, n_adapters: int, depth: int = 2,
     }
 
 
-def classifier_forward(classifier: dict, hidden: jax.Array) -> jax.Array:
+def classifier_forward(classifier: dict, hidden: jax.Array,
+                       xcfg: Optional[XLoraConfig] = None) -> jax.Array:
+    """Classifier logits [B, T, A] (or [B, T, L*A] with layerwise
+    scalings). ReLU between layers follows `enable_relu_and_dropout`
+    (dropout is an inference no-op); the legacy default keeps ReLU on."""
     h = hidden
     layers = classifier["layers"]
+    relu = xcfg.enable_relu_and_dropout if xcfg is not None else True
     for i, lw in enumerate(layers):
-        h = h @ lw["w"].T + lw["b"]
-        if i + 1 < len(layers):
+        h = h @ lw["w"].T
+        if lw.get("b") is not None:
+            h = h + lw["b"]
+        if relu and i + 1 < len(layers):
             h = jax.nn.relu(h)
-    return h  # [B, T, A] logits
+    return h
+
+
+def classifier_scalings(
+    classifier: dict, hidden: jax.Array, xcfg: XLoraConfig, num_layers: int
+) -> jax.Array:
+    """Per-token, per-LAYER adapter scalings [B, T, L, A] — the full
+    reference semantics (`classifier.rs:251-305`): optional layerwise last
+    layer, temperature softmax, top-k masking WITHOUT renormalization."""
+    logits = classifier_forward(classifier, hidden, xcfg)
+    b, t = logits.shape[:2]
+    a = xcfg.n_adapters
+    if xcfg.layerwise_scalings:
+        scal = logits.reshape(b, t, num_layers, a)
+    else:
+        scal = jnp.broadcast_to(logits[:, :, None, :], (b, t, num_layers, a))
+    if xcfg.enable_softmax:
+        scal = jax.nn.softmax(scal / xcfg.softmax_temperature, axis=-1)
+    if xcfg.top_k_lora is not None and xcfg.top_k_lora < a:
+        kth = jnp.sort(scal, axis=-1)[..., -xcfg.top_k_lora][..., None]
+        scal = jnp.where(scal >= kth, scal, 0.0)
+    return scal
 
 
 def xlora_forward(
@@ -117,17 +253,15 @@ def xlora_forward(
         base_weights, cfg, input_ids, positions, scratch_cache, kv_start,
         backend=backend, compute_dtype=compute_dtype, return_hidden=True,
     )
-    logits_a = classifier_forward(classifier, hidden.astype(jnp.float32))
-    scalings = jax.nn.softmax(
-        logits_a / xcfg.softmax_temperature, axis=-1
-    )  # [B, T, A]
+    scalings = classifier_scalings(
+        classifier, hidden.astype(jnp.float32), xcfg, cfg.num_layers
+    )  # [B, T, L, A]
 
     # pass 2: adapters active, weighted per token. The scan slices every
-    # leaf's leading (layer) dim, so scalings are broadcast to [L, B, T, A].
+    # leaf's leading (layer) dim → [L, B, T, A]; the global scaling weight
+    # multiplies the deltas (linear in the scalings, so folded here).
     mixed_layers = dict(base_layers)
-    scal_l = jnp.broadcast_to(
-        scalings[None], (cfg.num_layers, *scalings.shape)
-    )
+    scal_l = jnp.transpose(scalings, (2, 0, 1, 3)) * xcfg.global_scaling_weight
     for key, ab in weights["layers"].items():
         if not key.endswith("_xlora"):
             continue
@@ -141,4 +275,4 @@ def xlora_forward(
         backend=backend, compute_dtype=compute_dtype,
         logits_last_only=logits_last_only,
     )
-    return logits, new_cache, scalings
+    return logits, new_cache, scalings[:, :, 0]

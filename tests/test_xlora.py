@@ -93,3 +93,129 @@ def test_classifier_shapes():
     h = jnp.zeros((2, 5, 64))
     out = classifier_forward(clf, h)
     assert out.shape == (2, 5, 3)
+
+
+def test_load_trained_classifier_matches_torch():
+    """Load a saved X-LoRA classifier checkpoint (inner.{i}.*/last.* keys +
+    xlora_config.json fields) and match a torch re-implementation of the
+    reference semantics (classifier.rs: linears + optional relu, layerwise
+    reshape, temperature softmax, top-k zeroing without renorm)."""
+    import torch
+
+    from mistralrs_tpu.xlora import (
+        XLoraConfig, classifier_scalings, load_classifier,
+    )
+
+    H, inner, A, L = 16, 12, 3, 4
+    torch.manual_seed(5)
+    lin0 = torch.nn.Linear(H, inner)
+    lin_last = torch.nn.Linear(inner, L * A)  # layerwise scalings
+
+    cfg_json = {
+        "hidden_size": H, "base_model_id": "x",
+        "adapters": ["a0", "a1", "a2"],
+        "xlora_depth": 2, "xlora_size": inner,
+        "layerwise_scalings": True, "enable_softmax": True,
+        "softmax_temperature": 0.7, "enable_relu_and_dropout": True,
+        "use_bias": True, "top_k_lora": 2, "global_scaling_weight": 1.5,
+    }
+    xcfg = XLoraConfig.from_json(cfg_json)
+    assert xcfg.n_adapters == A and xcfg.top_k_lora == 2
+
+    sd = {
+        "internal_xlora_classifier.inner.0.weight": lin0.weight.detach().numpy(),
+        "internal_xlora_classifier.inner.0.bias": lin0.bias.detach().numpy(),
+        "internal_xlora_classifier.last.weight": lin_last.weight.detach().numpy(),
+        "internal_xlora_classifier.last.bias": lin_last.bias.detach().numpy(),
+    }
+    clf = load_classifier(sd, xcfg)
+
+    hidden = torch.randn(2, 5, H)
+    with torch.no_grad():
+        t = lin_last(torch.relu(lin0(hidden)))  # [B, T, L*A]
+        t = t.reshape(2, 5, L, A)
+        t = torch.softmax(t / 0.7, dim=-1)
+        vals, idx = torch.topk(t, 2, dim=-1)
+        ref = torch.zeros_like(t).scatter_(-1, idx, vals)
+
+    got = classifier_scalings(
+        clf, jnp.asarray(hidden.numpy()), xcfg, num_layers=L
+    )
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_load_classifier_from_safetensors(tmp_path):
+    from safetensors.numpy import save_file
+
+    from mistralrs_tpu.xlora import XLoraConfig, load_classifier
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "inner.0.weight": rng.standard_normal((8, 16)).astype(np.float32),
+        "inner.0.bias": np.zeros(8, np.float32),
+        "last.weight": rng.standard_normal((2, 8)).astype(np.float32),
+        "last.bias": np.zeros(2, np.float32),
+    }
+    p = tmp_path / "xlora_classifier.safetensors"
+    save_file(sd, str(p))
+    clf = load_classifier(p, XLoraConfig(n_adapters=2, xlora_depth=2))
+    assert len(clf["layers"]) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        load_classifier(p, XLoraConfig(n_adapters=2, xlora_depth=3))
+
+
+def test_load_xlora_dir_end_to_end(tmp_path):
+    """Full artifact-directory round trip: config + classifier + adapters →
+    xlora_forward produces per-layer mixed logits."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from mistralrs_tpu.models.hf_loader import weights_from_state_dict
+    from mistralrs_tpu.xlora import attach_xlora, load_xlora_dir, xlora_forward
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "xl"
+    (root / "adapters" / "a0").mkdir(parents=True)
+    (root / "adapters" / "a1").mkdir(parents=True)
+    (root / "xlora_config.json").write_text(json.dumps({
+        "hidden_size": CFG.hidden_size, "base_model_id": "tiny",
+        "adapters": ["a0", "a1"], "xlora_depth": 1,
+        "layerwise_scalings": False, "enable_softmax": True,
+        "use_bias": True,
+    }))
+    save_file({
+        "last.weight": rng.standard_normal(
+            (2, CFG.hidden_size)).astype(np.float32),
+        "last.bias": np.zeros(2, np.float32),
+    }, str(root / "xlora_classifier.safetensors"))
+    for name in ("a0", "a1"):
+        (root / "adapters" / name / "adapter_config.json").write_text(
+            json.dumps({"r": 2, "lora_alpha": 4})
+        )
+        at = {}
+        for i in range(CFG.num_layers):
+            pre = f"base_model.model.model.layers.{i}.self_attn.q_proj"
+            at[pre + ".lora_A.weight"] = (
+                rng.standard_normal((2, CFG.hidden_size)).astype(np.float32) * 0.1)
+            at[pre + ".lora_B.weight"] = (
+                rng.standard_normal((CFG.q_dim, 2)).astype(np.float32) * 0.1)
+        save_file(at, str(root / "adapters" / name / "adapter_model.safetensors"))
+
+    xcfg, clf, adapters = load_xlora_dir(root)
+    assert xcfg.n_adapters == 2 and len(adapters) == 2
+    sd = _base(rng)
+    w = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    w = attach_xlora(w, adapters, CFG.num_layers)
+    from mistralrs_tpu.models.llama import KVCache
+
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    pos = jnp.asarray([[0, 1, 2]], jnp.int32)
+    cache = KVCache.create(CFG, 1, 8, dtype=jnp.float32)
+    logits, _, scal = xlora_forward(
+        w, CFG, xcfg, clf, ids, pos, cache, jnp.zeros((1,), jnp.int32),
+    )
+    assert logits.shape == (1, 3, CFG.vocab_size)
+    np.testing.assert_allclose(np.asarray(scal).sum(-1), 1.0, rtol=1e-5)
