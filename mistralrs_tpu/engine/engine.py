@@ -442,8 +442,15 @@ class Engine:
 
         Forward errors are contained per-request (the analog of the
         reference's `handle_pipeline_forward_error!`): the offending
-        sequence(s) finish with ERROR and the engine loop stays alive."""
+        sequence(s) finish with ERROR and the engine loop stays alive.
+        Set ``MRSTPU_STEP_TIMING=1`` for a per-step timing line (the analog
+        of the reference's is_debug step log, engine/mod.rs:693-718)."""
+        import os as _os
+
+        _timing = bool(_os.environ.get("MRSTPU_STEP_TIMING"))
+        t_sched0 = time.monotonic()
         out = self.scheduler.schedule()
+        t_sched = time.monotonic() - t_sched0
         self.stats["steps"] += 1
         self.stats["preemptions"] = self.scheduler.num_preemptions
         # clear slot-table entries of sequences the scheduler evicted —
@@ -480,6 +487,18 @@ class Engine:
             self.stats["prefill_steps"] = self.stats.get("prefill_steps", 0) + 1
             self.stats["prefill_time_s"] = (
                 self.stats.get("prefill_time_s", 0.0) + time.monotonic() - t0
+            )
+        if _timing:
+            dt_total = time.monotonic() - t_sched0
+            n_pf_tok = sum(sp.length for sp in out.prefills)
+            print(
+                f"[step {self.stats['steps']}] total {dt_total * 1e3:.2f} ms "
+                f"(schedule {t_sched * 1e3:.2f} ms) | "
+                f"decode bs={len(out.decode)} | "
+                f"prefill rows={len(out.prefills)} tok={n_pf_tok} | "
+                f"running={len(self.scheduler.running)} "
+                f"waiting={len(self.scheduler.waiting)}",
+                flush=True,
             )
         return finished
 

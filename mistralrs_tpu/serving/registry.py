@@ -55,7 +55,9 @@ class ModelInstance:
         # throughput interval logger (the reference's engine IntervalLogger)
         interval = float(os.environ.get("MRSTPU_LOG_INTERVAL", "10"))
         last_log = time.monotonic()
-        last = {"generated_tokens": 0, "prompt_tokens": 0}
+        last = {"generated_tokens": 0, "prompt_tokens": 0,
+                "prefix_cache_hit_tokens": 0,
+                "decode_time_s": 0.0, "decode_steps": 0}
         while not self._stop:
             if self.engine.has_work:
                 try:
@@ -83,9 +85,21 @@ class ModelInstance:
                     dp = st.get("prompt_tokens", 0) - last["prompt_tokens"]
                     if dg or dp:
                         dt = now - last_log
+                        dhit = (st.get("prefix_cache_hit_tokens", 0)
+                                - last["prefix_cache_hit_tokens"])
+                        hit_rate = dhit / max(dp + dhit, 1)
+                        dsteps = (st.get("decode_steps", 0)
+                                  - last["decode_steps"])
+                        dstep_ms = (
+                            (st.get("decode_time_s", 0.0)
+                             - last["decode_time_s"]) / dsteps * 1e3
+                            if dsteps else 0.0
+                        )
                         print(
                             f"[{self.model_id}] {dg / dt:.1f} tok/s decode, "
                             f"{dp / dt:.1f} tok/s prefill, "
+                            f"{dstep_ms:.1f} ms/step, "
+                            f"prefix-hit {hit_rate:.0%}, "
                             f"{len(self.engine.scheduler.running)} running, "
                             f"{len(self.engine.scheduler.waiting)} waiting",
                             flush=True,
@@ -93,6 +107,10 @@ class ModelInstance:
                         last = {
                             "generated_tokens": st.get("generated_tokens", 0),
                             "prompt_tokens": st.get("prompt_tokens", 0),
+                            "prefix_cache_hit_tokens": st.get(
+                                "prefix_cache_hit_tokens", 0),
+                            "decode_time_s": st.get("decode_time_s", 0.0),
+                            "decode_steps": st.get("decode_steps", 0),
                         }
                     last_log = now
 
