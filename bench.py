@@ -1,12 +1,17 @@
-"""Benchmark: Llama-3-8B-geometry Q4_K batched decode tokens/s on one chip.
+"""Benchmark: Llama-3-8B-geometry Q4_K serving throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"sweep": [...]}. The primary metric is batched decode tokens/s at bs=8
+ctx=1024 (BASELINE.json config #3); the sweep follows the reference's
+release methodology — prefill + decode at several depths, 1 warmup +
+best-of-3 — plus bs=16 and a mixtral-geometry MoE slice
+(`/root/reference/releases/v0.8.2/report.md:42-49`).
 
 - Weights are synthesized on-device (random Q4_K planar codes/scales —
   identical compute/bandwidth profile to a real checkpoint, no host
-  transfer), matching BASELINE.json config #3 geometry.
+  transfer).
 - The measured step is the real serving decode path: fused Pallas
-  dequant-matmul + paged KV write/gather attention, batch 8, context 1024.
+  dequant-matmul + paged KV write/gather attention.
 - Timing uses the iteration-count slope between two chained-scan lengths
   with forced device→host materialization (the axon relay makes
   block_until_ready unreliable and adds ~28 ms RTT per dispatch).
@@ -14,9 +19,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   (weight+KV bytes per step / 819 GB/s on v5e; the north-star target in
   BASELINE.json is ≥0.9 of roofline; no comparable published GPU number
   exists for this config).
+
+Env knobs: MRSTPU_BENCH_CPU=1 (CPU smoke), MRSTPU_BENCH_SWEEP=0 (primary
+point only), MRSTPU_BENCH_BUDGET_S (wall-clock guard for the sweep,
+default 2400 s — sweep points past the budget are skipped and listed in
+"skipped").
 """
 
 import json
+import os
 import signal
 import time
 
@@ -48,6 +59,7 @@ signal.signal(signal.SIGALRM, _import_hang)
 signal.alarm(180)
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mistralrs_tpu.models.config import ModelConfig
 from mistralrs_tpu.models.llama import forward_paged, fuse_projections
@@ -56,6 +68,7 @@ from mistralrs_tpu.quant.qtensor import QTensor
 from mistralrs_tpu.generate import _freeze
 
 V5E_HBM_GBPS = 819e9
+V5E_BF16_FLOPS = 197e12
 
 
 def llama8b_cfg(smoke: bool = False) -> ModelConfig:
@@ -68,16 +81,36 @@ def llama8b_cfg(smoke: bool = False) -> ModelConfig:
     return ModelConfig(
         arch="llama", vocab_size=128256, hidden_size=4096, intermediate_size=14336,
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
-        max_position_embeddings=8192, rope_theta=500000.0,
+        max_position_embeddings=16384, rope_theta=500000.0,
     )
 
 
-def _rand_qtensor(key, l, n, k, gs=32) -> QTensor:
-    """Random stacked [L, N, K] Q4_K-layout planar tensor, created on device."""
+def mixtral_slice_cfg(smoke: bool = False) -> ModelConfig:
+    """Mixtral-8x7B geometry, 8-layer slice (full depth exceeds one v5e's
+    HBM at Q4_K; per-layer bandwidth/compute profile is identical)."""
+    if smoke:
+        return ModelConfig(
+            arch="mixtral", vocab_size=1024, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+            num_experts=4, num_experts_per_tok=2, moe_intermediate_size=256,
+            max_position_embeddings=2048,
+        )
+    return ModelConfig(
+        arch="mixtral", vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=8, num_heads=32, num_kv_heads=8, head_dim=128,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=14336,
+        max_position_embeddings=16384, rope_theta=1e6,
+    )
+
+
+def _rand_qtensor(key, lead, n, k, gs=32) -> QTensor:
+    """Random stacked [*lead, N, K] Q4_K-layout planar tensor, on device."""
+    if isinstance(lead, int):
+        lead = (lead,)
     k1, k2, k3 = jax.random.split(key, 3)
-    data = jax.random.randint(k1, (l, k // 2, n), 0, 256, jnp.uint8)
-    scale = jax.random.uniform(k2, (l, k // gs, n), jnp.float32, 0.001, 0.01)
-    bias = jax.random.uniform(k3, (l, k // gs, n), jnp.float32, -0.01, 0.0)
+    data = jax.random.randint(k1, (*lead, k // 2, n), 0, 256, jnp.uint8)
+    scale = jax.random.uniform(k2, (*lead, k // gs, n), jnp.float32, 0.001, 0.01)
+    bias = jax.random.uniform(k3, (*lead, k // gs, n), jnp.float32, -0.01, 0.0)
     return QTensor(
         data=data, scale=scale, bias=bias, group_size=gs, packed=True,
         code_bits=4, ggml_type=None, chunks=1,
@@ -85,7 +118,7 @@ def _rand_qtensor(key, l, n, k, gs=32) -> QTensor:
 
 
 def build_weights(cfg: ModelConfig, seed: int = 0) -> tuple[dict, int]:
-    keys = jax.random.split(jax.random.PRNGKey(seed), 12)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 16)
     H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     layers = {
         "attn_norm": jnp.ones((L, H), jnp.bfloat16),
@@ -94,10 +127,21 @@ def build_weights(cfg: ModelConfig, seed: int = 0) -> tuple[dict, int]:
         "wk": _rand_qtensor(keys[1], L, cfg.kv_dim, H),
         "wv": _rand_qtensor(keys[2], L, cfg.kv_dim, H),
         "wo": _rand_qtensor(keys[3], L, H, cfg.q_dim),
-        "gate": _rand_qtensor(keys[4], L, I, H),
-        "up": _rand_qtensor(keys[5], L, I, H),
-        "down": _rand_qtensor(keys[6], L, H, I),
     }
+    if cfg.num_experts:
+        E, MI = cfg.num_experts, cfg.moe_intermediate_size or I
+        layers["router"] = (
+            jax.random.normal(keys[9], (L, E, H), jnp.bfloat16) * 0.02
+        )
+        layers["experts"] = {
+            "gate": _rand_qtensor(keys[4], (L, E), MI, H),
+            "up": _rand_qtensor(keys[5], (L, E), MI, H),
+            "down": _rand_qtensor(keys[6], (L, E), H, MI),
+        }
+    else:
+        layers["gate"] = _rand_qtensor(keys[4], L, I, H)
+        layers["up"] = _rand_qtensor(keys[5], L, I, H)
+        layers["down"] = _rand_qtensor(keys[6], L, H, I)
     embed = (jax.random.normal(keys[7], (cfg.vocab_size, H), jnp.bfloat16) * 0.02)
     # lm_head as w8 (Q8_0-style: int8 codes, "sensitive tensor" policy)
     hk1, hk2 = jax.random.split(keys[8])
@@ -120,34 +164,25 @@ def build_weights(cfg: ModelConfig, seed: int = 0) -> tuple[dict, int]:
     return weights, weight_bytes
 
 
-def main():
-    import os
+def _slope_time(run, n1, n2, iters=3):
+    """Best-of-N slope timing between two chain lengths."""
+    run(n1)  # compile both
+    run(n2)
+    t1 = min(run(n1) for _ in range(iters))
+    t2 = min(run(n2) for _ in range(iters))
+    return (t2 - t1) / (n2 - n1)
 
-    if os.environ.get("MRSTPU_BENCH_CPU"):  # force the CPU smoke config
-        jax.config.update("jax_platforms", "cpu")
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception as e:  # relay down: emit a structured record, not a crash
-        print(_degraded_record(str(e).splitlines()[0] if str(e) else repr(e)))
-        return
-    signal.alarm(0)
-    smoke = not on_tpu
-    cfg = llama8b_cfg(smoke=smoke)
-    fcfg = _freeze(cfg)
-    B = 8
-    CTX = 256 if smoke else 1024
+
+def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke):
+    """Batched decode at depth CTX: returns (tok/s, vs_roofline, step_s)."""
     BS = 16 if smoke else 64
     num_blocks = B * CTX // BS
-    weights, weight_bytes = build_weights(cfg)
-    weights = fuse_projections(weights, cfg)  # merged QKV / gate+up
     cache = PagedKVCache.create(cfg, num_blocks, BS)
-    # per-seq contiguous block ranges; context pre-"filled" (garbage KV is fine
-    # for throughput: same bandwidth/compute)
     width = CTX // BS
     block_tables = (
         jnp.arange(B)[:, None] * width + jnp.arange(width)[None, :]
     ).astype(jnp.int32)
-    start_len = CTX - 64  # leave room to decode
+    start_len = CTX - 64
 
     def make_chain(n_steps):
         @jax.jit
@@ -174,45 +209,51 @@ def main():
 
     tokens0 = jnp.zeros((B,), jnp.int32)
     lens0 = jnp.full((B,), start_len, jnp.int32)
+    chains = {}
+
+    def run(n):
+        if n not in chains:
+            chains[n] = make_chain(n)
+        t0 = time.perf_counter()
+        out = chains[n](weights, cache, tokens0, lens0)
+        np.asarray(out)  # force full completion through the relay
+        return time.perf_counter() - t0
+
     n1, n2 = (2, 6) if smoke else (5, 25)
-    f1, f2 = make_chain(n1), make_chain(n2)
-
-    import numpy as np
-
-    def run(f):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = f(weights, cache, tokens0, lens0)
-            np.asarray(out)  # force full completion through the relay
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    run(f1)  # compile both
-    run(f2)
-    t1, t2 = run(f1), run(f2)
-    step_time = (t2 - t1) / (n2 - n1)
+    step_time = _slope_time(run, n1, n2)
+    kv_bytes_per_step = (
+        cfg.num_layers * B * CTX * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+    )
+    roofline_step = (weight_bytes + kv_bytes_per_step) / V5E_HBM_GBPS
     tps = B / step_time
+    return tps, tps / (B / roofline_step), step_time
 
-    # ---- prefill throughput (MXU-bound half of the north star) ----------
-    # One sequence, 512-token chunks through the same paged forward;
-    # chained by feeding argmax back as the first token (prevents elision).
+
+def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke):
+    """Chunked prefill throughput with the KV context at ~``depth`` tokens.
+    Returns (prefill tok/s, MFU, chunk_time_s)."""
+    BS = 16 if smoke else 64
     PT = 128 if smoke else 512
-    p_bt = block_tables[:1]
-    p_slots = (
-        p_bt[0, jnp.arange(PT) // BS] * BS + jnp.arange(PT) % BS
-    ).astype(jnp.int32)[None, :]
-    p_pos = jnp.arange(PT, dtype=jnp.int32)[None, :]
+    depth = max(depth, PT)
+    num_blocks = depth // BS
+    cache = PagedKVCache.create(cfg, num_blocks, BS)
+    width = depth // BS
+    bt = jnp.arange(width, dtype=jnp.int32)[None, :]
+    # the measured chunk is the LAST 512 tokens of a `depth` prompt: rope
+    # positions + kv_lens at full depth (attention spans the whole context)
+    base = depth - PT
+    p_slots = (base + jnp.arange(PT)).astype(jnp.int32)[None, :]
+    p_pos = (base + jnp.arange(PT)).astype(jnp.int32)[None, :]
 
-    def make_prefill_chain(n_steps):
+    def make_chain(n_steps):
         @jax.jit
         def chain(weights, cache, seed_tok):
             def body(carry, _):
                 cache, tok = carry
                 ids = jnp.full((1, PT), 7, jnp.int32).at[0, 0].set(tok)
                 logits, cache = forward_paged(
-                    weights, fcfg, ids, p_pos, cache, p_bt, p_slots,
-                    jnp.full((1,), PT, jnp.int32),
+                    weights, fcfg, ids, p_pos, cache, bt, p_slots,
+                    jnp.full((1,), depth, jnp.int32),
                     block_size=BS, logits_last_only=True,
                 )
                 return (cache, jnp.argmax(logits[0, -1]).astype(jnp.int32)), None
@@ -224,47 +265,123 @@ def main():
 
         return chain
 
-    p1, p2 = (1, 3) if smoke else (2, 6)
-    g1, g2 = make_prefill_chain(p1), make_prefill_chain(p2)
+    chains = {}
     seed_tok = jnp.int32(1)
 
-    def prun(f):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = f(weights, cache, seed_tok)
-            np.asarray(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run(n):
+        if n not in chains:
+            chains[n] = make_chain(n)
+        t0 = time.perf_counter()
+        out = chains[n](weights, cache, seed_tok)
+        np.asarray(out)
+        return time.perf_counter() - t0
 
-    prun(g1)
-    prun(g2)
-    pt1, pt2 = prun(g1), prun(g2)
-    prefill_time = (pt2 - pt1) / (p2 - p1)
-    prefill_tps = PT / prefill_time
-    # MFU vs v5e 197 TFLOP/s bf16 peak: 2 * params * tokens (attention
-    # excluded — it's <2% at 512)
+    p1, p2 = (1, 3) if smoke else (2, 6)
+    chunk_time = _slope_time(run, p1, p2)
     params = weight_bytes * 8 / 4.5  # Q4_K ≈ 4.5 bits/param stored
-    mfu = (2 * params * PT / prefill_time) / 197e12
-    ttft_ms = (prefill_time + step_time) * 1e3  # 512-tok prompt + 1st decode
+    mfu = (2 * params * PT / chunk_time) / V5E_BF16_FLOPS
+    return PT / chunk_time, mfu, chunk_time
 
-    # roofline: weight bytes + KV read+write traffic per decode step
-    kv_bytes_per_step = (
-        cfg.num_layers * B * CTX * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+
+def main():
+    if os.environ.get("MRSTPU_BENCH_CPU"):  # force the CPU smoke config
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception as e:  # relay down: emit a structured record, not a crash
+        print(_degraded_record(str(e).splitlines()[0] if str(e) else repr(e)))
+        return
+    signal.alarm(0)
+    smoke = not on_tpu
+    t_start = time.monotonic()
+    budget = float(os.environ.get("MRSTPU_BENCH_BUDGET_S", "2400"))
+    do_sweep = os.environ.get("MRSTPU_BENCH_SWEEP", "1") != "0"
+
+    cfg = llama8b_cfg(smoke=smoke)
+    fcfg = _freeze(cfg)
+    weights, weight_bytes = build_weights(cfg)
+    weights = fuse_projections(weights, cfg)  # merged QKV / gate+up
+    CTX = 256 if smoke else 1024
+
+    tps, vs_roof, step_time = measure_decode(
+        cfg, fcfg, weights, weight_bytes, 8, CTX, smoke
     )
-    roofline_step = (weight_bytes + kv_bytes_per_step) / V5E_HBM_GBPS
-    roofline_tps = B / roofline_step
+    prefill_tps, mfu, chunk_time = measure_prefill(
+        cfg, fcfg, weights, weight_bytes, CTX, smoke
+    )
+    ttft_ms = (chunk_time + step_time) * 1e3  # 512-tok prompt + 1st decode
+
+    sweep = []
+    skipped = []
+    if do_sweep:
+        # reference methodology: decode-at-depth + prefill-at-depth points
+        # (report.md:42-49), bs scaling, one MoE geometry
+        points = [
+            ("decode", 8, 512 if smoke else 2048),
+            ("decode", 8, 1024 if smoke else 8192),
+            ("decode", 16, CTX),
+            ("prefill", 1, 512 if smoke else 2048),
+            ("prefill", 1, 1024 if smoke else 8192),
+        ]
+        for kind, b, depth in points:
+            if time.monotonic() - t_start > budget:
+                skipped.append(f"{kind}@{depth}(bs={b})")
+                continue
+            try:
+                if kind == "decode":
+                    v, r, st = measure_decode(
+                        cfg, fcfg, weights, weight_bytes, b, depth, smoke
+                    )
+                    sweep.append({
+                        "kind": "decode", "bs": b, "depth": depth,
+                        "tok_s": round(v, 1), "vs_roofline": round(r, 3),
+                    })
+                else:
+                    v, m, _ = measure_prefill(
+                        cfg, fcfg, weights, weight_bytes, depth, smoke
+                    )
+                    sweep.append({
+                        "kind": "prefill", "depth": depth,
+                        "tok_s": round(v, 1), "mfu": round(m, 3),
+                    })
+            except Exception as e:  # noqa: BLE001 — keep the record intact
+                skipped.append(f"{kind}@{depth}(bs={b}): {type(e).__name__}")
+        # MoE geometry (mixtral-style slice)
+        if time.monotonic() - t_start <= budget:
+            try:
+                del weights
+                mcfg = mixtral_slice_cfg(smoke=smoke)
+                mfcfg = _freeze(mcfg)
+                mweights, mbytes = build_weights(mcfg, seed=1)
+                mweights = fuse_projections(mweights, mcfg)
+                v, r, _ = measure_decode(
+                    mcfg, mfcfg, mweights, mbytes, 8, CTX, smoke
+                )
+                sweep.append({
+                    "kind": "decode", "model": "mixtral-8x7b-8layer-slice",
+                    "bs": 8, "depth": CTX,
+                    "tok_s": round(v, 1), "vs_roofline": round(r, 3),
+                    "note": "dense expert compute: roofline counts ALL experts",
+                })
+            except Exception as e:  # noqa: BLE001
+                skipped.append(f"moe-decode: {type(e).__name__}")
+        else:
+            skipped.append("moe-decode")
+
     result = {
         "metric": "llama3-8b-q4k decode tokens/s (bs=8, ctx=1024, 1 chip)"
         if not smoke
         else "SMOKE decode tokens/s (cpu)",
         "value": round(tps, 1),
         "unit": "tok/s",
-        "vs_baseline": round(tps / roofline_tps, 3),
+        "vs_baseline": round(vs_roof, 3),
         "prefill_tps": round(prefill_tps, 1),
         "prefill_mfu": round(mfu, 3),
         "ttft_ms_512tok": round(ttft_ms, 1),
+        "sweep": sweep,
     }
+    if skipped:
+        result["skipped"] = skipped
     print(json.dumps(result))
 
 

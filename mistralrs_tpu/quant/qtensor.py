@@ -56,10 +56,11 @@ class QTensor:
     chunks: int = 1
 
     @property
-    def shape(self) -> tuple[int, int]:
-        """Logical (out_features, in_features)."""
-        kd, n = self.data.shape
-        return (n, kd * 2 if self.packed else kd)
+    def shape(self) -> tuple[int, ...]:
+        """Logical (*lead, out_features, in_features) — stacked tensors
+        (layer- or expert-banks) keep their leading dims."""
+        *lead, kd, n = self.data.shape
+        return (*lead, n, kd * 2 if self.packed else kd)
 
     @property
     def out_features(self) -> int:
