@@ -631,3 +631,77 @@ def _l4_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
         logits[:, -1], samp_state, key
     )
     return new_tokens, logprobs, tops, cache, samp_state
+
+
+class Gemma4Adapter:
+    """Serve Gemma 4 text (sliding/full dual-geometry attention, KV-shared
+    planes, PLE, optional parallel-MoE) via the engine. Plain per-type KV
+    pools → prefix caching works (shared layers read donor planes)."""
+
+    supports_prefix_cache = True
+    supports_embeds = True
+
+    def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
+        self.cfg = cfg
+        self.weights = weights
+        self.compute_dtype = compute_dtype
+        self.backend = backend
+        self._fcfg = _hashable(cfg)
+
+    def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
+        from ..models.gemma4 import make_paged_cache
+
+        self._block_size = block_size
+        return make_paged_cache(
+            self.cfg, num_blocks, block_size, dtype=self.compute_dtype
+        )
+
+    def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
+                last_indices, slot_ids, resets, embeds=None):
+        return _g4_fwd(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map, kv_lens, last_indices,
+            self._block_size, self.compute_dtype, embeds,
+        )
+
+    def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
+               samp_state, key):
+        return _g4_decode(
+            self.weights, self._fcfg, tokens, positions, cache, bt,
+            slot_map, kv_lens, samp_state, key,
+            self._block_size, self.compute_dtype,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _g4_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+            last_indices, block_size, compute_dtype, embeds=None):
+    from ..models.gemma4 import gemma4_forward_paged
+
+    return gemma4_forward_paged(
+        weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+        block_size=block_size, compute_dtype=compute_dtype,
+        logits_last_only=True, last_indices=last_indices,
+        input_embeds=embeds,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "compute_dtype")
+)
+def _g4_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
+               kv_lens, samp_state, key, block_size, compute_dtype):
+    from ..models.gemma4 import gemma4_forward_paged
+
+    logits, cache = gemma4_forward_paged(
+        weights, cfg, tokens[:, None], positions[:, None], cache, bt,
+        slot_map[:, None], kv_lens,
+        block_size=block_size, compute_dtype=compute_dtype,
+        logits_last_only=True,
+    )
+    new_tokens, logprobs, tops, samp_state = sample(
+        logits[:, -1], samp_state, key
+    )
+    return new_tokens, logprobs, tops, cache, samp_state

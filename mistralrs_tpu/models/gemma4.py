@@ -274,7 +274,9 @@ def make_paged_cache(
     cfg: Gemma4Config, num_blocks: int, block_size: int, n_slots: int = 0,
     dtype=jnp.float32,
 ) -> dict:
-    slots = num_blocks * block_size
+    # +1 trash block: dropped writes (slot −1) scatter into it (write_kv
+    # routes them to the last slot) without touching allocatable blocks
+    slots = (num_blocks + 1) * block_size
     return {
         "k_s": jnp.zeros(
             (cfg.num_kv_planes("sliding_attention"), cfg.num_kv_heads,

@@ -60,7 +60,7 @@ class Pipeline:
 # unified llama-family decoder: they serve through engine arch adapters.
 _SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
                       "mllama", "llama4", "llama4_text", "gemma3n",
-                      "gemma3n_text")
+                      "gemma3n_text", "gemma4", "gemma4_text")
 
 # vision-language model_types: text decoder serves through the engine,
 # vision tower + merge through a serving/vlm.py adapter (the analog of the
@@ -277,6 +277,11 @@ def _load_specialized(model_type: str, path: Path, dtype):
 
         cfg = Llama4Config.from_hf(hf_cfg)
         return cfg, llama4_text_weights_from_state_dict(sd, cfg)
+    if model_type in ("gemma4", "gemma4_text"):
+        from .models.gemma4 import Gemma4Config, gemma4_weights_from_state_dict
+
+        cfg = Gemma4Config.from_hf(hf_cfg)
+        return cfg, gemma4_weights_from_state_dict(sd, cfg)
     if model_type in ("gemma3n", "gemma3n_text"):
         from .models.gemma3n import (
             Gemma3nConfig,
@@ -294,6 +299,7 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
     from .engine.adapters import (
         DeepseekAdapter,
         Gemma3nAdapter,
+        Gemma4Adapter,
         Lfm2Adapter,
         Llama4Adapter,
         MllamaAdapter,
@@ -301,6 +307,7 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
     )
     from .models.deepseek import DeepseekConfig
     from .models.gemma3n import Gemma3nConfig
+    from .models.gemma4 import Gemma4Config
     from .models.lfm2 import Lfm2Config
     from .models.llama4 import Llama4Config
     from .models.mllama import MllamaConfig
@@ -308,6 +315,8 @@ def make_adapter(cfg, weights, compute_dtype=jnp.float32):
 
     if isinstance(cfg, Gemma3nConfig):
         return Gemma3nAdapter(cfg, weights, compute_dtype=compute_dtype)
+    if isinstance(cfg, Gemma4Config):
+        return Gemma4Adapter(cfg, weights, compute_dtype=compute_dtype)
     if isinstance(cfg, DeepseekConfig):
         return DeepseekAdapter(cfg, weights, compute_dtype=compute_dtype)
     if isinstance(cfg, Qwen3NextConfig):
