@@ -293,6 +293,33 @@ def _load_specialized(model_type: str, path: Path, dtype):
     raise ValueError(f"unhandled specialized arch {model_type!r}")
 
 
+def _maybe_gemma3n_vision(path, cfg, weights, hf_cfg, dtype):
+    """Build the gemma3n image VlmAdapter when the checkpoint carries the
+    MobileNetV5 tower (`model.vision_tower.timm_model.*` keys)."""
+    from .models.hf_loader import load_safetensors_dir
+
+    sd = load_safetensors_dir(path)
+    if not any(k.startswith("model.vision_tower.timm_model.") for k in sd):
+        return None
+    from .serving.vlm import gemma3n_image_adapter
+    from .vision.mobilenetv5 import (
+        gemma3n_vision_embedder_from_state_dict,
+        mobilenetv5_weights_from_state_dict,
+    )
+
+    vision_weights = mobilenetv5_weights_from_state_dict(sd, dtype=dtype)
+    embedder = gemma3n_vision_embedder_from_state_dict(sd, dtype=dtype)
+    tcfg = getattr(cfg, "text", None) or cfg
+    return gemma3n_image_adapter(
+        weights, tcfg, vision_weights, embedder,
+        image_token_id=int(hf_cfg.get("image_token_id", 262145)),
+        image_size=int(
+            (hf_cfg.get("vision_config") or {}).get("image_size", 768)
+        ),
+        compute_dtype=dtype,
+    )
+
+
 def make_adapter(cfg, weights, compute_dtype=jnp.float32):
     """Build the engine arch adapter for a specialized config, or None for
     the unified llama-family decoder (which serves natively)."""
@@ -404,7 +431,11 @@ def load_pipeline(
                 arch=model_type,
             )
             hf_cfg = json.loads(cfg_file.read_text())
-            return Pipeline(cfg, weights, tokenizer, ct, path.name, hf_cfg)
+            vlm = None
+            if model_type == "gemma3n":
+                vlm = _maybe_gemma3n_vision(path, cfg, weights, hf_cfg, dtype)
+            return Pipeline(cfg, weights, tokenizer, ct, path.name, hf_cfg,
+                            vlm=vlm)
         im = None
         if imatrix is not None:
             from .imatrix import load_imatrix

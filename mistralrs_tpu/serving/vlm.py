@@ -1029,3 +1029,64 @@ def lfm2_vl_adapter(
         return {"prompt_embeds": embeds}
 
     return VlmAdapter("lfm2_vl", image_token, process, prepare)
+
+
+def gemma3n_image_adapter(
+    text_weights: dict, text_cfg, vision_weights: dict, embedder: dict,
+    *, image_token_id: int, image_token: str = "<image_soft_token>",
+    image_size: int = 768, block_def=None, out_res=(16, 16),
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+) -> VlmAdapter:
+    """Gemma 3n image path: 768×768 (mean/std 0.5) → native MobileNetV5
+    tower → vision multimodal embedder → soft rows substituted at the
+    placeholder positions of the (pre-scaled) text embeds. Reference:
+    `vision_models/gemma3n/{vision.rs,multimodal_embedding.rs,mod.rs:225}`."""
+    import jax.numpy as jnp
+
+    from ..vision.mobilenetv5 import embed_vision_soft, vision_tower_forward
+
+    dtype = compute_dtype or jnp.float32
+    cache = encoder_cache or EncoderCache()
+    n_tok = out_res[0] * out_res[1]
+
+    def process(images):
+        px = np.stack([
+            preprocess_image(im, size=image_size, mean=(0.5,) * 3,
+                             std=(0.5,) * 3, resample="bilinear")
+            for im in images
+        ])  # [N, 3, H, W]
+        return ProcessedMedia(np.transpose(px, (0, 2, 3, 1)), [n_tok] * len(images))
+
+    def prepare(prompt_ids, media):
+        def encode(px):
+            feats = vision_tower_forward(
+                vision_weights, jnp.asarray(px[None], dtype),
+                block_def=block_def, out_res=out_res,
+            )
+            return embed_vision_soft(embedder, feats)[0]  # [n_tok, H_txt]
+
+        soft = [
+            cache.get_or_encode(px, encode, namespace="gemma3n-image")
+            for px in media.pixels
+        ]
+        ids = np.asarray(prompt_ids)
+        embeds = np.asarray(
+            text_weights["embed"], np.float32
+        )[np.where(ids < text_cfg.vocab_size, ids, 0)] * np.sqrt(
+            text_cfg.hidden_size
+        )
+        embeds = jnp.asarray(embeds, dtype)
+        img_pos = np.nonzero(ids == image_token_id)[0]
+        if len(img_pos) != sum(media.counts):
+            raise ValueError(
+                f"{len(img_pos)} image placeholders vs "
+                f"{sum(media.counts)} vision tokens"
+            )
+        off = 0
+        for s, count in zip(soft, media.counts):
+            pos = img_pos[off:off + count]
+            embeds = embeds.at[pos].set(s.astype(dtype))
+            off += count
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter("gemma3n", image_token, process, prepare)
