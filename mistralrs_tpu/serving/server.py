@@ -110,6 +110,10 @@ class ServerState:
         # /v1/files store (route_registry.rs files+containers analog)
         self.files: dict[str, dict] = {}
         self._file_counter = 0
+        # /v1/skills store (skills.rs analog; lazily created)
+        from ..skills import SkillStore
+
+        self.skills = SkillStore()
         # calibration state (re_isq/calibration routes)
         self.calibration: dict = {"status": "idle"}
         if engine is not None:
@@ -1083,6 +1087,69 @@ def build_app(state: ServerState) -> web.Application:
             {"deleted": ok, "id": request.match_info["fid"]},
             status=200 if ok else 404,
         )
+
+    # -- skills (route_registry.rs /v1/skills + skills.rs analog) ------------
+
+    @routes.get("/v1/skills")
+    async def skills_list(_req):
+        return web.json_response(
+            {"object": "list", "data": state.skills.list()}
+        )
+
+    @routes.post("/v1/skills")
+    async def skills_upload(request: web.Request):
+        """Zip body (application/zip) or JSON {"name", "files": {path:
+        text|{"b64": ...}}} — both become a versioned skill."""
+        name = request.query.get("name")
+        try:
+            if request.content_type in ("application/zip",
+                                        "application/octet-stream"):
+                data = await request.read()
+            else:
+                body = await request.json()
+                from ..skills import zip_skill
+
+                name = name or body.get("name")
+                files = {}
+                for rel, content in (body.get("files") or {}).items():
+                    if isinstance(content, dict):
+                        import base64
+
+                        files[rel] = base64.b64decode(content["b64"])
+                    else:
+                        files[rel] = content
+                data = zip_skill(files)
+            return web.json_response(state.skills.upload(data, name=name))
+        except (ValueError, KeyError) as e:
+            return web.json_response(
+                {"error": {"message": str(e)}}, status=422
+            )
+
+    @routes.get("/v1/skills/{sid}")
+    async def skills_get(request: web.Request):
+        obj = state.skills.get(request.match_info["sid"])
+        if obj is None:
+            return web.json_response(
+                {"error": {"message": "no such skill"}}, status=404
+            )
+        return web.json_response(obj)
+
+    @routes.delete("/v1/skills/{sid}")
+    async def skills_delete(request: web.Request):
+        ok = state.skills.delete(request.match_info["sid"])
+        return web.json_response(
+            {"deleted": ok, "id": request.match_info["sid"]},
+            status=200 if ok else 404,
+        )
+
+    @routes.get("/v1/skills/{sid}/versions")
+    async def skills_versions(request: web.Request):
+        vs = state.skills.versions(request.match_info["sid"])
+        if vs is None:
+            return web.json_response(
+                {"error": {"message": "no such skill"}}, status=404
+            )
+        return web.json_response({"object": "list", "data": vs})
 
     # -- re-ISQ + calibration (re_isq / calibration_* route analogs) ---------
 
