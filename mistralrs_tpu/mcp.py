@@ -2,7 +2,8 @@
 (`McpClientConfig` multi-server config, transports in `transport.rs:125,466,
 763`, tool discovery → engine tool callbacks).
 
-Transports: Process (JSON-RPC over stdio) and HTTP (JSON-RPC POST).
+Transports: Process (JSON-RPC over stdio), HTTP (JSON-RPC POST), and
+WebSocket (JSON-RPC over an aiohttp WS connection).
 Synchronous API (the engine's tool dispatch is host-side code); each call is
 a request/response exchange.
 """
@@ -22,9 +23,9 @@ PROTOCOL_VERSION = "2024-11-05"
 @dataclass
 class McpServerConfig:
     name: str
-    transport: str  # "process" | "http"
+    transport: str  # "process" | "http" | "websocket"
     command: Optional[list[str]] = None  # process
-    url: Optional[str] = None  # http
+    url: Optional[str] = None  # http / websocket (ws:// or wss://)
     bearer_token: Optional[str] = None
     tool_prefix: Optional[str] = None
 
@@ -107,6 +108,75 @@ class _HttpTransport:
         pass
 
 
+class _WebSocketTransport:
+    """JSON-RPC over a WebSocket (the analog of the reference's
+    tokio-tungstenite transport, `mistralrs-mcp/src/transport.rs:466`).
+    aiohttp's WS client runs on a dedicated event-loop thread behind the
+    same synchronous request/notify facade as the other transports."""
+
+    def __init__(self, url: str, bearer_token: Optional[str] = None,
+                 timeout: float = 30.0):
+        import asyncio
+
+        import aiohttp
+
+        self.timeout = timeout
+        self._loop = asyncio.new_event_loop()
+        self._thread = threading.Thread(target=self._loop.run_forever, daemon=True)
+        self._thread.start()
+        headers = {}
+        if bearer_token:
+            headers["Authorization"] = f"Bearer {bearer_token}"
+
+        async def _connect():
+            self._session = aiohttp.ClientSession()
+            self._ws = await self._session.ws_connect(url, headers=headers)
+
+        asyncio.run_coroutine_threadsafe(_connect(), self._loop).result(timeout)
+        self._lock = threading.Lock()
+
+    def _roundtrip(self, coro):
+        import asyncio
+
+        return asyncio.run_coroutine_threadsafe(coro, self._loop).result(
+            self.timeout
+        )
+
+    def request(self, method: str, params: Optional[dict] = None) -> Any:
+        rid = uuid.uuid4().hex[:8]
+        msg = {"jsonrpc": "2.0", "id": rid, "method": method,
+               "params": params or {}}
+
+        async def _rt():
+            await self._ws.send_json(msg)
+            while True:
+                resp = await self._ws.receive_json()
+                if resp.get("id") == rid:
+                    return resp
+
+        with self._lock:  # one in-flight request per connection
+            resp = self._roundtrip(_rt())
+        if "error" in resp:
+            raise RuntimeError(f"MCP error: {resp['error']}")
+        return resp.get("result")
+
+    def notify(self, method: str, params: Optional[dict] = None) -> None:
+        msg = {"jsonrpc": "2.0", "method": method, "params": params or {}}
+        with self._lock:
+            self._roundtrip(self._ws.send_json(msg))
+
+    def close(self):
+        async def _close():
+            await self._ws.close()
+            await self._session.close()
+
+        try:
+            self._roundtrip(_close())
+        except Exception:  # noqa: BLE001
+            pass
+        self._loop.call_soon_threadsafe(self._loop.stop)
+
+
 @dataclass
 class McpTool:
     server: str
@@ -140,6 +210,8 @@ class McpClient:
                 t = _ProcessTransport(srv.command)
             elif srv.transport == "http":
                 t = _HttpTransport(srv.url, srv.bearer_token)
+            elif srv.transport == "websocket":
+                t = _WebSocketTransport(srv.url, srv.bearer_token)
             else:
                 raise ValueError(f"unknown MCP transport {srv.transport!r}")
             t.request(

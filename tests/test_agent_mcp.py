@@ -200,3 +200,60 @@ def test_builtin_tools_and_approval_gating(tmp_path):
     r = _json.loads(gated["execute_python"]({"code": "print(40+2)"}))
     assert "42" in r.get("output", "")
     mgr.close_all()
+
+
+async def test_websocket_mcp_transport(aiohttp_server):
+    """WebSocket MCP server (JSON-RPC over WS) → tool discovery + call
+    (the analog of the reference's tokio-tungstenite transport,
+    mistralrs-mcp/src/transport.rs:466)."""
+    from aiohttp import web
+
+    from mistralrs_tpu.mcp import McpClient, McpClientConfig, McpServerConfig
+
+    async def ws_handler(request):
+        assert request.headers.get("Authorization") == "Bearer sekrit"
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        async for msg in ws:
+            req = json.loads(msg.data)
+            method = req.get("method")
+            if "id" not in req:
+                continue  # notification
+            if method == "initialize":
+                result = {"protocolVersion": "2024-11-05"}
+            elif method == "tools/list":
+                result = {"tools": [{
+                    "name": "add",
+                    "description": "adds",
+                    "inputSchema": {"type": "object"},
+                }]}
+            elif method == "tools/call":
+                a = req["params"]["arguments"]
+                result = {"content": [{"type": "text",
+                                       "text": str(a["x"] + a["y"])}]}
+            else:
+                result = {}
+            await ws.send_json({"jsonrpc": "2.0", "id": req["id"],
+                                "result": result})
+        return ws
+
+    app = web.Application()
+    app.router.add_get("/mcp", ws_handler)
+    server = await aiohttp_server(app)
+    url = f"ws://127.0.0.1:{server.port}/mcp"
+
+    import asyncio
+
+    def sync_part():
+        client = McpClient(McpClientConfig(servers=[
+            McpServerConfig(name="wss", transport="websocket", url=url,
+                            bearer_token="sekrit", tool_prefix="ws_"),
+        ]))
+        client.connect()
+        assert "ws_add" in client.tools
+        out = client.call_tool("ws_add", {"x": 2, "y": 40})
+        client.close()
+        return out
+
+    out = await asyncio.get_event_loop().run_in_executor(None, sync_part)
+    assert out == "42"
