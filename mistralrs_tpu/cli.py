@@ -356,9 +356,15 @@ def cmd_quantize(args):
         from .imatrix import load_imatrix
 
         im = load_imatrix(args.imatrix)
-    convert_hf_to_gguf(
-        sd, cfg, args.output, quant=t, tokenizer_metadata=tok_md, imatrix=im
-    )
+    if str(args.output).endswith(".uqff"):
+        # mistral.rs-interoperable UQFF artifact instead of GGUF
+        from .uqff import save_reference_uqff
+
+        save_reference_uqff(args.output, sd, t)
+    else:
+        convert_hf_to_gguf(
+            sd, cfg, args.output, quant=t, tokenizer_metadata=tok_md, imatrix=im
+        )
     print(f"wrote {args.output}")
     return 0
 

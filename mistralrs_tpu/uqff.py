@@ -247,3 +247,79 @@ def load_reference_uqff(path: str) -> dict[str, Any]:
                 continue
             sd[name] = st.get_tensor(name)
     return sd
+
+
+_UQFF_GGML_WRITE_CODES = {v: k for k, v in _UQFF_GGML_CODES.items()
+                          if not isinstance(v, str)}
+_UQFF_WRITE_VERSION = (1, 2, 0)
+
+
+def save_reference_uqff(
+    path: str,
+    sd: "dict[str, np.ndarray]",
+    quant,  # GGMLType | {hf_name → GGMLType | None}
+    *,
+    sensitive_boost: bool = True,
+) -> None:
+    """Write a mistral.rs-compatible UQFF v1.x artifact from a FLOAT state
+    dict (the inverse of :func:`load_reference_uqff`; reference container:
+    `mistralrs-quant/src/uqff/` — version scalars + per-layer
+    ``<prefix>.weight.format/dtype/shape`` keys with raw GGML block bytes).
+
+    ``quant`` is a single GGML type or a per-tensor map (None → store
+    unquantized with the UNQUANT serde tag). 1-D tensors and shapes the
+    k-quant block layout cannot cover pass through as plain tensors.
+    ``sensitive_boost`` applies the reference's sensitive-tensor policy
+    (embeddings / lm_head at Q8_0 when a ≤4-bit type is requested)."""
+    from .gguf.constants import type_traits
+    from .gguf.quants import QUANTIZERS, quantize
+
+    out: dict[str, np.ndarray] = {}
+    maj, minor, patch = _UQFF_WRITE_VERSION
+    out["uqff.version.major"] = np.asarray([maj], np.uint32)
+    out["uqff.version.minor"] = np.asarray([minor], np.uint32)
+    out["uqff.version.patch"] = np.asarray([patch], np.uint32)
+
+    def type_for(name: str, arr) -> Any:
+        t = quant.get(name) if isinstance(quant, dict) else quant
+        if t is None or arr.ndim != 2:
+            return None
+        if sensitive_boost and (
+            "embed" in name or "lm_head" in name or "output.weight" in name
+        ):
+            from .gguf.constants import GGMLType as _G
+
+            bits4 = t in (_G.Q4_0, _G.Q4_1, _G.Q4_K, _G.Q2_K, _G.Q3_K)
+            t = _G.Q8_0 if bits4 else t
+        if t not in QUANTIZERS:
+            return None
+        blk = type_traits(t).block_size
+        return t if arr.shape[-1] % blk == 0 else None
+
+    for name, arr in sd.items():
+        arr = np.asarray(arr)
+        if not name.endswith(".weight"):
+            out[name] = arr.astype(np.float32)
+            continue
+        prefix = name[: -len(".weight")]
+        t = type_for(name, arr)
+        if t is None:
+            out[name] = arr.astype(np.float32)
+            # linear weights still need the serde tag so the reference
+            # loader recognizes them; plain norms are residual tensors
+            if arr.ndim == 2:
+                out[name + ".format"] = np.asarray([_SERDE_UNQUANT], np.uint8)
+            continue
+        raw = quantize(arr.astype(np.float32), t)
+        out[name] = np.asarray(raw, np.uint8)
+        out[name + ".format"] = np.asarray([_SERDE_GGUF], np.uint8)
+        out[name + ".dtype"] = np.asarray(
+            [_UQFF_GGML_WRITE_CODES[t]], np.uint8
+        )
+        out[name + ".shape"] = np.asarray(arr.shape, np.uint32)
+        bias = sd.get(prefix + ".bias")
+        if bias is not None:
+            out[prefix + ".bias"] = np.asarray(bias, np.float32)
+    from safetensors.numpy import save_file
+
+    save_file(out, path)

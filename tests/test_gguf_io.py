@@ -206,3 +206,68 @@ def test_load_pipeline_from_uqff_overlay(tmp_path):
     seq = eng.add_request([1, 5, 9], SamplingParams(temperature=0.0, max_tokens=4))
     eng.run_to_completion()
     assert len(seq.output_ids) == 4
+
+
+def test_reference_uqff_writer_roundtrip(tmp_path):
+    """save_reference_uqff emits a mistral.rs-compatible v1.x artifact:
+    our own reader decodes it, quantized weights match the direct
+    quantize→dequantize result bit-for-bit, the sensitive-tensor policy
+    boosts embeddings/lm_head to Q8_0, and unquantizable shapes pass
+    through dense (reference container: mistralrs-quant/src/uqff/)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mistralrs_tpu.gguf import dequantize, quantize
+    from mistralrs_tpu.quant.linear import QTensor
+    from mistralrs_tpu.uqff import (
+        is_reference_uqff, load_reference_uqff, save_reference_uqff,
+    )
+
+    rng = np.random.default_rng(1)
+    sd = {
+        "model.layers.0.self_attn.q_proj.weight":
+            rng.standard_normal((8, 512), dtype=np.float32),
+        "model.layers.0.self_attn.q_proj.bias":
+            rng.standard_normal(8).astype(np.float32),
+        "model.embed_tokens.weight":
+            rng.standard_normal((32, 256), dtype=np.float32),
+        # last dim not divisible by 256 -> stored dense
+        "model.layers.0.mlp.gate_proj.weight":
+            rng.standard_normal((4, 48), dtype=np.float32),
+        "model.norm.weight": np.ones(16, np.float32),
+    }
+    f = tmp_path / "out.uqff"
+    save_reference_uqff(str(f), sd, GGMLType.Q4_K)
+    assert is_reference_uqff(str(f))
+
+    back = load_reference_uqff(str(f))
+    qt = back["model.layers.0.self_attn.q_proj.weight"]
+    assert isinstance(qt, QTensor) and qt.ggml_type == GGMLType.Q4_K
+    ref = dequantize(quantize(sd["model.layers.0.self_attn.q_proj.weight"],
+                              GGMLType.Q4_K), GGMLType.Q4_K, (8, 512))
+    np.testing.assert_array_equal(np.asarray(qt.dequantize(jnp.float32)), ref)
+    np.testing.assert_array_equal(
+        back["model.layers.0.self_attn.q_proj.bias"],
+        sd["model.layers.0.self_attn.q_proj.bias"])
+    # sensitive-tensor boost: embeddings at Q8_0 when a 4-bit type is asked
+    et = back["model.embed_tokens.weight"]
+    assert isinstance(et, QTensor) and et.ggml_type == GGMLType.Q8_0
+    # unquantizable last dim -> dense passthrough
+    np.testing.assert_array_equal(back["model.layers.0.mlp.gate_proj.weight"],
+                                  sd["model.layers.0.mlp.gate_proj.weight"])
+    np.testing.assert_array_equal(back["model.norm.weight"],
+                                  sd["model.norm.weight"])
+
+    # per-tensor map: None keeps a layer dense with the UNQUANT serde tag
+    f2 = tmp_path / "mixed.uqff"
+    save_reference_uqff(
+        str(f2), sd,
+        {"model.layers.0.self_attn.q_proj.weight": GGMLType.Q6_K,
+         "model.embed_tokens.weight": None,
+         "model.layers.0.mlp.gate_proj.weight": None},
+    )
+    back2 = load_reference_uqff(str(f2))
+    qt2 = back2["model.layers.0.self_attn.q_proj.weight"]
+    assert isinstance(qt2, QTensor) and qt2.ggml_type == GGMLType.Q6_K
+    np.testing.assert_array_equal(back2["model.embed_tokens.weight"],
+                                  sd["model.embed_tokens.weight"])
