@@ -1,0 +1,250 @@
+"""Published ΔPPL protocol: quantization quality on a *trained* model over
+real text (the in-image analog of the reference's llama.cpp perplexity
+validation, `releases/v0.8.2/report.md:47`; BASELINE.md's ≤0.1 ΔPPL target).
+
+The image is offline (no real checkpoints), so this scales up the
+trained-tiny protocol from tests/test_perplexity.py: a byte-level llama
+(4 layers, hidden 256 — every matmul K dim a multiple of 256 so k-quants
+cover all tensors) trained to convergence on ~300 KB of real English text
+(/usr/share/common-licenses + the Python license), then evaluated on a
+held-out tail with the same sliding-window NLL used by `cli perplexity`.
+Random weights would make every quant look lossless; training gives the
+weight distribution structure that quantization error actually damages.
+
+Writes delta_ppl.json and prints the markdown table committed to
+docs/quantization.md.
+
+Usage:  python scripts/delta_ppl.py [--steps 900] [--out delta_ppl.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mistralrs_tpu.gguf.constants import GGMLType  # noqa: E402
+from mistralrs_tpu.models import ModelConfig  # noqa: E402
+from mistralrs_tpu.models.hf_loader import weights_from_state_dict  # noqa: E402
+from mistralrs_tpu.perplexity import compute_perplexity  # noqa: E402
+
+CFG = ModelConfig(
+    arch="llama", vocab_size=256, hidden_size=256, intermediate_size=768,
+    num_layers=4, num_heads=4, num_kv_heads=2, head_dim=64,
+    max_position_embeddings=512,
+)
+
+CORPUS_FILES = [
+    "/usr/share/common-licenses/GPL-3",
+    "/usr/share/common-licenses/Apache-2.0",
+    "/usr/share/common-licenses/GFDL-1.3",
+    "/usr/share/common-licenses/LGPL-3",
+    "/usr/share/common-licenses/MPL-2.0",
+    "/usr/share/common-licenses/Artistic",
+    "/usr/lib/python3.11/LICENSE.txt",
+]
+
+
+def load_corpus() -> np.ndarray:
+    parts = []
+    for f in CORPUS_FILES:
+        p = Path(f)
+        if p.exists():
+            parts.append(p.read_bytes())
+    text = b"\n\n".join(parts)
+    return np.frombuffer(text, np.uint8).astype(np.int32)
+
+
+def state_dict(cfg: ModelConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.05).astype(np.float32)
+
+    sd = {
+        "model.embed_tokens.weight": r(cfg.vocab_size, cfg.hidden_size),
+        "model.norm.weight": np.ones(cfg.hidden_size, np.float32),
+        "lm_head.weight": r(cfg.vocab_size, cfg.hidden_size),
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        sd[p + "self_attn.q_proj.weight"] = r(cfg.q_dim, cfg.hidden_size)
+        sd[p + "self_attn.k_proj.weight"] = r(cfg.kv_dim, cfg.hidden_size)
+        sd[p + "self_attn.v_proj.weight"] = r(cfg.kv_dim, cfg.hidden_size)
+        sd[p + "self_attn.o_proj.weight"] = r(cfg.hidden_size, cfg.q_dim)
+        sd[p + "mlp.gate_proj.weight"] = r(cfg.intermediate_size, cfg.hidden_size)
+        sd[p + "mlp.up_proj.weight"] = r(cfg.intermediate_size, cfg.hidden_size)
+        sd[p + "mlp.down_proj.weight"] = r(cfg.hidden_size, cfg.intermediate_size)
+    return sd
+
+
+REV = {
+    "wq": "self_attn.q_proj.weight", "wk": "self_attn.k_proj.weight",
+    "wv": "self_attn.v_proj.weight", "wo": "self_attn.o_proj.weight",
+    "gate": "mlp.gate_proj.weight", "up": "mlp.up_proj.weight",
+    "down": "mlp.down_proj.weight", "attn_norm": "input_layernorm.weight",
+    "ffn_norm": "post_attention_layernorm.weight",
+}
+
+
+def to_state_dict(w, cfg: ModelConfig) -> dict:
+    sd = {
+        "model.embed_tokens.weight": np.asarray(w["embed"], np.float32),
+        "model.norm.weight": np.asarray(w["final_norm"], np.float32),
+        "lm_head.weight": np.asarray(w["lm_head"], np.float32),
+    }
+    for i in range(cfg.num_layers):
+        for key, suffix in REV.items():
+            sd[f"model.layers.{i}.{suffix}"] = np.asarray(
+                w["layers"][key][i], np.float32
+            )
+    return sd
+
+
+def train(sd: dict, ids: np.ndarray, steps: int, bs: int = 8, t: int = 128,
+          lr: float = 3e-3, seed: int = 0):
+    import optax
+
+    from mistralrs_tpu.generate import _freeze
+    from mistralrs_tpu.models.llama import KVCache, forward
+
+    w = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    params = {
+        "embed": w["embed"], "final_norm": w["final_norm"],
+        "lm_head": w["lm_head"], "layers": w["layers"],
+    }
+    static = {k: v for k, v in w.items() if k not in params}
+    fcfg = _freeze(CFG)
+    opt = optax.adam(lr)
+    state = opt.init(params)
+    rng = np.random.default_rng(seed)
+    starts_all = len(ids) - t - 1
+
+    def loss_fn(params, batch):
+        wfull = {**static, **params}
+        x, y = batch[:, :-1], batch[:, 1:]
+        cache = KVCache.create(CFG, x.shape[0], t, dtype=jnp.float32)
+        positions = jnp.broadcast_to(jnp.arange(t)[None], x.shape).astype(jnp.int32)
+        logits, _ = forward(
+            wfull, fcfg, x, positions, cache,
+            jnp.zeros((x.shape[0],), jnp.int32), compute_dtype=jnp.float32,
+        )
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.take_along_axis(lp, y[..., None], axis=-1).mean()
+
+    @jax.jit
+    def step(params, state, batch):
+        l, g = jax.value_and_grad(loss_fn)(params, batch)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, l
+
+    t0 = time.time()
+    for i in range(steps):
+        s = rng.integers(0, starts_all, bs)
+        batch = jnp.asarray(np.stack([ids[j: j + t + 1] for j in s]))
+        params, state, loss = step(params, state, batch)
+        if i % 50 == 0 or i == steps - 1:
+            print(f"step {i:4d} loss {float(loss):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return {**static, **params}
+
+
+def ppl(w, eval_ids: np.ndarray, window: int = 256) -> float:
+    return compute_perplexity(
+        w, CFG, eval_ids, window=window, batch_size=4,
+        compute_dtype=jnp.float32,
+    )["ppl"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=900)
+    ap.add_argument("--out", default="delta_ppl.json")
+    args = ap.parse_args()
+
+    corpus = load_corpus()
+    n_eval = 24576
+    train_ids, eval_ids = corpus[:-n_eval], corpus[-n_eval:]
+    print(f"corpus {len(corpus)} bytes: train {len(train_ids)}, "
+          f"eval {len(eval_ids)}", flush=True)
+
+    sd0 = state_dict(CFG)
+    w0 = weights_from_state_dict(sd0, CFG, dtype=jnp.float32)
+    ppl_untrained = ppl(w0, eval_ids)
+    print(f"untrained ppl {ppl_untrained:.3f}", flush=True)
+
+    trained = train(sd0, train_ids, steps=args.steps)
+    sd_t = to_state_dict(trained, CFG)
+    base = ppl(trained, eval_ids)
+    print(f"f32 ppl {base:.4f}", flush=True)
+
+    results = {
+        "protocol": "trained-tiny byte-level llama (4L/256H/768I) on "
+                    "common-licenses text; held-out tail, window=256",
+        "eval_bytes": int(len(eval_ids)),
+        "train_bytes": int(len(train_ids)),
+        "steps": args.steps,
+        "ppl_untrained": float(ppl_untrained),
+        "ppl_f32": float(base),
+        "quants": {},
+    }
+
+    fmts = [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+            GGMLType.Q8_0]
+    for t in fmts:
+        wq = weights_from_state_dict(sd_t, CFG, dtype=jnp.float32, isq=t)
+        p = ppl(wq, eval_ids)
+        results["quants"][t.name.lower()] = {
+            "ppl": float(p), "delta_ppl": float(p - base),
+            "delta_pct": float((p - base) / base * 100),
+        }
+        print(f"{t.name}: ppl {p:.4f} Δ {p - base:+.4f} "
+              f"({(p - base) / base * 100:+.2f}%)", flush=True)
+
+    # imatrix-weighted variants: calibrate on a slice of the training text
+    from mistralrs_tpu.imatrix import ImatrixCollector
+
+    coll = ImatrixCollector(CFG)
+    calib = train_ids[: 16 * 512].reshape(16, 512)[:, :256]
+    for row in calib.reshape(8, 2, 256):
+        coll.update(trained, row)
+    im = coll.finalize()
+    for t in (GGMLType.Q4_K, GGMLType.Q5_K):
+        wq = weights_from_state_dict(
+            sd_t, CFG, dtype=jnp.float32, isq=t, imatrix=im
+        )
+        p = ppl(wq, eval_ids)
+        results["quants"][t.name.lower() + "+imatrix"] = {
+            "ppl": float(p), "delta_ppl": float(p - base),
+            "delta_pct": float((p - base) / base * 100),
+        }
+        print(f"{t.name}+imatrix: ppl {p:.4f} Δ {p - base:+.4f} "
+              f"({(p - base) / base * 100:+.2f}%)", flush=True)
+
+    Path(args.out).write_text(json.dumps(results, indent=2))
+
+    # markdown table for docs/quantization.md
+    print("\n| Format | PPL | ΔPPL | ΔPPL % |")
+    print("|---|---|---|---|")
+    print(f"| f32 (base) | {base:.4f} | — | — |")
+    for name, r in results["quants"].items():
+        print(f"| {name} | {r['ppl']:.4f} | {r['delta_ppl']:+.4f} "
+              f"| {r['delta_pct']:+.2f}% |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
