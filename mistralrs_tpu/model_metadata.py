@@ -32,7 +32,69 @@ _ARCH_NOTES = {
     "phi3": ("Phi-3/3.5", "fused qkv/gate_up"),
     "smollm3": ("SmolLM 3", "NoPE layers"),
     "starcoder2": ("StarCoder 2", "LayerNorm + gateless MLP"),
+    "phimoe": ("Phi-3.5-MoE", "sparsemixer top-2 routing, LayerNorms"),
 }
+
+# standalone modules (non-uniform layer stacks): (name, classes, notes)
+_STANDALONE = [
+    ("DeepSeek V2/V3", "`DeepseekV2ForCausalLM`, `DeepseekV3ForCausalLM`",
+     "MLA attention, noaux-tc MoE (`models/deepseek.py`)"),
+    ("LFM2", "`Lfm2ForCausalLM`",
+     "hybrid short-conv/attention, conv-state cache (`models/lfm2.py`)"),
+    ("Qwen3-Next", "`Qwen3NextForCausalLM`",
+     "gated DeltaNet (GDN) linear attention + gated attention + MoE"
+     " (`models/qwen3next.py`)"),
+    ("Gemma 3n", "`Gemma3nForCausalLM`",
+     "AltUp streams, Laurel residuals, per-layer inputs, KV-shared planes,"
+     " MatFormer slicing (`models/gemma3n.py`)"),
+    ("Gemma 4", "(reference-spec)",
+     "per-type head geometry, proportional partial RoPE, k=v layers,"
+     " parallel MoE, double-wide KV-shared MLPs (`models/gemma4.py`)"),
+    ("Llama 4", "`Llama4ForCausalLM`",
+     "chunked attention, input-scaled MoE (`models/llama4.py`)"),
+]
+
+# vision / audio families: (name, classes, notes)
+_MULTIMODAL = [
+    ("LLaVA / LLaVA-NeXT", "`Llava(Next)ForConditionalGeneration`",
+     "CLIP tower (+anyres unpad/newline)"),
+    ("Idefics2 / Idefics3", "`Idefics*ForConditionalGeneration`",
+     "perceiver resampler / pixel shuffle"),
+    ("Gemma 3 VL", "`Gemma3ForConditionalGeneration`",
+     "SigLIP + mean-pool projector"),
+    ("Gemma 3n audio", "`Gemma3nAudioEncoder`",
+     "USM conformer, cumulative group norm"),
+    ("Gemma 3n vision", "(reference-spec)",
+     "native MobileNetV5 tower: UIB/MQA stages, multi-scale fusion"
+     " (`vision/mobilenetv5.py`)"),
+    ("Qwen2-VL / Qwen2.5-VL", "`Qwen2(_5)_VLForConditionalGeneration`",
+     "M-RoPE; windowed tower (2.5)"),
+    ("Qwen3-VL (+MoE)", "`Qwen3VL(Moe)ForConditionalGeneration`",
+     "DeepStack injection, interleaved M-RoPE"),
+    ("Qwen2.5-Omni thinker", "`Qwen2_5OmniThinkerForConditionalGeneration`",
+     "chunked audio tower + image"),
+    ("Qwen3-Omni thinker", "`Qwen3OmniMoeThinkerForConditionalGeneration`",
+     "/8 conv2d audio tower + MoE text"),
+    ("Qwen3.5", "(reference-spec)",
+     "hybrid GDN text + DeepStack tower (`models/qwen3_5.py`)"),
+    ("GLM-4V / GLM-4.5V", "`Glm4v(Moe)ForConditionalGeneration`",
+     "bicubic pos grid, partial M-RoPE"),
+    ("Mllama (Llama 3.2 V)", "`MllamaForConditionalGeneration`",
+     "cross-attention, per-slot cross-K/V"),
+    ("Llama 4 VL", "`Llama4ForConditionalGeneration`", "pixel-shuffle tower"),
+    ("Mistral 3 / Pixtral", "`Mistral3ForConditionalGeneration`",
+     "packed crops, 2D rope, patch merger"),
+    ("Phi-4-multimodal", "`Phi4MultimodalForCausalLM`",
+     "HD crops, causal SigLIP tower"),
+    ("Phi-3-vision", "(reference-spec)",
+     "HD sub_glb assembly (`models/phi3v.py`)"),
+    ("LFM2-VL", "`Lfm2VlForConditionalGeneration`",
+     "SigLIP2-NaFlex, pixel unshuffle"),
+    ("MiniCPM-O", "(reference-spec)",
+     "learned-query resampler (`models/minicpmo.py`)"),
+    ("Voxtral", "`VoxtralForConditionalGeneration`",
+     "Whisper-style audio understanding"),
+]
 
 _FORMATS = "GGUF (Q2_K–Q8_0 k-quants), safetensors (bf16/f16/f32), GPTQ, AWQ, UQFF-TPU"
 
@@ -58,19 +120,29 @@ def render_supported_models_markdown() -> str:
     lines.append("")
     lines.append("| Architecture | HF class | Notes |")
     lines.append("|---|---|---|")
-    lines.append("| DeepSeek V2/V3 | `DeepseekV2ForCausalLM`, `DeepseekV3ForCausalLM`"
-                 " | MLA attention, noaux-tc MoE (`models/deepseek.py`) |")
-    lines.append("| LFM2 | `Lfm2ForCausalLM` | hybrid short-conv/attention,"
-                 " conv-state cache (`models/lfm2.py`) |")
-    lines.append("| Qwen3-Next | `Qwen3NextForCausalLM` | gated DeltaNet (GDN)"
-                 " linear attention + gated attention + MoE (`models/qwen3next.py`) |")
-    lines.append("| LLaVA | `LlavaForConditionalGeneration` | CLIP/SigLIP tower"
-                 " + projector (`models/llava.py`) |")
+    for name, classes, notes in _STANDALONE:
+        lines.append(f"| {name} | {classes} | {notes} |")
     lines.append("")
-    lines.append("Verified by exact logit parity against the HF `transformers`")
-    lines.append("reference implementations (`tests/test_arch_parity.py`,")
-    lines.append("`tests/test_lfm2.py`, `tests/test_qwen3next.py`,")
-    lines.append("`tests/test_deepseek.py`).")
+    lines.append("Vision / audio (all engine-served through the prompt-embeds"
+                 " path with")
+    lines.append("OpenAI `image_url` / `input_audio` chat parts; HF greedy"
+                 " parity where a")
+    lines.append("transformers class exists):")
+    lines.append("")
+    lines.append("| Family | HF class | Notes |")
+    lines.append("|---|---|---|")
+    for name, classes, notes in _MULTIMODAL:
+        lines.append(f"| {name} | {classes} | {notes} |")
+    lines.append("")
+    lines.append("Verified by exact logit / greedy parity against the HF"
+                 " `transformers`")
+    lines.append("reference implementations (`tests/test_arch_parity.py` and"
+                 " the per-family")
+    lines.append("`tests/test_*.py`); reference-spec families (no HF class in"
+                 " this")
+    lines.append("environment) are verified structurally against the"
+                 " mistral.rs algorithms")
+    lines.append("plus torch-module parity where possible.")
     lines.append("")
     return "\n".join(lines)
 
