@@ -297,7 +297,30 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
         experts, is_leaf=lambda l: isinstance(l, QTensor)
     )[0].shape[0]
     ep = tp_axis is not None and n_local != cfg.num_experts
-    if (
+    grouped = (
+        not dense_experts
+        and {"gate", "up", "down"} <= set(experts)
+        and _os.environ.get("MRSTPU_MOE_GROUPED", "1") != "0"
+    )
+    if grouped:
+        # quantized banks: grouped (ragged) kernels — top_k/E of the dense
+        # scan's FLOPs and no per-expert dynamic-slice copies
+        from ..ops.moe_grouped import moe_grouped_mlp
+
+        off = None
+        if ep:
+            off = jax.lax.axis_index(tp_axis) * n_local
+        out = moe_grouped_mlp(
+            x.reshape(-1, x.shape[-1]),
+            experts,
+            topw.reshape(-1, topw.shape[-1]),
+            topi.reshape(-1, topi.shape[-1]),
+            act,
+            expert_offset=off,
+            num_local=n_local if ep else None,
+            backend=backend,
+        ).reshape(b, t, -1)
+    elif (
         dense_experts
         and not ep
         and "gate" in experts

@@ -602,3 +602,201 @@ def quant_matmul(
     if bias_mxu:
         out = (out + _bias_term(x2, qt.bias, qt.group_size)).astype(out_dtype)
     return out.reshape(*batch, n)
+
+
+# ---------------------------------------------------------------------------
+# grouped (ragged) kernels — MoE expert banks
+# ---------------------------------------------------------------------------
+#
+# The megablox formulation (TPU analog of the reference's grouped MoE GEMM,
+# `mistralrs-quant/kernels/moe_grouped/`): tokens arrive SORTED by expert and
+# padded so every TM-row tile belongs to exactly one expert; a scalar-prefetch
+# vector `tile_idx[i]` names that expert (or `layer*E + expert` for stacked
+# per-layer banks) and offsets the weight BlockSpecs, so each tile streams its
+# own expert's quantized planes straight from the stacked HBM buffer. The
+# kernel bodies are the SAME as the layer-indexed variants; only the index
+# maps differ. k-quant "min" planes ride into the kernel here (per-tile
+# experts defeat the groupsum-matmul trick, which needs one bias per call).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "dequant_dtype", "out_dtype", "tm", "interpret"),
+)
+def _w4_matmul_g(
+    x, packed, scale, bias, tile_idx,
+    *, group_size, dequant_dtype, out_dtype, tm, interpret,
+):
+    """w4 grouped matmul: row-tile i of ``x`` (``[T*tm, K]``, sorted+padded)
+    multiplies bank entry ``tile_idx[i]`` of ``packed [NB, Kst, N]``."""
+    mp, k = x.shape
+    nb, k2, n = packed.shape
+    t = mp // tm
+    _, tn, tk = _pick_tiles(tm, n, k2, group_size)
+    grid = (t, _cdiv(n, tn), k2 // tk)
+    gpt = tk // group_size
+    khalf = k2 // tk
+    g2 = scale.shape[1] // 2
+
+    scale4 = scale.reshape(nb, 2, g2, n)
+    bias4 = None if bias is None else bias.reshape(nb, 2, g2, n)
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            g, x_lo, x_hi, p, s_lo, s_hi, b_lo, b_hi, o, acc = refs
+        else:
+            g, x_lo, x_hi, p, s_lo, s_hi, o, acc = refs
+            b_lo = b_hi = None
+        _w4_matmul_l_kernel(
+            g, x_lo, x_hi, p, s_lo, s_hi, b_lo, b_hi, o, acc,
+            group_size=group_size, dequant_dtype=dequant_dtype,
+        )
+
+    s_lo_spec = pl.BlockSpec((1, 1, gpt, tn), lambda i, j, kk, g: (g[i], 0, kk, j))
+    s_hi_spec = pl.BlockSpec((1, 1, gpt, tn), lambda i, j, kk, g: (g[i], 1, kk, j))
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk, g: (i, kk)),
+        pl.BlockSpec((tm, tk), lambda i, j, kk, g: (i, khalf + kk)),
+        pl.BlockSpec((1, tk, tn), lambda i, j, kk, g: (g[i], kk, j)),
+        s_lo_spec,
+        s_hi_spec,
+    ]
+    args = [x, x, packed, scale4, scale4]
+    if has_bias:
+        in_specs += [s_lo_spec, s_hi_spec]
+        args += [bias4, bias4]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, g: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * n * k2,
+            bytes_accessed=t * (tn * _cdiv(n, tn)) * k2
+            + mp * k2 * 2 * 2 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(tile_idx, jnp.int32), *args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size", "dequant_dtype", "out_dtype", "signed", "tm", "interpret"
+    ),
+)
+def _w8_matmul_g(
+    x, codes, scale, bias, tile_idx,
+    *, group_size, dequant_dtype, out_dtype, signed, tm, interpret,
+):
+    mp, k = x.shape
+    nb, _, n = codes.shape
+    t = mp // tm
+    _, tn, tk = _pick_tiles(tm, n, k, group_size)
+    grid = (t, _cdiv(n, tn), k // tk)
+    gpt = tk // group_size
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            g, x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref = refs
+        else:
+            g, x_ref, q_ref, s_ref, o_ref, acc_ref = refs
+            b_ref = None
+        _w8_matmul_l_kernel(
+            g, x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref,
+            group_size=group_size, dequant_dtype=dequant_dtype, signed=signed,
+        )
+
+    s_spec = pl.BlockSpec((1, gpt, tn), lambda i, j, kk, g: (g[i], kk, j))
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk, g: (i, kk)),
+        pl.BlockSpec((1, tk, tn), lambda i, j, kk, g: (g[i], kk, j)),
+        s_spec,
+    ]
+    args = [x, codes, scale]
+    if has_bias:
+        in_specs.append(s_spec)
+        args.append(bias)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, g: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=t * n * k + mp * k * 2 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(tile_idx, jnp.int32), *args)
+
+
+def quant_matmul_grouped(
+    x: jax.Array,
+    qt: QTensor,
+    tile_idx: jax.Array,
+    *,
+    tm: int,
+    out_dtype=None,
+    dequant_dtype=jnp.bfloat16,
+    backend: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped ``x @ w[tile_idx[i]].T`` over a stacked bank ``qt [NB, N, K]``.
+
+    ``x`` is ``[T*tm, K]`` (tokens sorted by bank entry, groups padded to a
+    ``tm`` multiple); ``tile_idx`` is ``[T]`` i32 — the bank entry every
+    row-tile multiplies. The XLA path materializes per-tile weights (numeric
+    reference; fine on CPU, not for production)."""
+    if backend is None:
+        backend = _default_backend()
+    out_dtype = out_dtype or x.dtype
+    mp, k = x.shape
+    n = qt.data.shape[-1] if not qt.packed else qt.data.shape[-1]
+    if backend == "xla":
+        w = qt.dequantize(dequant_dtype)  # [NB, N, K]
+        wt = w[tile_idx]  # [T, N, K]
+        xt = x.reshape(-1, tm, k)
+        out = jnp.einsum(
+            "tmk,tnk->tmn", xt.astype(dequant_dtype), wt,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(mp, -1).astype(out_dtype)
+    x2 = x.astype(dequant_dtype)
+    if qt.packed:
+        if qt.chunks != 1:
+            raise ValueError("grouped Pallas path needs single-chunk packing")
+        return _w4_matmul_g(
+            x2, qt.data, qt.scale, qt.bias, tile_idx,
+            group_size=qt.group_size, dequant_dtype=dequant_dtype,
+            out_dtype=out_dtype, tm=tm, interpret=interpret,
+        )
+    return _w8_matmul_g(
+        x2, qt.data, qt.scale, qt.bias, tile_idx,
+        group_size=qt.group_size, dequant_dtype=dequant_dtype,
+        out_dtype=out_dtype, signed=qt.data.dtype == jnp.int8,
+        tm=tm, interpret=interpret,
+    )

@@ -155,7 +155,20 @@ class QTensor:
         return self.data.astype(jnp.int32) & 0xFF
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
-        """Full dequantization via XLA; returns logical ``[N, K]``."""
+        """Full dequantization via XLA; returns logical ``[*lead, N, K]``
+        (stacked layer/expert banks map over their leading dims)."""
+        if self.data.ndim > 2:
+            if self.bias is None:
+                fn = jax.vmap(
+                    lambda d, s: replace(self, data=d, scale=s).dequantize(dtype)
+                )
+                return fn(self.data, self.scale)
+            fn = jax.vmap(
+                lambda d, s, b: replace(
+                    self, data=d, scale=s, bias=b
+                ).dequantize(dtype)
+            )
+            return fn(self.data, self.scale, self.bias)
         n, k = self.shape
         g = k // self.group_size
         q = self.unpack_codes().astype(jnp.float32).reshape(g, self.group_size, n)
