@@ -329,17 +329,22 @@ def deepseek_forward(
 
 
 def _mla_attention_paged(
-    cfg, lw, h, cos, sin, pool, write_slots, gather_slots, positions, kv_lens,
-    backend,
+    cfg, lw, h, cos, sin, pool, li, write_slots, gather_slots, positions,
+    kv_lens, backend, block_size=None, block_tables=None,
 ):
     """Absorbed MLA over a PAGED latent pool (the engine-serving analog of
     the reference's MLA decode path + paged cache,
     `mistralrs-core/src/mla/` + `paged_attention/cache_engine.rs`).
 
-    The pool stores ``[compressed_latent ‖ roped k_pe]`` rows — one row per
-    token — so MLA is MQA over the combined vector: scores = [q_lat ‖ q_pe]
-    · row, values = row[:rank]. Dropped writes (slot < 0) land in the trash
-    row at the end of the pool."""
+    The pool stores ``[compressed_latent ‖ roped k_pe]`` rows (zero-padded
+    to a 128-lane multiple) — one row per token — so MLA is MQA over the
+    combined vector: scores = [q_lat ‖ q_pe] · row, values = row[:rank].
+    Dropped writes (slot < 0) land in the trash row at the end of the pool.
+
+    ``pool`` is the FULL segment ``[Lseg, S_total, D_pad]`` with ``li`` the
+    layer plane; at decode (t == 1) on TPU the fused Pallas kernel
+    (`ops/mla_attention.py`) writes + attends in one pass — the analog of
+    `concat_and_cache_mla.cu` + `flashinfer_mla_decode.cu`."""
     b, t, _ = h.shape
     nh = cfg.num_heads
     rank = cfg.kv_lora_rank
@@ -361,12 +366,44 @@ def _mla_attention_paged(
     )
     k_pe = _interleaved_rope(ckv[..., None, rank:], cos, sin)[:, :, 0]
     rows = jnp.concatenate([compressed, k_pe], axis=-1)  # [B,T,D]
+    d_pad = pool.shape[-1]
+    d = rows.shape[-1]
+    if d_pad != d:  # zero pad contributes 0 to every score
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, d_pad - d)))
+        q_comb = jnp.pad(q_comb, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
 
-    trash = pool.shape[0] - 1
+    import os as _os
+
+    use_kernel = (
+        t == 1
+        and block_tables is not None
+        and rank % 128 == 0
+        and block_size is not None
+        and block_size % 8 == 0
+        and (backend == "pallas"
+             or (backend is None and jax.default_backend() == "tpu"))
+        and _os.environ.get("MRSTPU_MLA_KERNEL", "1") != "0"
+    )
+    if use_kernel:
+        from ..ops.mla_attention import mla_decode_fused
+
+        out_lat, pool = mla_decode_fused(
+            q_comb[:, 0], pool, rows[:, 0], write_slots, block_tables,
+            kv_lens, li, rank=rank, block_size=block_size,
+            scale=cfg.qk_head_dim ** -0.5,
+        )
+        lat = out_lat[:, None].astype(jnp.float32)  # [B, 1, nh, rank]
+        out = jnp.einsum(
+            "bthr,hvr->bthv", lat, lw["w_uv"].astype(jnp.float32)
+        ).astype(h.dtype)
+        out = out.reshape(b, t, nh * cfg.v_head_dim)
+        return linear(out, lw["o"], backend=backend), pool
+
+    trash = pool.shape[1] - 1
     safe = jnp.where(write_slots < 0, trash, write_slots)
-    pool = pool.at[safe].set(rows.reshape(b * t, -1).astype(pool.dtype))
+    pool = pool.at[li, safe].set(rows.reshape(b * t, -1).astype(pool.dtype))
 
-    keys = pool[gather_slots].astype(jnp.float32)  # [B, S, D]
+    keys = pool[li][gather_slots].astype(jnp.float32)  # [B, S, D]
     scores = jnp.einsum(
         "bthd,bsd->bhts", q_comb.astype(jnp.float32), keys
     ) * (cfg.qk_head_dim ** -0.5)
@@ -424,12 +461,18 @@ def deepseek_forward_paged(
         seg_w = weights["segments"][seg]
         pool = cache[seg]
 
-        def body(hh, xs):
-            lw, pl_ = xs
+        def body(carry, xs):
+            hh, pl_ = carry
+            lw, li = xs
             x = rms_norm(hh, lw["attn_norm"], cfg.rms_norm_eps)
+            # the FULL pool rides the carry (not xs: slicing a pool plane
+            # per scan step would copy it); the layer index selects the
+            # plane — scalar-prefetched in the fused kernel, dynamic-sliced
+            # on the gather path
             attn, pl_ = _mla_attention_paged(
-                cfg, lw, x, cos, sin, pl_, slot_mapping, gather_slots,
+                cfg, lw, x, cos, sin, pl_, li, slot_mapping, gather_slots,
                 positions, kv_lens, backend,
+                block_size=block_size, block_tables=bt_safe,
             )
             hh = hh + attn
             x = rms_norm(hh, lw["ffn_norm"], cfg.rms_norm_eps)
@@ -437,9 +480,12 @@ def deepseek_forward_paged(
                 hh = hh + _moe(cfg, lw, x, backend)
             else:
                 hh = hh + _dense_mlp(x, lw, backend)
-            return hh, pl_
+            return (hh, pl_), None
 
-        h, pool = jax.lax.scan(body, h, (seg_w, pool))
+        n_seg = pool.shape[0]
+        (h, pool), _ = jax.lax.scan(
+            body, (h, pool), (seg_w, jnp.arange(n_seg, dtype=jnp.int32))
+        )
         new_cache[seg] = pool
 
     h = rms_norm(h, weights["final_norm"], cfg.rms_norm_eps)
@@ -460,10 +506,13 @@ def deepseek_forward_paged(
 def make_paged_cache(
     cfg: DeepseekConfig, num_blocks: int, block_size: int, dtype=jnp.float32
 ) -> dict:
-    """Paged latent pools {seg: [Lseg, S_total, rank+rope]} with a trailing
-    trash block for dropped writes (slot −1)."""
+    """Paged latent pools {seg: [Lseg, S_total, D_pad]} with a trailing
+    trash block for dropped writes (slot −1). Rows are ``rank + rope``
+    zero-padded to a 128-lane multiple so the fused decode kernel's DMA
+    stripes tile cleanly (pad columns contribute 0 to every score)."""
     s_total = (num_blocks + 1) * block_size
     d = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+    d = -(-d // 128) * 128
 
     def seg(n_layers):
         return jnp.zeros((n_layers, s_total, d), dtype)

@@ -145,3 +145,79 @@ def test_deepseek_absorbed_cache_matches_full():
         np.asarray(step_abs)[0, -1], np.asarray(full2)[0, -1],
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_mla_decode_kernel_parity():
+    """The fused Pallas MLA decode kernel (interpret mode) matches the XLA
+    gather path: same attention output AND same pool contents after the
+    fused write — including a dropped (slot < 0) write and a multi-chunk
+    walk where the write block lands in the last chunk."""
+    from mistralrs_tpu.ops.mla_attention import mla_decode_fused
+
+    rng = np.random.default_rng(7)
+    B, NH, RANK, ROPE, BS, L = 3, 4, 128, 16, 16, 2
+    D = RANK + ROPE
+    D_PAD = 256
+    NBLK = 12
+    S = (NBLK + 1) * BS
+    W = 4  # blocks per sequence
+
+    pool = np.zeros((L, S, D_PAD), np.float32)
+    bt = np.zeros((B, W), np.int32)
+    kv_lens = np.array([37, 64, 1], np.int32)  # incl. this step's token
+    used = 1
+    for b in range(B):
+        for w in range(W):
+            bt[b, w] = used
+            used += 1
+    for b in range(B):
+        n = kv_lens[b] - 1  # existing context
+        rows = rng.standard_normal((n, D)).astype(np.float32) * 0.3
+        for i in range(n):
+            slot = bt[b, i // BS] * BS + i % BS
+            pool[:, slot, :D] = rows[i]
+    slots = np.array([
+        bt[0, (kv_lens[0] - 1) // BS] * BS + (kv_lens[0] - 1) % BS,
+        -1,  # dropped -> trash row
+        bt[2, 0] * BS + 0,
+    ], np.int32)
+    q = rng.standard_normal((B, NH, D)).astype(np.float32) * 0.5
+    qp = np.zeros((B, NH, D_PAD), np.float32)
+    qp[..., :D] = q
+    new_rows = rng.standard_normal((B, D)).astype(np.float32) * 0.3
+    rp = np.zeros((B, D_PAD), np.float32)
+    rp[..., :D] = new_rows
+    scale = 0.17
+
+    for layer in range(L):
+        out_k, pool_k = mla_decode_fused(
+            jnp.asarray(qp), jnp.asarray(pool), jnp.asarray(rp),
+            jnp.asarray(slots), jnp.asarray(bt), jnp.asarray(kv_lens),
+            layer, rank=RANK, block_size=BS, scale=scale, chunk=2,
+            interpret=True,
+        )
+        # reference: explicit write + masked softmax attention
+        ref_pool = pool.copy()
+        for b in range(B):
+            s = slots[b] if slots[b] >= 0 else S - 1
+            ref_pool[layer, s] = rp[b]
+        outs = []
+        for b in range(B):
+            gather = (bt[b][:, None] * BS + np.arange(BS)[None]).reshape(-1)
+            keys = ref_pool[layer][gather]  # [W*BS, D_PAD]
+            sc = (qp[b] @ keys.T) * scale
+            sc[:, kv_lens[b]:] = -np.inf
+            p = np.exp(sc - sc.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            outs.append(p @ keys[:, :RANK])
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.stack(outs), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(pool_k)[layer], ref_pool[layer], atol=1e-6
+        )
+        # untouched layers stay intact
+        other = [i for i in range(L) if i != layer]
+        np.testing.assert_allclose(
+            np.asarray(pool_k)[other], pool[other], atol=1e-6
+        )
