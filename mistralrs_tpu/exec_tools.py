@@ -5,9 +5,12 @@ limits, lib.rs:155,316).
 
 Python sessions are persistent subprocess REPLs (state survives across
 calls, like the reference's per-session interpreter); the sandbox applies
-rlimits (CPU, memory, file size, process count) and strips the environment.
-Network isolation relies on the deployment (the reference's landlock/seccomp
-has no portable Python equivalent; document accordingly).
+rlimits (CPU, memory, file size, process count), strips the environment, and
+— via the native layer (`sandbox_native.py` / `csrc/sandbox.cpp`) — installs
+a seccomp-BPF filter that denies internet-family sockets and, when filesystem
+paths are configured, a Landlock ruleset confining reads/writes to them
+(the direct analog of `mistralrs-sandbox/src/lib.rs:316`). Each native
+mechanism soft-degrades if the kernel or toolchain lacks it.
 """
 
 from __future__ import annotations
@@ -31,9 +34,31 @@ class SandboxPolicy:
     max_processes: Optional[int] = 32
     clear_env: bool = True
     workdir: Optional[str] = None
+    #: deny AF_INET/AF_INET6/AF_NETLINK/AF_PACKET socket creation (seccomp;
+    #: EPERM, not kill). AF_UNIX and pipes keep working.
+    block_network: bool = True
+    #: Landlock filesystem confinement. Leave BOTH as None to skip (default:
+    #: sessions may read/write anywhere rlimits allow). Set either to engage:
+    #: fs_ro defaults to the interpreter's system paths, fs_rw to
+    #: [workdir or cwd, /tmp].
+    fs_ro: Optional[list] = None
+    fs_rw: Optional[list] = None
 
     def preexec(self):
         import resource
+
+        from . import sandbox_native
+
+        # Load (and if needed compile) the native lib in the PARENT: dlopen
+        # between fork and exec can deadlock under threads.
+        native = sandbox_native.available()
+        fs = self.fs_ro is not None or self.fs_rw is not None
+        ro = rw = None
+        if fs:
+            ro = list(self.fs_ro) if self.fs_ro is not None \
+                else sandbox_native.default_ro_paths()
+            rw = list(self.fs_rw) if self.fs_rw is not None \
+                else [self.workdir or os.getcwd(), "/tmp", "/dev/null"]
 
         def fn():
             if self.cpu_seconds:
@@ -61,6 +86,11 @@ class SandboxPolicy:
                 except (ValueError, OSError):
                     pass
             os.setsid()
+            if native and (self.block_network or fs):
+                sandbox_native.apply(
+                    block_network=self.block_network,
+                    ro_paths=ro, rw_paths=rw,
+                )
 
         return fn
 

@@ -127,16 +127,39 @@ import os
 
 # Tuned on v5e against the full llama-8B decode matmul chain (M=8):
 # (TN, TK) = (1024, 2048) → 8.05 ms vs 9.58 at (512, 1024) — bigger tiles
-# amortize per-grid-step semaphore/dequant overhead; VMEM stays ~13 MB.
+# amortize per-grid-step semaphore/dequant overhead. At decode TM the
+# working set fits scoped VMEM; larger M (prefill) shrinks tiles via the
+# budget walk in `_pick_tiles` (Mosaic's scoped-VMEM stack limit is 16 MB
+# and the dequantized weight tile lives on that stack too).
 _TN_DEFAULT = int(os.environ.get("MRSTPU_MM_TN", "1024"))
 _TK_DEFAULT = int(os.environ.get("MRSTPU_MM_TK", "2048"))
+_VMEM_BUDGET = int(os.environ.get("MRSTPU_MM_VMEM_MB", "15")) << 20
 
 
-def _pick_tiles(m: int, n: int, k_store: int, group_size: int):
+def _tile_vmem(tm, tn, tk, group_size, planes, has_bias, out_bytes):
+    """Scoped-VMEM bytes for one grid step: double-buffered in/out blocks +
+    the stack-allocated dequantized weight tile(s) + the f32 accumulator.
+    `planes` = 2 for the w4 split-half layout, 1 for w8."""
+    gpt = max(tk // group_size, 1)
+    x = planes * tm * tk * 2
+    codes = tk * tn
+    s = planes * gpt * tn * 4 * (2 if has_bias else 1)
+    o = tm * tn * out_bytes
+    temp = planes * tk * tn * 2
+    acc = tm * tn * 4
+    return 2 * (x + codes + s + o) + temp + acc
+
+
+def _pick_tiles(
+    m: int, n: int, k_store: int, group_size: int,
+    planes: int = 2, has_bias: bool = True, out_bytes: int = 4,
+):
     """(TM, TN, TK): TK in *stored*-K units (packed bytes for w4).
 
     Mosaic constraint: the scale block (gpt, TN) needs gpt = TK/gs ≥ 8 (or the
-    whole G dim); TK must divide the stored K.
+    whole G dim); TK must divide the stored K. Tiles then shrink until the
+    per-step working set fits the scoped-VMEM budget — decode (small TM)
+    keeps the big tuned tiles, prefill (TM=256) steps down automatically.
     """
     tm = min(_round_up(m, 16), 256)
     tn = _TN_DEFAULT if n % _TN_DEFAULT == 0 else (256 if n % 256 == 0 else 128)
@@ -145,6 +168,16 @@ def _pick_tiles(m: int, n: int, k_store: int, group_size: int):
         tk //= 2
     if k_store % tk != 0 or (tk // group_size) < 8:
         tk = k_store  # single K step: scale block covers the full G dim
+    while _tile_vmem(tm, tn, tk, group_size, planes, has_bias, out_bytes) \
+            > _VMEM_BUDGET:
+        if tk >= 16 * group_size and k_store % (tk // 2) == 0:
+            tk //= 2  # keeps gpt = tk/gs ≥ 8
+        elif tn > 256 and n % (tn // 2) == 0:
+            tn //= 2
+        elif tm > 16:
+            tm //= 2
+        else:
+            break
     return tm, tn, tk
 
 
@@ -157,7 +190,8 @@ def _w4_matmul(
 ):
     m, k = x.shape
     k2, n = packed.shape
-    tm, tn, tk = _pick_tiles(m, n, k2, group_size)
+    tm, tn, tk = _pick_tiles(m, n, k2, group_size,
+                             has_bias=bias is not None)
     mp = _round_up(m, tm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
@@ -230,7 +264,8 @@ def _w8_matmul(
 ):
     m, k = x.shape
     _, n = codes.shape
-    tm, tn, tk = _pick_tiles(m, n, k, group_size)
+    tm, tn, tk = _pick_tiles(m, n, k, group_size, planes=1,
+                             has_bias=bias is not None)
     mp = _round_up(m, tm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
@@ -333,7 +368,8 @@ def _w4_matmul_l(
     """
     m, k = x.shape
     nl, k2, n = packed.shape
-    tm, tn, tk = _pick_tiles(m, n, k2, group_size)
+    tm, tn, tk = _pick_tiles(m, n, k2, group_size,
+                             has_bias=bias is not None)
     mp = _round_up(m, tm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
@@ -429,7 +465,8 @@ def _w8_matmul_l(
 ):
     m, k = x.shape
     nl, _, n = codes.shape
-    tm, tn, tk = _pick_tiles(m, n, k, group_size)
+    tm, tn, tk = _pick_tiles(m, n, k, group_size, planes=1,
+                             has_bias=bias is not None)
     mp = _round_up(m, tm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
@@ -632,7 +669,8 @@ def _w4_matmul_g(
     mp, k = x.shape
     nb, k2, n = packed.shape
     t = mp // tm
-    _, tn, tk = _pick_tiles(tm, n, k2, group_size)
+    _, tn, tk = _pick_tiles(tm, n, k2, group_size,
+                            has_bias=bias is not None)
     grid = (t, _cdiv(n, tn), k2 // tk)
     gpt = tk // group_size
     khalf = k2 // tk
@@ -704,7 +742,8 @@ def _w8_matmul_g(
     mp, k = x.shape
     nb, _, n = codes.shape
     t = mp // tm
-    _, tn, tk = _pick_tiles(tm, n, k, group_size)
+    _, tn, tk = _pick_tiles(tm, n, k, group_size, planes=1,
+                            has_bias=bias is not None)
     grid = (t, _cdiv(n, tn), k // tk)
     gpt = tk // group_size
     has_bias = bias is not None
