@@ -217,8 +217,9 @@ class Engine:
         self.mrope = bool(getattr(cfg, "mrope_section", ()))
         self.mesh = mesh
         self.dp = 1
-        self._tp_fwds: dict = {}  # (embeds, rope3, deepstack) → jitted fwd
+        self._tp_fwds: dict = {}  # (embeds, rope3, deepstack, lora) → jitted
         self._kv_quant = kv_quant
+        self.lora_names = tuple(weights.pop("lora_names", ()))
         if mesh is not None and adapter is None:
             from ..parallel.tp import (
                 DP_AXIS, TP_AXIS, shard_weights,
@@ -241,7 +242,6 @@ class Engine:
                 mesh, weights,
                 specs=weight_pspecs(weights, ep=expert_parallel(cfg, tp)),
             )
-        self.lora_names = tuple(weights.pop("lora_names", ()))
         self.weights = weights
         if self.dp > 1:
             from ..kv.manager import GroupedKVManager
@@ -319,10 +319,11 @@ class Engine:
             "prefix_cache_hit_tokens": 0, "steps": 0,
         }
 
-    def _tp_forward(self, embeds=None, rope3=None, deepstack=None):
+    def _tp_forward(self, embeds=None, rope3=None, deepstack=None, lora=None):
         """Lazily built mesh forward variant (the optional-input combos are
         separate shard_map jits; the common text decode uses the bare one)."""
-        key = (embeds is not None, rope3 is not None, deepstack is not None)
+        key = (embeds is not None, rope3 is not None, deepstack is not None,
+               lora is not None)
         fn = self._tp_fwds.get(key)
         if fn is None:
             from ..parallel.tp import paged_tp_forward_fn
@@ -332,6 +333,7 @@ class Engine:
                 backend=self.backend, compute_dtype=self.compute_dtype,
                 quantized_kv=self._kv_quant is not None,
                 with_embeds=key[0], with_rope3=key[1], with_deepstack=key[2],
+                with_lora=key[3],
             )
         return fn
 
@@ -401,9 +403,9 @@ class Engine:
                 )
             if self.draft_cfg is not None:
                 raise ValueError("per-request LoRA with a draft model")
-            if self.mesh is not None or self.adapter is not None:
+            if self.adapter is not None:
                 raise NotImplementedError(
-                    "per-request LoRA on mesh/arch-adapter engines"
+                    "per-request LoRA on arch-adapter engines"
                 )
             seq.lora_name = lora  # type: ignore[attr-defined]
         if deepstack_embeds is not None:
@@ -701,15 +703,18 @@ class Engine:
                 **pf_kwargs,
             )
         elif self.mesh is not None:
+            lora_rows = self._lora_scalings_rows(
+                {r_: sp.seq for r_, sp in row_sp.items()}, rows, t
+            )
             fwd_args = [
                 self.weights, jnp.asarray(ids_arr), jnp.asarray(positions),
                 self.cache, jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
                 jnp.asarray(kv_lens), jnp.asarray(last_idx),
             ]
-            for extra in (embeds, rope_pos3, deepstack):
+            for extra in (embeds, rope_pos3, deepstack, lora_rows):
                 if extra is not None:
                     fwd_args.append(extra)
-            fn = self._tp_forward(embeds, rope_pos3, deepstack)
+            fn = self._tp_forward(embeds, rope_pos3, deepstack, lora_rows)
             logits, self.cache = fn(*fwd_args)
         else:
             logits, self.cache = _prefill_fn(
@@ -960,7 +965,14 @@ class Engine:
             ]
             if rope_pos3 is not None:
                 fwd_args.append(rope_pos3)
-            logits, self.cache = self._tp_forward(rope3=rope_pos3)(*fwd_args)
+            lora_rows = self._lora_scalings_rows(
+                {s_.slot: s_ for s_ in seqs}, b, 1
+            )
+            if lora_rows is not None:
+                fwd_args.append(lora_rows)
+            logits, self.cache = self._tp_forward(
+                rope3=rope_pos3, lora=lora_rows
+            )(*fwd_args)
             new_tokens, logprobs, tops, self.samp_state = sample(
                 logits[:, -1], self.samp_state, sub
             )

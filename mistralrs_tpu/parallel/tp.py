@@ -151,10 +151,32 @@ def _ep_spec(w):
     return spec
 
 
+def _lora_specs(base: str, entry: dict) -> dict:
+    """Sharding for a per-target LoRA dict {a, b} (single [L,r,K]/[L,N,r] or
+    bank [L,A,r,K]/[L,A,N,r]): column targets shard B's N axis, row targets
+    shard A's K axis. The delta then lands in the same layout as the base
+    matmul's local output — column deltas are N-local, row deltas are
+    K-partial and ride the existing psum in `_row_linear`
+    (models/llama.py:56)."""
+    out: dict[str, Any] = {}
+    for kk, arr in entry.items():
+        nd = arr.ndim
+        if kk == "a" and base in _ROW_KEYS:
+            out[kk] = P(*(None,) * (nd - 1), TP_AXIS)  # [..., r, K]: shard K
+        elif kk == "b" and base in _COLUMN_KEYS:
+            out[kk] = P(*(None,) * (nd - 2), TP_AXIS, None)  # [..., N, r]
+        else:
+            out[kk] = P()
+    return out
+
+
 def _layer_specs(layers_in: dict, ep: bool = False) -> dict:
     layers: dict[str, Any] = {}
     for key, w in layers_in.items():
-        if key == "experts":
+        if key.endswith(("_lora", "_xlora")) and isinstance(w, dict):
+            base = key.rsplit("_", 1)[0]
+            layers[key] = _lora_specs(base, w)
+        elif key == "experts":
             if ep:
                 layers[key] = {ek: _ep_spec(ew) for ek, ew in w.items()}
             elif "gate_up" in w:
@@ -257,6 +279,7 @@ def paged_tp_forward_fn(
     with_embeds: bool = False,
     with_rope3: bool = False,  # M-RoPE streams [3, B, T] (qwen-VL family)
     with_deepstack: bool = False,  # [k, B, T, H] qwen3-vl DeepStack rows
+    with_lora: bool = False,  # per-request adapter mix [B, T, A]
 ):
     """Build the jitted multi-chip PAGED forward for the serving engine —
     the composition the reference achieves with Row/ColumnParallelLayer
@@ -285,12 +308,14 @@ def paged_tp_forward_fn(
         emb = extras.pop(0) if with_embeds else None
         rope3 = extras.pop(0) if with_rope3 else None
         ds = extras.pop(0) if with_deepstack else None
+        lora = extras.pop(0) if with_lora else None
         return forward_paged(
             w, lcfg, ids, positions, cache, bt, slot_map.reshape(-1), kv_lens,
             block_size=block_size, backend=backend, logits_last_only=True,
             compute_dtype=compute_dtype,
             tp_axis=TP_AXIS if tp > 1 else None, input_embeds=emb,
             last_indices=last_idx, rope_positions3=rope3, deepstack=ds,
+            lora_scalings=lora,
         )
 
     in_specs = [
@@ -309,6 +334,8 @@ def paged_tp_forward_fn(
         in_specs.append(P(None, DP_AXIS, None))
     if with_deepstack:
         in_specs.append(P(None, DP_AXIS, None, None))
+    if with_lora:
+        in_specs.append(P(DP_AXIS, None, None))
     mapped = jax.shard_map(
         body,
         mesh=mesh,

@@ -421,3 +421,56 @@ def test_qwen3next_gdn_adapter_on_mesh():
     ref = run()
     got = run(build_mesh(tp=2, dp=1))  # n_k_heads=2 caps tp at 2
     assert got == ref
+
+
+def test_tp_engine_per_request_lora_matches_single_device():
+    """Per-request LoRA selection on a dp×tp mesh: adapter banks shard with
+    the base weights (column targets shard B's N axis, row targets shard
+    A's K axis — the row delta rides the down/wo psum), and each request's
+    one-hot mix selects its adapter under shard_map exactly as on one chip.
+    Reference composition: TP layers + per-request adapters
+    (mistralrs-quant/src/distributed/layers.rs:58 + adapter/selection.rs)."""
+    _need(4)
+    from mistralrs_tpu.lora import attach_adapter_bank
+
+    rng = np.random.default_rng(11)
+    sd = _tiny_state_dict(CFG, seed=11)
+    r = 4
+    cfg_a = {"r": r, "lora_alpha": 8,
+             "target_modules": ["q_proj", "down_proj"]}
+    t_a, t_b = {}, {}
+    for i in range(CFG.num_layers):
+        p = f"base_model.model.model.layers.{i}."
+        for t, scale in ((t_a, 0.1), (t_b, 0.2)):
+            t[p + "self_attn.q_proj.lora_A.weight"] = (
+                rng.standard_normal((r, CFG.hidden_size)).astype(np.float32) * scale)
+            t[p + "self_attn.q_proj.lora_B.weight"] = (
+                rng.standard_normal((CFG.q_dim, r)).astype(np.float32) * scale)
+            t[p + "mlp.down_proj.lora_A.weight"] = (
+                rng.standard_normal((r, CFG.intermediate_size)).astype(np.float32) * scale)
+            t[p + "mlp.down_proj.lora_B.weight"] = (
+                rng.standard_normal((CFG.hidden_size, r)).astype(np.float32) * scale)
+    base = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    bank = attach_adapter_bank(
+        base, [("a", cfg_a, t_a), ("b", cfg_a, t_b)], CFG.num_layers,
+        dtype=jnp.float32,
+    )
+
+    def run(mesh):
+        eng = Engine(CFG, dict(bank), num_blocks=64, block_size=16,
+                     max_batch=4, backend="xla", compute_dtype=jnp.float32,
+                     mesh=mesh)
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8),
+                            lora=name)
+            for p, name in zip(PROMPTS, ["a", "b", None, "a"])
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    ref = run(None)
+    got = run(build_mesh(tp=2, dp=2))
+    assert got == ref
+    # the adapters actually alter generation vs the bare model
+    bare = _run_engine(weights_from_state_dict(sd, CFG, dtype=jnp.float32))[0]
+    assert ref != bare
