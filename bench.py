@@ -34,7 +34,7 @@ import time
 #: Last decode tok/s validated on real TPU hardware (updated whenever a TPU
 #: bench run completes). Reported in the degraded-mode record when the axon
 #: relay is unreachable so a hang/crash never masks the last known-good number.
-LAST_VALIDATED = {"value": 612.0, "vs_baseline": 0.645, "date": "2026-08-17"}
+LAST_VALIDATED = {"value": 711.4, "vs_baseline": 0.749, "date": "2026-08-19"}
 
 
 def _degraded_record(why: str) -> str:
@@ -173,11 +173,14 @@ def _slope_time(run, n1, n2, iters=3):
     return (t2 - t1) / (n2 - n1)
 
 
-def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke):
-    """Batched decode at depth CTX: returns (tok/s, vs_roofline, step_s)."""
+def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
+                   kv_quant=None):
+    """Batched decode at depth CTX: returns (tok/s, vs_roofline, step_s).
+    ``kv_quant`` exercises the int8/fp8 pools dequantized inside the fused
+    Pallas decode kernel (deep contexts: KV bytes halve)."""
     BS = 16 if smoke else 64
     num_blocks = B * CTX // BS
-    cache = PagedKVCache.create(cfg, num_blocks, BS)
+    cache = PagedKVCache.create(cfg, num_blocks, BS, kv_quant=kv_quant)
     width = CTX // BS
     block_tables = (
         jnp.arange(B)[:, None] * width + jnp.arange(width)[None, :]
@@ -221,8 +224,10 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke):
 
     n1, n2 = (2, 6) if smoke else (5, 25)
     step_time = _slope_time(run, n1, n2)
+    kv_dsize = 1 if kv_quant else 2
     kv_bytes_per_step = (
-        cfg.num_layers * B * CTX * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+        cfg.num_layers * B * CTX * cfg.num_kv_heads
+        * (cfg.head_dim * kv_dsize + (4 if kv_quant else 0)) * 2
     )
     roofline_step = (weight_bytes + kv_bytes_per_step) / V5E_HBM_GBPS
     tps = B / step_time
@@ -278,8 +283,17 @@ def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke):
 
     p1, p2 = (1, 3) if smoke else (2, 6)
     chunk_time = _slope_time(run, p1, p2)
-    params = weight_bytes * 8 / 4.5  # Q4_K ≈ 4.5 bits/param stored
-    mfu = (2 * params * PT / chunk_time) / V5E_BF16_FLOPS
+    # exact matmul FLOPs: linear params (incl. lm_head matmul) + attention
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    mlp = (
+        3 * H * (cfg.moe_intermediate_size or I) * (cfg.num_experts or 1)
+        if cfg.num_experts else 3 * H * I
+    )
+    linear_params = L * (
+        H * cfg.q_dim + 2 * H * cfg.kv_dim + cfg.q_dim * H + mlp
+    ) + H * cfg.vocab_size
+    attn_flops = 4 * PT * depth * cfg.num_heads * cfg.head_dim * L
+    mfu = (2 * linear_params * PT + attn_flops) / chunk_time / V5E_BF16_FLOPS
     return PT / chunk_time, mfu, chunk_time
 
 
@@ -317,25 +331,32 @@ def main():
         # reference methodology: decode-at-depth + prefill-at-depth points
         # (report.md:42-49), bs scaling, one MoE geometry
         points = [
-            ("decode", 8, 512 if smoke else 2048),
-            ("decode", 8, 1024 if smoke else 8192),
-            ("decode", 16, CTX),
-            ("prefill", 1, 512 if smoke else 2048),
-            ("prefill", 1, 1024 if smoke else 8192),
+            ("decode", 8, 512 if smoke else 2048, None),
+            # 8×8192 bf16 KV (8.6 GB) + weights exceeds one v5e's HBM; the
+            # int8 pools dequantized inside the fused kernel make the depth
+            # reachable — and showcase the quantized-KV decode path.
+            ("decode", 8, 1024 if smoke else 8192, "int8"),
+            ("decode", 16, CTX, None),
+            ("prefill", 1, 512 if smoke else 2048, None),
+            ("prefill", 1, 1024 if smoke else 8192, None),
         ]
-        for kind, b, depth in points:
+        for kind, b, depth, kvq in points:
             if time.monotonic() - t_start > budget:
                 skipped.append(f"{kind}@{depth}(bs={b})")
                 continue
             try:
                 if kind == "decode":
                     v, r, st = measure_decode(
-                        cfg, fcfg, weights, weight_bytes, b, depth, smoke
+                        cfg, fcfg, weights, weight_bytes, b, depth, smoke,
+                        kv_quant=kvq,
                     )
-                    sweep.append({
+                    point = {
                         "kind": "decode", "bs": b, "depth": depth,
                         "tok_s": round(v, 1), "vs_roofline": round(r, 3),
-                    })
+                    }
+                    if kvq:
+                        point["kv_quant"] = kvq
+                    sweep.append(point)
                 else:
                     v, m, _ = measure_prefill(
                         cfg, fcfg, weights, weight_bytes, depth, smoke

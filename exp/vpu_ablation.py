@@ -303,7 +303,7 @@ def time_variants(tn, tk):
     for name, kern in KERNELS.items():
         try:
             f = build(kern, m, n, k, tn, tk)
-            per = slope(f)
+            per = slope(f, packed, scale3)
             emit(what=f"time:{name}", tn=tn, tk=tk,
                  per_call_us=round(per * 1e6, 1),
                  gbs=round(bytes_main / per / 1e9, 1),
@@ -312,9 +312,9 @@ def time_variants(tn, tk):
             emit(what=f"time:{name}", status="ERROR", error=str(e)[:300])
     # int4
     rng = np.random.default_rng(0)
-    q4 = jnp.asarray(
-        rng.integers(-8, 8, (k, n), np.int8)
-    ).astype(jnp.int4)
+    q4 = jax.device_put(
+        jnp.asarray(rng.integers(-8, 8, (k, n), np.int8)).astype(jnp.int4)
+    )
     scale2 = jnp.asarray(rng.uniform(0.001, 0.01, (k // GS, n)), jnp.float32)
     try:
         f4 = build_int4(m, n, k, tn, min(2 * tk, k))

@@ -139,6 +139,123 @@ def _verify_probs_fn(weights, cfg, ids, positions, cache, block_tables,
     return probs, cache
 
 
+def _samp_state_pspecs(dp_axis):
+    """Sampler-state PartitionSpecs: every field is [B]- or [B, V]-leading,
+    sharded over the data axis (matches Engine's mesh placement)."""
+    from jax.sharding import PartitionSpec as P
+
+    f1, f2 = P(dp_axis), P(dp_axis, None)
+    return BatchSamplingState(
+        temperature=f1, top_k=f1, top_p=f1, min_p=f1,
+        frequency_penalty=f1, presence_penalty=f1, repetition_penalty=f1,
+        counts=f2, logit_bias=f2, constraint_bias=f2,
+    )
+
+
+def _tp_model_specs(mesh, cfg, weights, replicate_model):
+    """(local_cfg, tp_axis, weight_specs, cache_specs) for running `cfg` on
+    the mesh — TP-sharded, or fully replicated over the model axis (small
+    draft models whose dims don't divide tp)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.tp import (
+        TP_AXIS, expert_parallel, local_config,
+        paged_cache_pspecs, replicated_cache_pspecs, weight_pspecs,
+    )
+
+    tp = mesh.shape[TP_AXIS]
+    if replicate_model or tp == 1:
+        wspecs = (
+            jax.tree_util.tree_map(lambda _: P(), weights)
+            if replicate_model else weight_pspecs(weights)
+        )
+        return cfg, None, wspecs, (
+            replicated_cache_pspecs() if replicate_model
+            else paged_cache_pspecs()
+        )
+    ep = expert_parallel(cfg, tp)
+    return (
+        local_config(cfg, tp, ep), TP_AXIS,
+        weight_pspecs(weights, ep=ep), paged_cache_pspecs(),
+    )
+
+
+def _draft_tp_step_fn(mesh, cfg, weights, *, block_size, backend,
+                      compute_dtype, replicate_model):
+    """Mesh variant of `_draft_step_sample_fn` (speculative proposer on a
+    TP×DP mesh — the composition the reference reaches with its TP layers
+    driven from `speculative/driver.rs` over `distributed/layers.rs:58`).
+    The sampling key folds in the data-axis index so dp groups draw
+    independent randomness; greedy requests stay identical to one chip."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.tp import DP_AXIS
+
+    lcfg, tp_ax, wspecs, cspecs = _tp_model_specs(
+        mesh, cfg, weights, replicate_model
+    )
+    sspecs = _samp_state_pspecs(DP_AXIS)
+
+    def body(w, tokens, positions, cache, bt, slot_map, kv_lens, samp, key):
+        logits, cache = forward_paged(
+            w, lcfg, tokens[:, None], positions[:, None], cache, bt,
+            slot_map[:, None], kv_lens, block_size=block_size,
+            backend=backend, logits_last_only=True,
+            compute_dtype=compute_dtype, tp_axis=tp_ax,
+        )
+        probs = _transformed_probs(logits[:, -1], samp)
+        key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+        tok = jax.random.categorical(
+            key, jnp.log(jnp.maximum(probs, 1e-20)), axis=-1
+        ).astype(jnp.int32)
+        return tok, probs, cache
+
+    b2 = P(DP_AXIS, None)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(wspecs, P(DP_AXIS), P(DP_AXIS), cspecs, b2, P(DP_AXIS),
+                  P(DP_AXIS), sspecs, P()),
+        out_specs=(P(DP_AXIS), b2, cspecs),
+        check_vma=False,
+    ))
+
+
+def _verify_tp_fn(mesh, cfg, weights, *, block_size, backend, compute_dtype,
+                  n_pos):
+    """Mesh variant of `_verify_probs_fn`: target transformed probs at all
+    gamma+1 positions, TP-sharded like the engine's main forward."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.tp import DP_AXIS
+
+    lcfg, tp_ax, wspecs, cspecs = _tp_model_specs(mesh, cfg, weights, False)
+    sspecs = _samp_state_pspecs(DP_AXIS)
+
+    def body(w, ids, positions, cache, bt, slot_map, kv_lens, samp):
+        logits, cache = forward_paged(
+            w, lcfg, ids, positions, cache, bt, slot_map.reshape(-1),
+            kv_lens, block_size=block_size, backend=backend,
+            logits_last_only=False, compute_dtype=compute_dtype,
+            tp_axis=tp_ax,
+        )
+        probs = jnp.stack(
+            [
+                _transformed_probs(logits[:, j].astype(jnp.float32), samp)
+                for j in range(n_pos)
+            ],
+            axis=1,
+        )
+        return probs, cache
+
+    b2 = P(DP_AXIS, None)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(wspecs, b2, b2, cspecs, b2, b2, P(DP_AXIS), sspecs),
+        out_specs=(P(DP_AXIS, None, None), cspecs),
+        check_vma=False,
+    ))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _admit_slot(state: BatchSamplingState, slot, scalars, counts_row, bias_row,
                 cbias_row):
@@ -234,8 +351,6 @@ class Engine:
                 raise ValueError(f"tp={tp} does not divide model dims")
             if max_batch % self.dp:
                 raise ValueError(f"max_batch {max_batch} not divisible by dp={self.dp}")
-            if draft is not None:
-                raise NotImplementedError("speculative decoding with a mesh")
             from ..parallel.tp import expert_parallel, weight_pspecs
 
             weights = shard_weights(
@@ -274,6 +389,8 @@ class Engine:
         self.draft_cfg: Optional[ModelConfig] = None
         self.draft_weights: Optional[dict] = None
         self.gamma = gamma
+        self._draft_replicated = False
+        self._tp_draft_step = self._tp_verify = self._tp_draft_prefill = None
         if draft is not None:
             self.draft_cfg, self.draft_weights = draft
             self._dfcfg = _freeze(self.draft_cfg)
@@ -281,8 +398,39 @@ class Engine:
 
             self.draft_cache = PagedKVCache.create(
                 self.draft_cfg, num_blocks, block_size, dtype=compute_dtype,
+                groups=self.dp,
                 head_dim_pad=_ahdp(self.draft_cfg.head_dim, backend),
             )
+            if mesh is not None:
+                # draft shards like the target when its dims divide tp,
+                # otherwise replicates over the model axis (it's small)
+                from ..parallel.tp import (
+                    TP_AXIS, shard_paged_cache, shard_weights, weight_pspecs,
+                )
+
+                dtp = int(mesh.shape.get(TP_AXIS, 1))
+                dcfg = self.draft_cfg
+                # fused QKV/gate-up can't column-shard (concatenated N
+                # interleaves across shards) → replicate those too
+                self._draft_replicated = dtp > 1 and bool(
+                    dcfg.num_heads % dtp or dcfg.num_kv_heads % dtp
+                    or dcfg.intermediate_size % dtp
+                    or "wq" not in self.draft_weights["layers"]
+                )
+                from jax.sharding import PartitionSpec as _P
+
+                dspecs = (
+                    jax.tree_util.tree_map(lambda _: _P(), self.draft_weights)
+                    if self._draft_replicated
+                    else weight_pspecs(self.draft_weights)
+                )
+                self.draft_weights = shard_weights(
+                    mesh, self.draft_weights, specs=dspecs
+                )
+                self.draft_cache = shard_paged_cache(
+                    mesh, self.draft_cache,
+                    replicate_model=self._draft_replicated,
+                )
             # decode rounds commit up to gamma+1 tokens → allocate ahead
             self.scheduler.lookahead = gamma + 1
         self.samp_state = BatchSamplingState(
@@ -729,13 +877,30 @@ class Engine:
                 deepstack=deepstack,
             )
         if self.draft_cfg is not None:
-            _, self.draft_cache = _prefill_fn(
-                self.draft_weights, self._dfcfg, jnp.asarray(ids_arr),
-                jnp.asarray(positions), self.draft_cache, jnp.asarray(bt),
-                jnp.asarray(slot_map, jnp.int32), jnp.asarray(kv_lens),
-                jnp.asarray(last_idx), self.block_size, self.backend,
-                self.compute_dtype,
-            )
+            if self.mesh is not None:
+                if self._tp_draft_prefill is None:
+                    from ..parallel.tp import paged_tp_forward_fn
+
+                    self._tp_draft_prefill = paged_tp_forward_fn(
+                        self.mesh, self.draft_cfg, self.draft_weights,
+                        block_size=self.block_size, backend=self.backend,
+                        compute_dtype=self.compute_dtype,
+                        replicate_model=self._draft_replicated,
+                    )
+                _, self.draft_cache = self._tp_draft_prefill(
+                    self.draft_weights, jnp.asarray(ids_arr),
+                    jnp.asarray(positions), self.draft_cache,
+                    jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
+                    jnp.asarray(kv_lens), jnp.asarray(last_idx),
+                )
+            else:
+                _, self.draft_cache = _prefill_fn(
+                    self.draft_weights, self._dfcfg, jnp.asarray(ids_arr),
+                    jnp.asarray(positions), self.draft_cache, jnp.asarray(bt),
+                    jnp.asarray(slot_map, jnp.int32), jnp.asarray(kv_lens),
+                    jnp.asarray(last_idx), self.block_size, self.backend,
+                    self.compute_dtype,
+                )
         finished: list[Sequence] = []
         for row, sp in sorted(row_sp.items()):
             seq = sp.seq
@@ -841,16 +1006,36 @@ class Engine:
         drafts_dev = []
         q_rows = []
         cur_tok = jnp.asarray(base_tok)
+        if self.mesh is not None and self._tp_draft_step is None:
+            self._tp_draft_step = _draft_tp_step_fn(
+                self.mesh, self.draft_cfg, self.draft_weights,
+                block_size=self.block_size, backend=self.backend,
+                compute_dtype=self.compute_dtype,
+                replicate_model=self._draft_replicated,
+            )
+            self._tp_verify = _verify_tp_fn(
+                self.mesh, self.cfg, self.weights,
+                block_size=self.block_size, backend=self.backend,
+                compute_dtype=self.compute_dtype, n_pos=g + 1,
+            )
         for j in range(g + 1):
             pos_j = jnp.asarray(base_pos + j)
             kv_j = jnp.asarray(base_pos + j + 1)
             self._key, sub = jax.random.split(self._key)
-            cur_tok, probs, self.draft_cache = _draft_step_sample_fn(
-                self.draft_weights, self._dfcfg, cur_tok, pos_j,
-                self.draft_cache, bt_j, jnp.asarray(slots_at(j), jnp.int32),
-                kv_j, self.samp_state, sub,
-                self.block_size, self.backend, self.compute_dtype,
-            )
+            if self.mesh is not None:
+                cur_tok, probs, self.draft_cache = self._tp_draft_step(
+                    self.draft_weights, cur_tok, pos_j, self.draft_cache,
+                    bt_j, jnp.asarray(slots_at(j), jnp.int32), kv_j,
+                    self.samp_state, sub,
+                )
+            else:
+                cur_tok, probs, self.draft_cache = _draft_step_sample_fn(
+                    self.draft_weights, self._dfcfg, cur_tok, pos_j,
+                    self.draft_cache, bt_j,
+                    jnp.asarray(slots_at(j), jnp.int32),
+                    kv_j, self.samp_state, sub,
+                    self.block_size, self.backend, self.compute_dtype,
+                )
             if j < g:
                 drafts_dev.append(cur_tok)
                 q_rows.append(probs)
@@ -861,13 +1046,21 @@ class Engine:
         ids = np.concatenate([base_tok[:, None], drafts], axis=1)  # [B, g+1]
         positions = base_pos[:, None] + np.arange(g + 1)[None, :]
         slot_map = np.stack([slots_at(j) for j in range(g + 1)], axis=1)
-        p_probs, self.cache = _verify_probs_fn(
-            self.weights, self._fcfg, jnp.asarray(ids),
-            jnp.asarray(positions, jnp.int32), self.cache, bt_j,
-            jnp.asarray(slot_map.reshape(-1), jnp.int32),
-            jnp.asarray(base_pos + g + 1), self.samp_state,
-            self.block_size, self.backend, self.compute_dtype,
-        )
+        if self.mesh is not None:
+            p_probs, self.cache = self._tp_verify(
+                self.weights, jnp.asarray(ids),
+                jnp.asarray(positions, jnp.int32), self.cache, bt_j,
+                jnp.asarray(slot_map, jnp.int32),
+                jnp.asarray(base_pos + g + 1), self.samp_state,
+            )
+        else:
+            p_probs, self.cache = _verify_probs_fn(
+                self.weights, self._fcfg, jnp.asarray(ids),
+                jnp.asarray(positions, jnp.int32), self.cache, bt_j,
+                jnp.asarray(slot_map.reshape(-1), jnp.int32),
+                jnp.asarray(base_pos + g + 1), self.samp_state,
+                self.block_size, self.backend, self.compute_dtype,
+            )
         # acceptance sampling on device (Leviathan et al.; greedy slots
         # reduce exactly to token matching) — only [B, g+1] results cross
         # to the host, never the vocab-sized distributions

@@ -78,6 +78,66 @@ def _dequant(codes_i32, s_ref, b_ref, group_size, dequant_dtype):
 
 _DN = (((1,), (0,)), ((), ()))  # x[TM, TK] @ w[TK, TN]
 
+import os as _os
+
+#: Inner dequant+dot formulation (decode is VPU-bound on the dequant at
+#: small M — see exp/vpu_ablation.py / VERDICT r2 §1c). Read once at import;
+#: tests flip the module attr and call jax.clear_caches().
+#:   cur      — i32→f32 dequant, f32 scale mul, cast to dequant_dtype
+#:   f32dot   — same dequant but feed the MXU f32 (drops the final cast)
+#:   bf16mul  — codes and scales converted straight to bf16 (halves the
+#:              convert/mul width; codes 0..31 are exact in bf16)
+#:   groupdot — unscaled bf16 codes dot per K-group on the MXU; the f32
+#:              scale lands on the [TM, TN] partial (VPU work ÷ gs/TM)
+_MM_VARIANT = _os.environ.get("MRSTPU_MM_VARIANT", "cur")
+
+
+def _deq_dot(x_ref, codes_i32, s_ref, b_ref, group_size, dequant_dtype):
+    """One half-plane contraction ``x[TM, TK] · dequant(codes)[TK, TN]`` in
+    the variant selected by ``MRSTPU_MM_VARIANT``. Bias planes (k-quant
+    "min" values when not folded into the group-sum MXU path) always take
+    the reference formulation."""
+    variant = _MM_VARIANT if b_ref is None else "cur"
+    if variant == "cur":
+        w = _dequant(codes_i32, s_ref, b_ref, group_size, dequant_dtype)
+        return jax.lax.dot_general(
+            x_ref[...], w, _DN, preferred_element_type=jnp.float32
+        )
+    if variant == "f32dot":
+        s = jnp.repeat(
+            s_ref[...].reshape(-1, s_ref.shape[-1]), group_size, axis=0
+        )
+        w = codes_i32.astype(jnp.float32) * s
+        return jax.lax.dot_general(
+            x_ref[...].astype(jnp.float32), w, _DN,
+            preferred_element_type=jnp.float32,
+        )
+    if variant == "bf16mul":
+        s = jnp.repeat(
+            s_ref[...].reshape(-1, s_ref.shape[-1]).astype(jnp.bfloat16),
+            group_size, axis=0,
+        )
+        w = codes_i32.astype(jnp.bfloat16) * s
+        return jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16), w, _DN,
+            preferred_element_type=jnp.float32,
+        )
+    if variant == "groupdot":
+        wb = codes_i32.astype(jnp.bfloat16)
+        x = x_ref[...].astype(jnp.bfloat16)
+        s2 = s_ref[...].reshape(-1, s_ref.shape[-1])  # [gpt, TN] f32
+        acc = None
+        for g in range(wb.shape[0] // group_size):
+            lo, hi = g * group_size, (g + 1) * group_size
+            part = jax.lax.dot_general(
+                x[:, lo:hi], wb[lo:hi], _DN,
+                preferred_element_type=jnp.float32,
+            )
+            term = part * s2[g][None, :]
+            acc = term if acc is None else acc + term
+        return acc
+    raise ValueError(f"unknown MRSTPU_MM_VARIANT {variant!r}")
+
 
 def _w4_kernel(
     x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, b_lo_ref, b_hi_ref,
@@ -90,11 +150,9 @@ def _w4_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     p = p_ref[...].astype(jnp.int32) & 0xFF
-    w_lo = _dequant(p & 15, s_lo_ref, b_lo_ref, group_size, dequant_dtype)
-    w_hi = _dequant(p >> 4, s_hi_ref, b_hi_ref, group_size, dequant_dtype)
-    acc_ref[...] += jax.lax.dot_general(
-        x_lo_ref[...], w_lo, _DN, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(x_hi_ref[...], w_hi, _DN, preferred_element_type=jnp.float32)
+    acc_ref[...] += _deq_dot(
+        x_lo_ref, p & 15, s_lo_ref, b_lo_ref, group_size, dequant_dtype
+    ) + _deq_dot(x_hi_ref, p >> 4, s_hi_ref, b_hi_ref, group_size, dequant_dtype)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -343,11 +401,9 @@ def _w4_matmul_l_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     p = p_ref[0].astype(jnp.int32) & 0xFF
-    w_lo = _dequant(p & 15, s_lo_ref, b_lo_ref, group_size, dequant_dtype)
-    w_hi = _dequant(p >> 4, s_hi_ref, b_hi_ref, group_size, dequant_dtype)
-    acc_ref[...] += jax.lax.dot_general(
-        x_lo_ref[...], w_lo, _DN, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(x_hi_ref[...], w_hi, _DN, preferred_element_type=jnp.float32)
+    acc_ref[...] += _deq_dot(
+        x_lo_ref, p & 15, s_lo_ref, b_lo_ref, group_size, dequant_dtype
+    ) + _deq_dot(x_hi_ref, p >> 4, s_hi_ref, b_hi_ref, group_size, dequant_dtype)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():

@@ -253,11 +253,26 @@ def paged_cache_pspecs(quantized_kv: bool = False):
     return PagedKVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 
-def shard_paged_cache(mesh: Mesh, cache):
+def replicated_cache_pspecs(quantized_kv: bool = False):
+    """Paged-pool specs with KV heads REPLICATED over the model axis (slot
+    axis still shards over data) — for small draft models in speculative
+    serving whose head counts don't divide tp."""
+    from ..kv.paged import PagedKVCache
+
+    spec = P(None, None, DP_AXIS, None)
+    sspec = P(None, DP_AXIS, None) if quantized_kv else None
+    return PagedKVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
+
+
+def shard_paged_cache(mesh: Mesh, cache, replicate_model: bool = False):
     """Place the paged pools on the mesh."""
     from ..kv.paged import PagedKVCache
 
-    specs = paged_cache_pspecs(cache.k_scale is not None)
+    specs = (
+        replicated_cache_pspecs(cache.k_scale is not None)
+        if replicate_model
+        else paged_cache_pspecs(cache.k_scale is not None)
+    )
     put = lambda a, s: None if a is None else jax.device_put(a, NamedSharding(mesh, s))
     return PagedKVCache(
         k=put(cache.k, specs.k),
@@ -280,6 +295,9 @@ def paged_tp_forward_fn(
     with_rope3: bool = False,  # M-RoPE streams [3, B, T] (qwen-VL family)
     with_deepstack: bool = False,  # [k, B, T, H] qwen3-vl DeepStack rows
     with_lora: bool = False,  # per-request adapter mix [B, T, A]
+    replicate_model: bool = False,  # weights/KV-heads replicated (small
+    # draft models whose head counts don't divide tp); batch still shards
+    # over the data axis
 ):
     """Build the jitted multi-chip PAGED forward for the serving engine —
     the composition the reference achieves with Row/ColumnParallelLayer
@@ -297,10 +315,16 @@ def paged_tp_forward_fn(
     from ..models.llama import forward_paged
 
     tp = mesh.shape[TP_AXIS]
-    ep = expert_parallel(cfg, tp)
-    lcfg = local_config(cfg, tp, ep)
-    wspecs = weight_pspecs(weights, ep=ep)
-    cspecs = paged_cache_pspecs(quantized_kv)
+    if replicate_model:
+        tp, ep = 1, False
+        lcfg = cfg
+        wspecs = jax.tree_util.tree_map(lambda _: P(), weights)
+        cspecs = replicated_cache_pspecs(quantized_kv)
+    else:
+        ep = expert_parallel(cfg, tp)
+        lcfg = local_config(cfg, tp, ep)
+        wspecs = weight_pspecs(weights, ep=ep)
+        cspecs = paged_cache_pspecs(quantized_kv)
 
     def body(w, ids, positions, cache, bt, slot_map, kv_lens, last_idx,
              *extras):

@@ -184,3 +184,33 @@ def test_stacked_layer_matmul_matches_sliced(t):
         np.testing.assert_allclose(
             np.asarray(got_p), np.asarray(ref), rtol=6e-2, atol=6e-2
         )
+
+
+@pytest.mark.parametrize("variant", ["f32dot", "bf16mul", "groupdot"])
+def test_deq_dot_variants_match_truth(variant):
+    """Every MRSTPU_MM_VARIANT inner-loop formulation (exp/vpu_ablation.py;
+    the decode VPU-dequant ablation) stays within quantization tolerance of
+    the exact f32 matmul."""
+    t = GGMLType.Q4_K
+    n, k = 256, 512
+    raw = _random_raw(t, n, k)
+    qt = QTensor.from_gguf_raw(raw, t, (n, k))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, k), dtype=np.float32) * 0.1,
+                    jnp.bfloat16)
+    truth = np.asarray(x, np.float32) @ np.asarray(
+        qt.dequantize(), np.float32).T
+    import importlib
+
+    qmm = importlib.import_module("mistralrs_tpu.ops.quant_matmul")
+    old = qmm._MM_VARIANT
+    qmm._MM_VARIANT = variant
+    jax.clear_caches()
+    try:
+        got = qmm.quant_matmul(
+            x, qt, backend="pallas", interpret=True, out_dtype=jnp.float32
+        )
+    finally:
+        qmm._MM_VARIANT = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(got), truth, rtol=6e-2, atol=6e-2)

@@ -474,3 +474,45 @@ def test_tp_engine_per_request_lora_matches_single_device():
     # the adapters actually alter generation vs the bare model
     bare = _run_engine(weights_from_state_dict(sd, CFG, dtype=jnp.float32))[0]
     assert ref != bare
+
+
+def test_tp_engine_speculative_matches_single_device():
+    """Speculative decoding on a TP×DP mesh: the draft proposes (sharded
+    when its dims divide tp, replicated over the model axis otherwise), the
+    target verifies under shard_map, and greedy outputs are identical to the
+    single-device speculative engine — the composition the reference reaches
+    with its TP layers driven from the speculative pipeline
+    (speculative/driver.rs over distributed/layers.rs:58)."""
+    _need(4)
+    from mistralrs_tpu.models import init_random_weights
+
+    dcfg = ModelConfig(
+        arch="llama", vocab_size=CFG.vocab_size, hidden_size=64,
+        intermediate_size=128, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=32, max_position_embeddings=512,
+    )
+    dw = init_random_weights(dcfg, seed=61, dtype=jnp.float32)
+    sd = _tiny_state_dict(CFG, seed=5)
+    weights = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+
+    def run(mesh):
+        eng = Engine(
+            CFG, dict(weights), num_blocks=64, block_size=16, max_batch=4,
+            backend="xla", compute_dtype=jnp.float32, mesh=mesh,
+            draft=(dcfg, dw), gamma=3,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8))
+            for p in PROMPTS
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs], eng
+
+    ref, ref_eng = run(None)
+    got2, eng2 = run(build_mesh(tp=2, dp=2))  # draft dims divide tp: sharded
+    assert got2 == ref
+    assert not eng2._draft_replicated
+    assert eng2.stats["spec_drafted"] > 0
+    got4, eng4 = run(build_mesh(tp=4, dp=1))  # 2 kv heads < tp=4: replicated
+    assert got4 == ref
+    assert eng4._draft_replicated
