@@ -284,24 +284,45 @@ def _moe_mlp(x, lw: dict, cfg: ModelConfig, act, backend, tp_axis=None):
 
     sparse_min_e = int(_os.environ.get("MRSTPU_MOE_SPARSE_MIN_E", "16"))
     sparse_max_n = int(_os.environ.get("MRSTPU_MOE_SPARSE_MAX_TOKENS", "64"))
+    # stacked banks arrive as LayerSlice ([L, E, ...] planes + traced layer)
+    # from the scan's scalar-prefetch path — the grouped kernels index them
+    # without the per-layer dynamic-slice copy the scan xs would make
+    vals = list(experts.values())
+    stacked = any(isinstance(v, LayerSlice) for v in vals)
     dense_experts = not any(
-        isinstance(l, QTensor)
-        for l in jax.tree_util.tree_leaves(
-            experts, is_leaf=lambda l: isinstance(l, QTensor)
-        )
+        isinstance(v, (QTensor, LayerSlice)) for v in vals
     )
     # expert-parallel detection: under EP the expert leaves inside shard_map
     # hold only this shard's E/tp experts (full width); the router/topk ran
     # over ALL experts, so index the global weight table at a shard offset
-    n_local = jax.tree_util.tree_leaves(
-        experts, is_leaf=lambda l: isinstance(l, QTensor)
-    )[0].shape[0]
+    first = vals[0]
+    if isinstance(first, LayerSlice):
+        n_local = first.qt.data.shape[1]
+    elif isinstance(first, QTensor):
+        n_local = first.data.shape[0]
+    else:
+        n_local = first.shape[0]
     ep = tp_axis is not None and n_local != cfg.num_experts
     grouped = (
         not dense_experts
         and {"gate", "up", "down"} <= set(experts)
         and _os.environ.get("MRSTPU_MOE_GROUPED", "1") != "0"
     )
+    if stacked and not grouped:
+        # fallback paths scan the bank itself → materialize this layer's
+        # slice (costs the copy the grouped path avoids)
+        experts = {
+            k: (
+                _dc_replace(
+                    v.qt,
+                    data=v.qt.data[v.layer],
+                    scale=v.qt.scale[v.layer],
+                    bias=None if v.qt.bias is None else v.qt.bias[v.layer],
+                )
+                if isinstance(v, LayerSlice) else v
+            )
+            for k, v in experts.items()
+        }
     if grouped:
         # quantized banks: grouped (ragged) kernels — top_k/E of the dense
         # scan's FLOPs and no per-expert dynamic-slice copies
@@ -848,7 +869,14 @@ def forward_paged(
             # per step copies ~every weight byte twice more); the kernel
             # indexes the segment-local layer via scalar prefetch
             lw = dict(lw)
-            lw.update({name: LayerSlice(qt, si) for name, qt in heavy.items()})
+            lw.update({
+                name: (
+                    {sk: LayerSlice(sq, si) for sk, sq in qt.items()}
+                    if isinstance(qt, dict)
+                    else LayerSlice(qt, si)
+                )
+                for name, qt in heavy.items()
+            })
         if lora_scalings is not None:
             # per-request adapter selection: bank entries [A, r, K] mix
             # through the X-LoRA path with the request's one-hot scalings
@@ -1009,6 +1037,19 @@ def forward_paged(
     for seg in segments:
         n_seg = jax.tree_util.tree_leaves(seg)[0].shape[0]
         heavy = {k: v for k, v in seg.items() if isinstance(v, QTensor)}
+        # quantized expert banks [L, E, ...] are the heaviest weights of
+        # all — route them through the same scalar-prefetch layer indexing
+        # (the grouped kernels flatten [L, E] → [L·E] and offset tile ids)
+        # instead of scan xs, whose per-layer dynamic-slice would copy the
+        # whole bank each step
+        if (
+            isinstance(seg.get("experts"), dict)
+            and {"gate", "up", "down"} <= set(seg["experts"])
+            and all(
+                isinstance(v, QTensor) for v in seg["experts"].values()
+            )
+        ):
+            heavy["experts"] = seg["experts"]
         light = {k: v for k, v in seg.items() if k not in heavy}
         xs = (light, windows[off : off + n_seg], rope_flags[off : off + n_seg],
               layer_ids[off : off + n_seg],

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dataclasses import replace as _dc_replace
+
+from ..quant.linear import LayerSlice
 from ..quant.qtensor import QTensor
 from .quant_matmul import _cdiv, _default_backend, _round_up, quant_matmul_grouped
 
@@ -171,7 +174,28 @@ def moe_grouped_mlp(
     n, h = x.shape
     k = topi.shape[-1]
     gate = experts["gate"]
-    nb = gate.data.shape[0] if isinstance(gate, QTensor) else gate.shape[0]
+    layer = None
+    if isinstance(gate, LayerSlice):
+        # stacked [L, E, ...] banks (scan scalar-prefetch path): flatten the
+        # leading two axes into one [L·E, ...] bank — a free reshape — and
+        # offset the tile→expert ids by layer·E so the grouped kernel
+        # streams this layer's experts straight from the stacked HBM planes
+        layer = gate.layer
+        nb = gate.qt.data.shape[1]
+
+        def _flat(v):
+            qt = v.qt
+            return _dc_replace(
+                qt,
+                data=qt.data.reshape((-1,) + qt.data.shape[2:]),
+                scale=qt.scale.reshape((-1,) + qt.scale.shape[2:]),
+                bias=None if qt.bias is None
+                else qt.bias.reshape((-1,) + qt.bias.shape[2:]),
+            )
+
+        experts = {kk: _flat(v) for kk, v in experts.items()}
+    else:
+        nb = gate.data.shape[0] if isinstance(gate, QTensor) else gate.shape[0]
     if tm is None:
         tm = 16 if n * k <= 256 else 128
     valid = None
@@ -180,6 +204,8 @@ def moe_grouped_mlp(
         valid = (local >= 0) & (local < (num_local or nb))
         topi = jnp.clip(local, 0, nb - 1)
     st, dest, sw, tile_idx, mp = build_groups(topi, topw, nb, tm, valid=valid)
+    if layer is not None:
+        tile_idx = tile_idx + layer * nb
     xs = jnp.zeros((mp, h), x.dtype).at[dest].set(x[st])
 
     def gmm(rows, w):

@@ -89,7 +89,12 @@ import os as _os
 #:              convert/mul width; codes 0..31 are exact in bf16)
 #:   groupdot — unscaled bf16 codes dot per K-group on the MXU; the f32
 #:              scale lands on the [TM, TN] partial (VPU work ÷ gs/TM)
-_MM_VARIANT = _os.environ.get("MRSTPU_MM_VARIANT", "cur")
+#: v5e llama-8B Q4_K bench (exp/variant_bench.log, 2026-08-19): decode
+#: tok/s cur 711 / f32dot 730 / bf16mul 552 / groupdot 634 (and groupdot
+#: collapses prefill MFU 0.78→0.25) → default f32dot: the MXU is idle at
+#: decode M, so dropping the f32→bf16 cast of the weight tile is pure VPU
+#: savings, and at prefill M the f32 dot still clears 0.77 MFU.
+_MM_VARIANT = _os.environ.get("MRSTPU_MM_VARIANT", "f32dot")
 
 
 def _deq_dot(x_ref, codes_i32, s_ref, b_ref, group_size, dequant_dtype):

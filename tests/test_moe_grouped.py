@@ -193,3 +193,50 @@ def test_moe_mlp_grouped_vs_scan_quantized():
     finally:
         os.environ.pop("MRSTPU_MOE_GROUPED", None)
     np.testing.assert_allclose(grouped, scan, rtol=5e-3, atol=5e-3)
+
+
+def test_moe_mlp_stacked_layerslice_matches_sliced():
+    """Stacked [L, E, ...] banks via LayerSlice (the scan scalar-prefetch
+    path — no per-layer bank copy) produce exactly the layer's unstacked
+    result, through both the grouped kernel path and the scan fallback."""
+    import os
+
+    from mistralrs_tpu.models import ModelConfig
+    from mistralrs_tpu.models.llama import ACTIVATIONS, _moe_mlp
+    from mistralrs_tpu.quant.linear import LayerSlice
+
+    rng = np.random.default_rng(9)
+    e, k, h, i, L = 8, 2, H, I, 3
+    cfg = ModelConfig(
+        arch="mixtral", vocab_size=32, hidden_size=h, intermediate_size=i,
+        num_layers=L, num_heads=2, num_kv_heads=2, head_dim=128,
+        num_experts=e, num_experts_per_tok=k, max_position_embeddings=64,
+    )
+    per_layer = []
+    for _ in range(L):
+        gate, _ = _bank(rng, e, i, h, GGMLType.Q4_K)
+        up, _ = _bank(rng, e, i, h, GGMLType.Q4_K)
+        down, _ = _bank(rng, e, h, i, GGMLType.Q4_K)
+        per_layer.append({"gate": gate, "up": up, "down": down})
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+    router = jnp.asarray(rng.standard_normal((e, h)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 5, h)) * 0.3, jnp.float32)
+    act = ACTIVATIONS["silu"]
+    for layer in (0, 2):
+        lw_ref = {"router": router, "experts": per_layer[layer]}
+        ref = np.asarray(_moe_mlp(x, lw_ref, cfg, act, "xla"))
+        lw_st = {
+            "router": router,
+            "experts": {
+                kk: LayerSlice(v, jnp.int32(layer))
+                for kk, v in stacked.items()
+            },
+        }
+        got = np.asarray(_moe_mlp(x, lw_st, cfg, act, "xla"))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+        os.environ["MRSTPU_MOE_GROUPED"] = "0"
+        try:
+            got_scan = np.asarray(_moe_mlp(x, lw_st, cfg, act, "xla"))
+        finally:
+            os.environ.pop("MRSTPU_MOE_GROUPED", None)
+        np.testing.assert_allclose(got_scan, ref, rtol=1e-5, atol=1e-5)
