@@ -26,6 +26,7 @@ default 2400 s — sweep points past the budget are skipped and listed in
 "skipped").
 """
 
+import functools
 import json
 import os
 import signal
@@ -188,7 +189,9 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
     start_len = CTX - 64
 
     def make_chain(n_steps):
-        @jax.jit
+        # donate the cache: at deep contexts (8×8192 int8) the pools are
+        # ~4.8 GB — an un-donated input doubles that and OOMs the chip
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def chain(weights, cache, tokens, lens):
             def body(carry, _):
                 cache, tokens, lens = carry
@@ -206,7 +209,7 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
             (cache, tokens, lens), _ = jax.lax.scan(
                 body, (cache, tokens, lens), None, length=n_steps
             )
-            return tokens
+            return tokens, cache
 
         return chain
 
@@ -215,10 +218,11 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
     chains = {}
 
     def run(n):
+        nonlocal cache
         if n not in chains:
             chains[n] = make_chain(n)
         t0 = time.perf_counter()
-        out = chains[n](weights, cache, tokens0, lens0)
+        out, cache = chains[n](weights, cache, tokens0, lens0)
         np.asarray(out)  # force full completion through the relay
         return time.perf_counter() - t0
 
@@ -382,7 +386,8 @@ def main():
                     "kind": "decode", "model": "mixtral-8x7b-8layer-slice",
                     "bs": 8, "depth": CTX,
                     "tok_s": round(v, 1), "vs_roofline": round(r, 3),
-                    "note": "dense expert compute: roofline counts ALL experts",
+                    "note": "grouped (ragged) expert kernels; roofline "
+                            "counts ALL experts' bytes",
                 })
             except Exception as e:  # noqa: BLE001
                 skipped.append(f"moe-decode: {type(e).__name__}")

@@ -374,9 +374,12 @@ class Engine:
         else:
             from ..kv.paged import auto_head_dim_pad
 
+            from ..parallel.tp import TP_AXIS as _TP
+
             self.cache = PagedKVCache.create(
                 cfg, num_blocks, block_size, dtype=compute_dtype,
                 kv_quant=kv_quant, groups=self.dp,
+                tp_shards=int(mesh.shape.get(_TP, 1)) if mesh is not None else 1,
                 head_dim_pad=auto_head_dim_pad(cfg.head_dim, backend),
             )
         if mesh is not None and adapter is None:

@@ -30,15 +30,18 @@ from ..models.config import ModelConfig
 class PagedKVCache:
     """k/v pools: [L, n_kv, S_total(slots), head_dim] (+ scales if quantized).
 
-    Scales are SLOT-major — [L, S_total, n_kv] — so the fused Pallas decode
-    kernel can DMA a block's scales as an 8-aligned sublane slice and RMW
-    this step's scale row exactly like the KV write window (the analog of
-    the reference's update_kvscales.cu living inside pagedattention_v2)."""
+    Scales are SLOT-major and PACKED — [L, S_total, SW] bf16 with k scales
+    in lanes 0:n_kv and v scales in n_kv:2n_kv (SW = 128-lane multiple) —
+    so the fused Pallas decode kernel can DMA a block's scales as ONE
+    lane-aligned 8-row sublane slice and RMW this step's scale row exactly
+    like the KV write window (the analog of the reference's
+    update_kvscales.cu living inside pagedattention_v2)."""
 
     k: jax.Array
     v: jax.Array
-    k_scale: Optional[jax.Array] = None  # [L, S_total, n_kv] for int8/fp8 KV
-    v_scale: Optional[jax.Array] = None
+    kv_scale: Optional[jax.Array] = None  # [L, S_total, SW] for int8/fp8 KV:
+    # bf16, lanes 0:n_kv = k scales, n_kv:2n_kv = v scales, SW = 128-lane
+    # multiple (Mosaic lane quantum — makes per-block scale DMAs legal)
 
     @classmethod
     def create(
@@ -49,6 +52,9 @@ class PagedKVCache:
         dtype=jnp.bfloat16,
         kv_quant: Optional[str] = None,  # None | 'int8' | 'fp8'
         groups: int = 1,  # data-parallel groups: slot axis = groups × plane
+        tp_shards: int = 1,  # model-axis shards: the packed scale plane's
+        # lane axis is tp_shards × 128-lane rows, one per shard, so lane
+        # sharding over the model axis hands each shard ITS heads' scales
         head_dim_pad: Optional[int] = None,  # pool head_dim (≥ cfg.head_dim):
         # pad to the 128-lane Mosaic quantum so hd=64/80/96 archs decode
         # through the fused Pallas kernel (forward_paged pads K/V rows on
@@ -67,17 +73,18 @@ class PagedKVCache:
         if kv_quant is None:
             return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
-        sshape = (shape[0], shape[2], shape[1])  # [L, S_total, n_kv]
+        n_local = -(-cfg.num_kv_heads // tp_shards)
+        sw = tp_shards * max(128, -(-2 * n_local // 128) * 128)
+        sshape = (shape[0], shape[2], sw)  # [L, S_total, SW] packed k|v
         return cls(
             jnp.zeros(shape, store),
             jnp.zeros(shape, store),
-            jnp.zeros(sshape, jnp.float32),
-            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(sshape, jnp.bfloat16),
         )
 
     @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.kv_scale is not None
 
     @property
     def head_dim(self) -> int:
@@ -89,7 +96,7 @@ class PagedKVCache:
 
 
 jax.tree_util.register_dataclass(
-    PagedKVCache, data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[]
+    PagedKVCache, data_fields=["k", "v", "kv_scale"], meta_fields=[]
 )
 
 
@@ -119,25 +126,23 @@ def write_kv(
     k_new: jax.Array,  # [T, n_kv, hd]
     v_new: jax.Array,
     slots: jax.Array,  # [T] int32 physical slot ids; negative → dropped
-    k_scale: Optional[jax.Array] = None,  # [S_total, n_kv] (slot-major)
-    v_scale: Optional[jax.Array] = None,
+    kv_scale: Optional[jax.Array] = None,  # [S_total, SW] packed slot-major
 ):
     """reshape_and_cache: scatter new KV rows into the pool. Dropped rows
     (slot < 0) land in the reserved trash block at the end of the pool.
-    Returns updated (cache_k, cache_v, k_scale, v_scale)."""
+    Returns updated (cache_k, cache_v, kv_scale)."""
     trash = cache_k.shape[1] - 1  # last slot of the reserved trash block
     safe = jnp.where(slots < 0, trash, slots)
     k_hm = jnp.swapaxes(k_new, 0, 1)  # [n_kv, T, hd]
     v_hm = jnp.swapaxes(v_new, 0, 1)
-    if k_scale is None:
+    if kv_scale is None:
         return (
             cache_k.at[:, safe].set(k_hm.astype(cache_k.dtype)),
             cache_v.at[:, safe].set(v_hm.astype(cache_v.dtype)),
             None,
-            None,
         )
     # quantized KV: per (head, slot) abs-max scale
-    def q(x, cache, scale):  # x: [n_kv, T, hd]
+    def q(x, cache):  # x: [n_kv, T, hd]
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [n_kv, T]
         if cache.dtype == jnp.int8:
             s = amax / 127.0
@@ -151,11 +156,15 @@ def write_kv(
             enc = (x.astype(jnp.float32) / jnp.maximum(s, 1e-10)[..., None]).astype(
                 cache.dtype
             )
-        return cache.at[:, safe].set(enc), scale.at[safe].set(jnp.swapaxes(s, 0, 1))
+        return cache.at[:, safe].set(enc), jnp.swapaxes(s, 0, 1)  # s → [T, n_kv]
 
-    ck, ks = q(k_hm, cache_k, k_scale)
-    cv, vs = q(v_hm, cache_v, v_scale)
-    return ck, cv, ks, vs
+    n_kv = cache_k.shape[0]
+    ck, ks = q(k_hm, cache_k)
+    cv, vs = q(v_hm, cache_v)
+    packed = jnp.zeros((ks.shape[0], kv_scale.shape[1]), kv_scale.dtype)
+    packed = packed.at[:, :n_kv].set(ks.astype(kv_scale.dtype))
+    packed = packed.at[:, n_kv:2 * n_kv].set(vs.astype(kv_scale.dtype))
+    return ck, cv, kv_scale.at[safe].set(packed)
 
 
 def gather_kv(
@@ -163,8 +172,7 @@ def gather_kv(
     cache_v: jax.Array,
     block_table: jax.Array,  # [B, max_blocks] int32 (−1 padding allowed)
     block_size: int,
-    k_scale: Optional[jax.Array] = None,
-    v_scale: Optional[jax.Array] = None,
+    kv_scale: Optional[jax.Array] = None,  # [S_total, SW] packed slot-major
     dtype=jnp.bfloat16,
 ):
     """Materialize per-sequence KV [B, max_blocks*block_size, n_kv, hd] from
@@ -175,10 +183,14 @@ def gather_kv(
     )  # [B, S]
     k = cache_k[:, slots]  # [n_kv, B, S, hd]
     v = cache_v[:, slots]
-    if k_scale is not None:
-        # slot-major scales [S_total, n_kv] → [n_kv, B, S, 1]
-        k = k.astype(jnp.float32) * jnp.transpose(k_scale[slots], (2, 0, 1))[..., None]
-        v = v.astype(jnp.float32) * jnp.transpose(v_scale[slots], (2, 0, 1))[..., None]
+    if kv_scale is not None:
+        # packed slot-major scales [S_total, SW] → [n_kv, B, S, 1]
+        n_kv = cache_k.shape[0]
+        sc = kv_scale[slots].astype(jnp.float32)  # [B, S, SW]
+        k = k.astype(jnp.float32) * jnp.transpose(sc[..., :n_kv], (2, 0, 1))[..., None]
+        v = v.astype(jnp.float32) * jnp.transpose(
+            sc[..., n_kv:2 * n_kv], (2, 0, 1)
+        )[..., None]
     # → [B, S, n_kv, hd] (XLA fuses the transpose into the gather consumer)
     return (
         jnp.transpose(k, (1, 2, 0, 3)).astype(dtype),
@@ -211,8 +223,9 @@ def calculate_cache_config(
     dtype = compute_dtype or jnp.bfloat16
     dsize = 1 if kv_quant else jnp.dtype(dtype).itemsize
     bytes_per_slot = 2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim * dsize
-    if kv_quant:  # f32 per-(head,slot) scales
-        bytes_per_slot += 2 * cfg.num_layers * cfg.num_kv_heads * 4
+    if kv_quant:  # packed bf16 per-(head,slot) scale plane (128-lane rows)
+        sw = max(128, -(-2 * cfg.num_kv_heads // 128) * 128)
+        bytes_per_slot += cfg.num_layers * sw * 2
     bytes_per_block = bytes_per_slot * block_size
 
     if hbm_bytes is None:

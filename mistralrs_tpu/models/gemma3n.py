@@ -408,7 +408,7 @@ def gemma3n_forward_paged(
             k = apply_rope(k, cos, sin)
             v = (x @ lw["wv"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
             v = _rms(v, None, eps)  # v_norm has no scale
-            k_c, v_c, _, _ = write_kv(
+            k_c, v_c, _ = write_kv(
                 kp[plane], vp[plane],
                 k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),
                 v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim),

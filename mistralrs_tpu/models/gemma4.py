@@ -450,7 +450,7 @@ def gemma4_forward_paged(
                 v = k
             v = _rms(v, lw.get("v_norm"), eps)
             k = _rope_half(k, cos, sin)
-            k_c, v_c, _, _ = write_kv(
+            k_c, v_c, _ = write_kv(
                 pools[kk_key][plane], pools[vv_key][plane],
                 k.reshape(b * t, n_kv, hd), v.reshape(b * t, n_kv, hd),
                 flat_slots,

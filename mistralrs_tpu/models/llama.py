@@ -828,7 +828,7 @@ def forward_paged(
         cos_g, sin_g, cos_lo, sin_lo = _rope_sets(cfg, positions)
     windows = weights["layer_windows"]
     flat_slots = slot_mapping.reshape(-1)
-    has_scales = cache.k_scale is not None
+    has_scales = cache.kv_scale is not None
     # Fused Pallas decode kernel: single-token step, unquantized KV, no
     # softcap. Only when the block table is wide (XLA fuses the gather into
     # the attention einsum, so at snug small contexts the gather path reads
@@ -858,11 +858,11 @@ def forward_paged(
 
     def body(carry, xs, heavy=None):
         if has_scales:
-            hh, kp, vp, ksp, vsp = carry
+            hh, kp, vp, kvsp = carry
             lw, win, ur, li, si = xs
         else:
             hh, kp, vp = carry
-            ksp = vsp = None
+            kvsp = None
             lw, win, ur, li, si = xs
         if heavy:
             # stacked quantized planes stay OUT of the scan xs (slicing them
@@ -936,16 +936,16 @@ def forward_paged(
             # in-kernel and fold scales into the flash step.
             _soft = float(cfg.attn_logit_softcap or 0.0)
             if has_scales:
-                attn, kp, vp, ksp, vsp = paged_decode_attention_fused(
+                attn, kp, vp, kvsp = paged_decode_attention_fused(
                     q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
-                    block_tables, kv_lens, win, li, ksp, vsp,
+                    block_tables, kv_lens, win, li, kvsp,
                     lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
                 )
             else:
                 attn, kp, vp = paged_decode_attention_fused(
                     q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
-                    block_tables, kv_lens, win, li, None, None,
+                    block_tables, kv_lens, win, li, None,
                     lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
                 )
@@ -953,27 +953,22 @@ def forward_paged(
         else:
             k_c = jax.lax.dynamic_index_in_dim(kp, li, 0, keepdims=False)
             v_c = jax.lax.dynamic_index_in_dim(vp, li, 0, keepdims=False)
-            k_s = (
-                jax.lax.dynamic_index_in_dim(ksp, li, 0, keepdims=False)
+            kv_s = (
+                jax.lax.dynamic_index_in_dim(kvsp, li, 0, keepdims=False)
                 if has_scales else None
             )
-            v_s = (
-                jax.lax.dynamic_index_in_dim(vsp, li, 0, keepdims=False)
-                if has_scales else None
-            )
-            k_c, v_c, k_s, v_s = write_kv(
+            k_c, v_c, kv_s = write_kv(
                 k_c, v_c,
                 k.reshape(b * t, cfg.num_kv_heads, pool_hd),
                 v.reshape(b * t, cfg.num_kv_heads, pool_hd),
-                flat_slots, k_s, v_s,
+                flat_slots, kv_s,
             )
             kp = jax.lax.dynamic_update_index_in_dim(kp, k_c, li, 0)
             vp = jax.lax.dynamic_update_index_in_dim(vp, v_c, li, 0)
             if has_scales:
-                ksp = jax.lax.dynamic_update_index_in_dim(ksp, k_s, li, 0)
-                vsp = jax.lax.dynamic_update_index_in_dim(vsp, v_s, li, 0)
+                kvsp = jax.lax.dynamic_update_index_in_dim(kvsp, kv_s, li, 0)
             kk, vv = gather_kv(
-                k_c, v_c, block_tables, block_size, k_s, v_s, dtype=compute_dtype
+                k_c, v_c, block_tables, block_size, kv_s, dtype=compute_dtype
             )
             attn = sdpa(
                 q, kk, vv,
@@ -1004,7 +999,7 @@ def forward_paged(
             mlp_out = _mlp(x, lw, act, backend, tp_axis)
             hh = _ds_add(hh + attn_out + mlp_out)
             if has_scales:
-                return (hh, kp, vp, ksp, vsp), None
+                return (hh, kp, vp, kvsp), None
             return (hh, kp, vp), None
         if "post_attn_norm" in lw:
             attn_out = _maybe_norm(attn_out, lw["post_attn_norm"], cfg.rms_norm_eps, gemma)
@@ -1022,7 +1017,7 @@ def forward_paged(
             mlp_out = _maybe_norm(mlp_out, lw["post_ffn_norm"], cfg.rms_norm_eps, gemma)
         hh = _ds_add(hh + (mlp_out * rm if rm else mlp_out))
         if has_scales:
-            return (hh, kp, vp, ksp, vsp), None
+            return (hh, kp, vp, kvsp), None
         return (hh, kp, vp), None
 
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
@@ -1030,7 +1025,7 @@ def forward_paged(
     if "layers_moe" in weights:  # dense-prefix MoE (glm4moe)
         segments.append(weights["layers_moe"])
     if has_scales:
-        carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        carry = (h, cache.k, cache.v, cache.kv_scale)
     else:
         carry = (h, cache.k, cache.v)
     off = 0
@@ -1057,8 +1052,8 @@ def forward_paged(
         carry, _ = jax.lax.scan(partial(body, heavy=heavy), carry, xs)
         off += n_seg
     if has_scales:
-        h, kp, vp, ksp, vsp = carry
-        new_cache = PagedKVCache(kp, vp, ksp, vsp)
+        h, kp, vp, kvsp = carry
+        new_cache = PagedKVCache(kp, vp, kvsp)
     else:
         h, kp, vp = carry
         new_cache = PagedKVCache(kp, vp)

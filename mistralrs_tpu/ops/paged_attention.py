@@ -42,12 +42,11 @@ def _decode_kernel(
     #   q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
     #   o_ref, k_pool_out, v_pool_out,
     #   k_buf, v_buf, wk_buf, wv_buf, sem, wsem
-    # refs layout (quantized=True) additionally carries the slot-major
-    # scale planes + their scratch:
-    #   q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
-    #   ks_pool_ref, vs_pool_ref,
-    #   o_ref, k_pool_out, v_pool_out, ks_pool_out, vs_pool_out,
-    #   k_buf, v_buf, ks_buf, vs_buf, wk_buf, wv_buf, wks_buf, wvs_buf,
+    # refs layout (quantized=True) additionally carries the packed
+    # slot-major scale plane + its scratch:
+    #   q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref, kvs_pool_ref,
+    #   o_ref, k_pool_out, v_pool_out, kvs_pool_out,
+    #   k_buf, v_buf, kvs_buf, wk_buf, wv_buf, wkvs_buf,
     #   sem, ssem, wsem
     block_size: int,
     chunk: int,  # blocks fetched/processed per flash step
@@ -63,23 +62,25 @@ def _decode_kernel(
     see STATUS; the analog of the reference packing all heads into one CTA
     wave in pagedattention_v2).
 
-    quantized=True: int8/fp8-e4m3 pools with per-(slot, head) f32 scales
-    (slot-major [L, S_total, n_kv]). The step's KV rows are quantized
-    IN-kernel (abs-max per head) and both the code window and the scale
-    window are RMW-written; each chunk's scales ride two extra DMAs and
-    fold into the flash step after the QK dot / before the PV dot — KV
-    stays 1-byte in HBM end-to-end (the analog of fp8 paged KV inside
-    pagedattention_v2 + update_kvscales.cu)."""
+    quantized=True: int8/fp8-e4m3 pools with per-(slot, head) scales packed
+    into ONE slot-major plane [L, S_total, SW] (bf16; lanes 0:n_kv hold k
+    scales, n_kv:2·n_kv hold v scales, SW a 128-lane multiple — the lane
+    quantum makes the per-block scale DMA legal for Mosaic). The step's KV
+    rows are quantized IN-kernel (abs-max per head) and both the code
+    window and the scale window are RMW-written; each chunk's scales ride
+    one extra DMA and fold into the flash step after the QK dot / before
+    the PV dot — KV stays 1-byte in HBM end-to-end (the analog of fp8
+    paged KV inside pagedattention_v2 + update_kvscales.cu)."""
     refs = list(refs)
     sinks_ref = None
     if quantized:
         (q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref,
-         ks_pool_ref, vs_pool_ref) = refs[:7]
-        del refs[:7]
+         kvs_pool_ref) = refs[:6]
+        del refs[:6]
         if has_sinks:
             sinks_ref = refs.pop(0)
-        (o_ref, k_pool_out, v_pool_out, ks_pool_out, vs_pool_out,
-         k_buf, v_buf, ks_buf, vs_buf, wk_buf, wv_buf, wks_buf, wvs_buf,
+        (o_ref, k_pool_out, v_pool_out, kvs_pool_out,
+         k_buf, v_buf, kvs_buf, wk_buf, wv_buf, wkvs_buf,
          sem, ssem, wsem) = refs
     else:
         (q_ref, k_new_ref, v_new_ref, k_pool_ref, v_pool_ref) = refs[:5]
@@ -88,8 +89,7 @@ def _decode_kernel(
             sinks_ref = refs.pop(0)
         (o_ref, k_pool_out, v_pool_out,
          k_buf, v_buf, wk_buf, wv_buf, sem, wsem) = refs
-        ks_pool_out = vs_pool_out = ks_buf = vs_buf = None
-        wks_buf = wvs_buf = ssem = None
+        kvs_pool_out = kvs_buf = wkvs_buf = ssem = None
     b = pl.program_id(0)
     li = layer_ref[0]
     kv_len = kv_lens_ref[b]
@@ -109,54 +109,53 @@ def _decode_kernel(
 
     n_chunks = pl.cdiv(kv_len, block_size * chunk)
 
-    def dma(ci, h, j, slot, which):
-        """Async copy of head h, block j of chunk ci into the buffer."""
+    def dma(ci, j, slot, which, seq=None):
+        """Async copy of ALL heads' stripes for block j of chunk ci in ONE
+        strided DMA ([n_kv, block_size, hd]; stride S_total·hd between head
+        planes) — 1 descriptor instead of n_kv, same bytes."""
         pool = k_pool_out if which == 0 else v_pool_out
         buf = k_buf if which == 0 else v_buf
-        blk = block_tables_ref[b, ci * chunk + j]
+        blk = block_tables_ref[b if seq is None else seq, ci * chunk + j]
         return pltpu.make_async_copy(
-            pool.at[li, h, pl.ds(blk * block_size, block_size)],
-            buf.at[slot, h, pl.ds(j * block_size, block_size)],
-            sem.at[slot, which, h, j],
+            pool.at[li, :, pl.ds(blk * block_size, block_size)],
+            buf.at[slot, :, pl.ds(j * block_size, block_size)],
+            sem.at[slot, which, j],
         )
 
-    def sdma(ci, j, slot, which):
-        """Async copy of block j's scale rows (slot-major [S, n_kv])."""
-        pool = ks_pool_out if which == 0 else vs_pool_out
-        buf = ks_buf if which == 0 else vs_buf
-        blk = block_tables_ref[b, ci * chunk + j]
+    def sdma(ci, j, slot, seq=None):
+        """Async copy of block j's packed scale rows (slot-major [S, SW])."""
+        blk = block_tables_ref[b if seq is None else seq, ci * chunk + j]
         return pltpu.make_async_copy(
-            pool.at[li, pl.ds(blk * block_size, block_size)],
-            buf.at[slot, pl.ds(j * block_size, block_size)],
-            ssem.at[slot, which, j],
+            kvs_pool_out.at[li, pl.ds(blk * block_size, block_size)],
+            kvs_buf.at[slot, pl.ds(j * block_size, block_size)],
+            ssem.at[slot, j],
         )
 
     # Always fetch every block of a chunk: rows past kv_len read (padded)
     # table entry 0 — valid memory, and the flash mask zeroes their weight.
     # Fetching garbage instead would risk NaN·0 = NaN in the p @ v product.
-    def start_chunk(ci, slot):
-        for h in range(n_kv):
-            for j in range(chunk):
-                dma(ci, h, j, slot, 0).start()
-                dma(ci, h, j, slot, 1).start()
+    def start_chunk(ci, slot, seq=None):
+        for j in range(chunk):
+            dma(ci, j, slot, 0, seq).start()
+            dma(ci, j, slot, 1, seq).start()
         if quantized:
             for j in range(chunk):
-                sdma(ci, j, slot, 0).start()
-                sdma(ci, j, slot, 1).start()
+                sdma(ci, j, slot, seq).start()
 
     def wait_chunk(ci, slot):
-        for h in range(n_kv):
-            for j in range(chunk):
-                dma(ci, h, j, slot, 0).wait()
-                dma(ci, h, j, slot, 1).wait()
+        for j in range(chunk):
+            dma(ci, j, slot, 0).wait()
+            dma(ci, j, slot, 1).wait()
         if quantized:
             for j in range(chunk):
-                sdma(ci, j, slot, 0).wait()
-                sdma(ci, j, slot, 1).wait()
+                sdma(ci, j, slot).wait()
 
     # this step's write slot lands in the LAST chunk (position kv_len−1),
-    # so with >1 chunk the first chunk's reads can overlap the write RMW
-    @pl.when(n_chunks > 1)
+    # so with >1 chunk the first chunk's reads can overlap the write RMW.
+    # For b > 0 the PREVIOUS program already issued this chunk-0 fetch
+    # (cross-program prefetch, below) — semaphores persist across the
+    # sequential grid, so its wait_chunk(0, 0) pairs with that start.
+    @pl.when((n_chunks > 1) & (b == 0))
     def _():
         start_chunk(0, 0)
 
@@ -170,13 +169,9 @@ def _decode_kernel(
     vin.start()
     if quantized:
         skin = pltpu.make_async_copy(
-            ks_pool_out.at[li, pl.ds(win, 8)], wks_buf, wsem.at[2]
-        )
-        svin = pltpu.make_async_copy(
-            vs_pool_out.at[li, pl.ds(win, 8)], wvs_buf, wsem.at[3]
+            kvs_pool_out.at[li, pl.ds(win, 8)], wkvs_buf, wsem.at[2]
         )
         skin.start()
-        svin.start()
     kin.wait()
     vin.wait()
 
@@ -217,23 +212,23 @@ def _decode_kernel(
     vout.start()
     if quantized:
         skin.wait()
-        svin.wait()
-        srows = jax.lax.broadcasted_iota(jnp.int32, wks_buf.shape, 0)
-        ssel = srows == row
-        wks_buf[...] = jnp.where(
-            ssel, jnp.broadcast_to(k_s[None, :], wks_buf.shape), wks_buf[...]
-        )
-        wvs_buf[...] = jnp.where(
-            ssel, jnp.broadcast_to(v_s[None, :], wvs_buf.shape), wvs_buf[...]
+        sw = wkvs_buf.shape[1]
+        # pack this step's k/v scales into one [1, SW] lane row
+        row_vals = jnp.concatenate(
+            [k_s[None, :], v_s[None, :],
+             jnp.zeros((1, sw - 2 * n_kv), jnp.float32)],
+            axis=1,
+        ).astype(wkvs_buf.dtype)
+        srows = jax.lax.broadcasted_iota(jnp.int32, wkvs_buf.shape, 0)
+        wkvs_buf[...] = jnp.where(
+            srows == row,
+            jnp.broadcast_to(row_vals, wkvs_buf.shape),
+            wkvs_buf[...],
         )
         skout = pltpu.make_async_copy(
-            wks_buf, ks_pool_out.at[li, pl.ds(win, 8)], wsem.at[2]
-        )
-        svout = pltpu.make_async_copy(
-            wvs_buf, vs_pool_out.at[li, pl.ds(win, 8)], wsem.at[3]
+            wkvs_buf, kvs_pool_out.at[li, pl.ds(win, 8)], wsem.at[2]
         )
         skout.start()
-        svout.start()
     # the write-back lands in the LAST chunk's block — its completion only
     # gates that chunk's reads, so the wait happens right before they start
     # (hiding the write latency behind all earlier chunks' flash steps)
@@ -248,7 +243,6 @@ def _decode_kernel(
         vout.wait()
         if quantized:
             skout.wait()
-            svout.wait()
 
     # single-chunk case: the write block IS (or may be) in chunk 0 — its
     # reads must start after the write RMW completes
@@ -282,8 +276,9 @@ def _decode_kernel(
         )  # [n_kv, group_p, span]
         if quantized:
             # per-row scales fold in AFTER the QK dot (q·(k·s) == (q·k)·s)
-            ks_t = jnp.swapaxes(ks_buf[slot], 0, 1)  # [n_kv, span]
-            vs_t = jnp.swapaxes(vs_buf[slot], 0, 1)
+            sv = kvs_buf[slot].astype(jnp.float32)  # [span, SW]
+            ks_t = jnp.swapaxes(sv[:, :n_kv], 0, 1)  # [n_kv, span]
+            vs_t = jnp.swapaxes(sv[:, n_kv:2 * n_kv], 0, 1)
             s = s * ks_t[:, None, :]
         if softcap:
             s = jnp.tanh(s * (1.0 / softcap)) * softcap
@@ -315,6 +310,23 @@ def _decode_kernel(
         m0 = jnp.full((n_kv, group_p, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((n_kv, group_p, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
+
+    # cross-program prefetch: all buffers are free once the loop retires, so
+    # issue sequence b+1's chunk-0 fetch NOW — its data is in flight through
+    # this program's output copy and the next program's entry + write-RMW
+    # setup, hiding the next program's DMA-latency bubble. Only when seq
+    # b+1 has >1 chunks: its chunk 0 then cannot contain its write block,
+    # so fetching before its RMW lands is race-free (sequences never write
+    # shared blocks — prefix blocks are copy-on-write, refcount 1 to write).
+    nb = b + 1
+    nb_safe = jnp.minimum(nb, pl.num_programs(0) - 1)
+    next_len = kv_lens_ref[nb_safe]
+    span_i = block_size * chunk
+
+    @pl.when((nb < pl.num_programs(0)) & (next_len > span_i))
+    def _():
+        start_chunk(0, 0, seq=nb_safe)
+
     o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
@@ -337,8 +349,8 @@ def paged_decode_attention_fused(
     kv_lens: jax.Array,  # [B] int32 (length AFTER this step's write)
     window: jax.Array | int = 0,  # scalar; 0 → full attention
     layer: jax.Array | int = 0,  # which layer plane of a 4-D pool
-    k_scale: Optional[jax.Array] = None,  # [L, S_total, n_kv] slot-major
-    v_scale: Optional[jax.Array] = None,  # (int8/fp8 KV pools)
+    kv_scale: Optional[jax.Array] = None,  # [L, S_total, SW] packed slot-major
+    # scales for int8/fp8 pools: lanes 0:n_kv = k, n_kv:2n_kv = v
     sinks: Optional[jax.Array] = None,  # [n_q] per-head sink logits (gpt_oss)
     *,
     block_size: int,
@@ -352,19 +364,18 @@ def paged_decode_attention_fused(
     layer plane is touched — KV is written and read exactly once, with no
     XLA slicing/stacking of pool planes under the layer scan.
 
-    With ``k_scale``/``v_scale`` the pools are int8/fp8-e4m3: the step's KV
-    is quantized in-kernel and scales fold into the flash step (KV traffic
-    halves vs bf16). Returns (out [B, n_q, hd], k_pool, v_pool[, k_scale,
-    v_scale])."""
+    With ``kv_scale`` the pools are int8/fp8-e4m3: the step's KV is
+    quantized in-kernel and scales fold into the flash step (KV traffic
+    halves vs bf16). Returns (out [B, n_q, hd], k_pool, v_pool[,
+    kv_scale])."""
     b, n_q, hd = q.shape
-    quantized = k_scale is not None
+    quantized = kv_scale is not None
     squeeze = k_pool.ndim == 3
     if squeeze:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
         if quantized:
-            k_scale = k_scale[None]
-            v_scale = v_scale[None]
+            kv_scale = kv_scale[None]
     n_kv = k_pool.shape[1]
     group = n_q // n_kv
     if scale is None:
@@ -424,19 +435,16 @@ def paged_decode_attention_fused(
               v_new.astype(jnp.bfloat16 if quantized else v_pool.dtype),
               k_pool, v_pool]
     if quantized:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2  # scale pools
-        out_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
-        out_shape += [
-            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
-            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
-        ]
+        sw = kv_scale.shape[2]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)]  # packed scales
+        out_specs += [pl.BlockSpec(memory_space=pltpu.ANY)]
+        out_shape += [jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype)]
         scratch += [
-            pltpu.VMEM((2, span, n_kv), jnp.float32),  # ks_buf
-            pltpu.VMEM((2, span, n_kv), jnp.float32),  # vs_buf
+            pltpu.VMEM((2, span, sw), kv_scale.dtype),  # kvs_buf
         ]
-        inputs += [k_scale, v_scale]
-        # args: 5 prefetch + q(5), k_new(6), v_new(7), pools(8,9), scales(10,11)
-        aliases = {8: 1, 9: 2, 10: 3, 11: 4}
+        inputs += [kv_scale]
+        # args: 5 prefetch + q(5), k_new(6), v_new(7), pools(8,9), scales(10)
+        aliases = {8: 1, 9: 2, 10: 3}
     else:
         aliases = {8: 1, 9: 2}
     has_sinks = sinks is not None
@@ -455,13 +463,12 @@ def paged_decode_attention_fused(
     ]
     if quantized:
         scratch += [
-            pltpu.VMEM((8, n_kv), jnp.float32),  # wks_buf
-            pltpu.VMEM((8, n_kv), jnp.float32),  # wvs_buf
+            pltpu.VMEM((8, kv_scale.shape[2]), kv_scale.dtype),  # wkvs_buf
         ]
-    scratch += [pltpu.SemaphoreType.DMA((2, 2, n_kv, chunk))]
+    scratch += [pltpu.SemaphoreType.DMA((2, 2, chunk))]
     if quantized:
-        scratch += [pltpu.SemaphoreType.DMA((2, 2, chunk))]  # ssem
-    scratch += [pltpu.SemaphoreType.DMA((4 if quantized else 2,))]  # wsem
+        scratch += [pltpu.SemaphoreType.DMA((2, chunk))]  # ssem
+    scratch += [pltpu.SemaphoreType.DMA((3 if quantized else 2,))]  # wsem
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -485,34 +492,33 @@ def paged_decode_attention_fused(
         interpret=interpret,
     )(*inputs)
     if quantized:
-        out4, k_pool, v_pool, k_scale, v_scale = outs
+        out4, k_pool, v_pool, kv_scale = outs
     else:
         out4, k_pool, v_pool = outs
     if squeeze:
         k_pool = k_pool[0]
         v_pool = v_pool[0]
         if quantized:
-            k_scale = k_scale[0]
-            v_scale = v_scale[0]
+            kv_scale = kv_scale[0]
     out = out4[:, :, :group].reshape(b, n_q, hd)
     if quantized:
-        return out, k_pool, v_pool, k_scale, v_scale
+        return out, k_pool, v_pool, kv_scale
     return out, k_pool, v_pool
 
 
 def paged_decode_attention(
     q, k_pool, v_pool, block_tables, kv_lens, window=0,
-    k_scale=None, v_scale=None, sinks=None, *,
+    kv_scale=None, sinks=None, *,
     block_size, scale=None, chunk=None, interpret=False, softcap=0.0
 ):
     """Read-only variant (testing): no KV write, pools unchanged."""
-    new_dt = jnp.bfloat16 if k_scale is not None else k_pool.dtype
+    new_dt = jnp.bfloat16 if kv_scale is not None else k_pool.dtype
     outs = paged_decode_attention_fused(
         q, k_pool, v_pool,
         jnp.zeros((q.shape[0], k_pool.shape[0], q.shape[2]), new_dt),
         jnp.zeros((q.shape[0], v_pool.shape[0], q.shape[2]), new_dt),
         jnp.full((q.shape[0],), -1, jnp.int32),
-        block_tables, kv_lens, window, 0, k_scale, v_scale, sinks,
+        block_tables, kv_lens, window, 0, kv_scale, sinks,
         block_size=block_size, scale=scale, chunk=chunk, interpret=interpret,
         softcap=softcap,
     )

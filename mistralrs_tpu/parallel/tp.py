@@ -248,9 +248,12 @@ def paged_cache_pspecs(quantized_kv: bool = False):
     from ..kv.paged import PagedKVCache
 
     spec = P(None, TP_AXIS, DP_AXIS, None)
-    # slot-major scales [L, S_total, n_kv]: slots over data, heads over model
+    # packed slot-major scales [L, S_total, tp·128]: slots over data; the
+    # lane axis shards over model in per-shard 128-lane rows, so each shard
+    # locally sees [L, S_local, 128] with ITS heads' scales in lanes
+    # 0:n_kv_local (k) and n_kv_local:2n_kv_local (v)
     sspec = P(None, DP_AXIS, TP_AXIS) if quantized_kv else None
-    return PagedKVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
+    return PagedKVCache(k=spec, v=spec, kv_scale=sspec)
 
 
 def replicated_cache_pspecs(quantized_kv: bool = False):
@@ -261,7 +264,7 @@ def replicated_cache_pspecs(quantized_kv: bool = False):
 
     spec = P(None, None, DP_AXIS, None)
     sspec = P(None, DP_AXIS, None) if quantized_kv else None
-    return PagedKVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
+    return PagedKVCache(k=spec, v=spec, kv_scale=sspec)
 
 
 def shard_paged_cache(mesh: Mesh, cache, replicate_model: bool = False):
@@ -269,16 +272,15 @@ def shard_paged_cache(mesh: Mesh, cache, replicate_model: bool = False):
     from ..kv.paged import PagedKVCache
 
     specs = (
-        replicated_cache_pspecs(cache.k_scale is not None)
+        replicated_cache_pspecs(cache.kv_scale is not None)
         if replicate_model
-        else paged_cache_pspecs(cache.k_scale is not None)
+        else paged_cache_pspecs(cache.kv_scale is not None)
     )
     put = lambda a, s: None if a is None else jax.device_put(a, NamedSharding(mesh, s))
     return PagedKVCache(
         k=put(cache.k, specs.k),
         v=put(cache.v, specs.v),
-        k_scale=put(cache.k_scale, specs.k_scale),
-        v_scale=put(cache.v_scale, specs.v_scale),
+        kv_scale=put(cache.kv_scale, specs.kv_scale),
     )
 
 

@@ -24,3 +24,17 @@ jax.config.update("jax_platforms", "cpu")
 
 
 pytest_plugins = ("aiohttp.pytest_plugin",)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU's JIT segfaults inside backend_compile_and_load after a few
+    hundred compilations accumulate in one process (reproducible at ~110
+    test files in, at varying tests — LLVM JIT state, not any one test).
+    Dropping the executable caches between modules keeps the full suite in
+    one `pytest tests/` invocation stable."""
+    yield
+    jax.clear_caches()

@@ -85,7 +85,7 @@ def test_fused_write_matches_separate():
         q, kp, vp, k_new, v_new, slots, bt, kv_lens, 0,
         block_size=bs, interpret=True,
     )
-    kp2, vp2, _, _ = write_kv(kp, vp, k_new, v_new, slots)
+    kp2, vp2, _ = write_kv(kp, vp, k_new, v_new, slots)
     from mistralrs_tpu.ops.paged_attention import paged_decode_attention
 
     out_r = paged_decode_attention(
@@ -129,7 +129,8 @@ def test_calculate_cache_config():
         hbm_bytes=1 << 40, weight_bytes=0,
     )
     assert n == (256 // 16) * 2
-    # quantized KV fits ~2x the blocks of bf16 (minus scale overhead)
+    # quantized KV fits more blocks than bf16 (codes halve; the packed
+    # bf16 scale plane adds L*128*2 bytes/slot — cheap at real head_dims)
     n_q = calculate_cache_config(
         cfg, block_size=16, max_model_len=1 << 20, max_batch=64,
         hbm_bytes=64 << 20, weight_bytes=0, kv_quant=True, utilization=1.0,
@@ -138,7 +139,9 @@ def test_calculate_cache_config():
         cfg, block_size=16, max_model_len=1 << 20, max_batch=64,
         hbm_bytes=64 << 20, weight_bytes=0, utilization=1.0,
     )
-    assert n_q > int(n_f * 1.7)
+    # bytes/slot: bf16 = 2*L*n_kv*hd*2 = 4096; int8 = 2048 + L*128*2 = 3072
+    assert n_f == (64 << 20) // (4096 * 16)
+    assert n_q == (64 << 20) // (3072 * 16)
 
 
 @pytest.mark.parametrize("kv_quant", ["int8", "fp8"])
@@ -154,22 +157,21 @@ def test_quantized_kv_kernel_matches_gather(kv_quant):
     store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
     kp = jnp.zeros((n_kv, S_total, hd), store)
     vp = jnp.zeros((n_kv, S_total, hd), store)
-    ks = jnp.zeros((S_total, n_kv), jnp.float32)
-    vs = jnp.zeros((S_total, n_kv), jnp.float32)
+    kvs = jnp.zeros((S_total, 128), jnp.bfloat16)  # packed k|v scale lanes
     # populate every live slot through write_kv (XLA quantization path)
     T = 16 * bs
     k_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
     v_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
     slots = jnp.arange(T, dtype=jnp.int32)
-    kp, vp, ks, vs = write_kv(kp, vp, k_rows, v_rows, slots, ks, vs)
+    kp, vp, kvs = write_kv(kp, vp, k_rows, v_rows, slots, kvs)
 
     q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
     bt = jnp.asarray(rng.integers(0, 15, (B, W)), jnp.int32)
     kv_lens = jnp.asarray([37, 5, W * bs], jnp.int32)
     out = paged_decode_attention(
-        q, kp, vp, bt, kv_lens, 0, ks, vs, block_size=bs, interpret=True
+        q, kp, vp, bt, kv_lens, 0, kvs, block_size=bs, interpret=True
     )
-    kk, vv = gather_kv(kp, vp, bt, bs, ks, vs, dtype=jnp.float32)
+    kk, vv = gather_kv(kp, vp, bt, bs, kvs, dtype=jnp.float32)
     ref = sdpa(
         q[:, None].astype(jnp.float32), kk, vv,
         q_positions=(kv_lens - 1)[:, None], kv_len=kv_lens,
@@ -192,13 +194,12 @@ def test_quantized_fused_write_matches_write_kv():
     S_total = 9 * bs
     kp = jnp.zeros((n_kv, S_total, hd), jnp.int8)
     vp = jnp.zeros((n_kv, S_total, hd), jnp.int8)
-    ks = jnp.zeros((S_total, n_kv), jnp.float32)
-    vs = jnp.zeros((S_total, n_kv), jnp.float32)
+    kvs = jnp.zeros((S_total, 128), jnp.bfloat16)  # packed k|v scale lanes
     T = 8 * bs
     k_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
     v_rows = jnp.asarray(rng.standard_normal((T, n_kv, hd)), jnp.bfloat16)
-    kp, vp, ks, vs = write_kv(kp, vp, k_rows, v_rows,
-                              jnp.arange(T, dtype=jnp.int32), ks, vs)
+    kp, vp, kvs = write_kv(kp, vp, k_rows, v_rows,
+                           jnp.arange(T, dtype=jnp.int32), kvs)
 
     q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
     k_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.bfloat16)
@@ -207,13 +208,13 @@ def test_quantized_fused_write_matches_write_kv():
     slots = jnp.asarray([1 * bs + 4, -1], jnp.int32)
     kv_lens = jnp.asarray([21, 33], jnp.int32)
 
-    out_f, kp_f, vp_f, ks_f, vs_f = paged_decode_attention_fused(
-        q, kp, vp, k_new, v_new, slots, bt, kv_lens, 0, 0, ks, vs,
+    out_f, kp_f, vp_f, kvs_f = paged_decode_attention_fused(
+        q, kp, vp, k_new, v_new, slots, bt, kv_lens, 0, 0, kvs,
         block_size=bs, interpret=True,
     )
-    kp2, vp2, ks2, vs2 = write_kv(kp, vp, k_new, v_new, slots, ks, vs)
+    kp2, vp2, kvs2 = write_kv(kp, vp, k_new, v_new, slots, kvs)
     out_r = paged_decode_attention(
-        q, kp2, vp2, bt, kv_lens, 0, ks2, vs2, block_size=bs, interpret=True
+        q, kp2, vp2, bt, kv_lens, 0, kvs2, block_size=bs, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(out_f, np.float32), np.asarray(out_r, np.float32),
@@ -223,10 +224,8 @@ def test_quantized_fused_write_matches_write_kv():
         np.asarray(kp_f[:, :-1]), np.asarray(kp2[:, :-1])
     )
     np.testing.assert_allclose(
-        np.asarray(ks_f[:-1]), np.asarray(ks2[:-1]), rtol=1e-6, atol=1e-8
-    )
-    np.testing.assert_allclose(
-        np.asarray(vs_f[:-1]), np.asarray(vs2[:-1]), rtol=1e-6, atol=1e-8
+        np.asarray(kvs_f[:-1], np.float32), np.asarray(kvs2[:-1], np.float32),
+        rtol=1e-6, atol=1e-8,
     )
 
 
@@ -274,7 +273,7 @@ def test_sinks_kernel_matches_sdpa():
         q, kp, vp,
         jnp.zeros((B, n_kv, hd), jnp.bfloat16),
         jnp.zeros((B, n_kv, hd), jnp.bfloat16),
-        jnp.full((B,), -1, jnp.int32), bt, kv_lens, 0, 0, None, None, sinks,
+        jnp.full((B,), -1, jnp.int32), bt, kv_lens, 0, 0, None, sinks,
         block_size=bs, interpret=True,
     )
     kk, vv = gather_kv(kp, vp, bt, bs, dtype=jnp.float32)
