@@ -35,7 +35,7 @@ import time
 #: Last decode tok/s validated on real TPU hardware (updated whenever a TPU
 #: bench run completes). Reported in the degraded-mode record when the axon
 #: relay is unreachable so a hang/crash never masks the last known-good number.
-LAST_VALIDATED = {"value": 711.4, "vs_baseline": 0.749, "date": "2026-08-19"}
+LAST_VALIDATED = {"value": 738.1, "vs_baseline": 0.777, "date": "2026-08-19"}
 
 
 def _degraded_record(why: str) -> str:
@@ -110,8 +110,9 @@ def _rand_qtensor(key, lead, n, k, gs=32) -> QTensor:
         lead = (lead,)
     k1, k2, k3 = jax.random.split(key, 3)
     data = jax.random.randint(k1, (*lead, k // 2, n), 0, 256, jnp.uint8)
-    scale = jax.random.uniform(k2, (*lead, k // gs, n), jnp.float32, 0.001, 0.01)
-    bias = jax.random.uniform(k3, (*lead, k // gs, n), jnp.float32, -0.01, 0.0)
+    sdt = jnp.bfloat16 if os.environ.get("MRSTPU_BF16_PLANES") else jnp.float32
+    scale = jax.random.uniform(k2, (*lead, k // gs, n), jnp.float32, 0.001, 0.01).astype(sdt)
+    bias = jax.random.uniform(k3, (*lead, k // gs, n), jnp.float32, -0.01, 0.0).astype(sdt)
     return QTensor(
         data=data, scale=scale, bias=bias, group_size=gs, packed=True,
         code_bits=4, ggml_type=None, chunks=1,

@@ -249,6 +249,13 @@ def _decode_kernel(
     @pl.when(n_chunks <= 1)
     def _():
         wait_writeback()
+
+    # kv_len == 0 (a dead batch slot) means n_chunks == 0: the flash loop
+    # below runs zero times, so a chunk-0 fetch would never be waited on —
+    # leaked DMA semaphores abort the program on hardware (and can wedge
+    # the chip for later launches). Only fetch when a chunk will consume it.
+    @pl.when(n_chunks == 1)
+    def _():
         start_chunk(0, 0)
 
     _BDN = (((2,), (2,)), ((0,), (0,)))  # q[n,g,hd] @ k[n,s,hd] → [n,g,s]

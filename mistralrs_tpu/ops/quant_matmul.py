@@ -68,10 +68,16 @@ def _dequant(codes_i32, s_ref, b_ref, group_size, dequant_dtype):
     Scale expansion via jnp.repeat along sublanes. (A 3-D
     reshape-and-broadcast variant compiles but stalls on hardware — Mosaic
     handles the flat repeat far better.)"""
-    s = jnp.repeat(s_ref[...].reshape(-1, s_ref.shape[-1]), group_size, axis=0)
+    s = jnp.repeat(
+        s_ref[...].astype(jnp.float32).reshape(-1, s_ref.shape[-1]),
+        group_size, axis=0,
+    )
     w = codes_i32.astype(jnp.float32) * s
     if b_ref is not None:
-        b = jnp.repeat(b_ref[...].reshape(-1, b_ref.shape[-1]), group_size, axis=0)
+        b = jnp.repeat(
+            b_ref[...].astype(jnp.float32).reshape(-1, b_ref.shape[-1]),
+            group_size, axis=0,
+        )
         w = w + b
     return w.astype(dequant_dtype)
 
@@ -110,7 +116,8 @@ def _deq_dot(x_ref, codes_i32, s_ref, b_ref, group_size, dequant_dtype):
         )
     if variant == "f32dot":
         s = jnp.repeat(
-            s_ref[...].reshape(-1, s_ref.shape[-1]), group_size, axis=0
+            s_ref[...].astype(jnp.float32).reshape(-1, s_ref.shape[-1]),
+            group_size, axis=0,
         )
         w = codes_i32.astype(jnp.float32) * s
         return jax.lax.dot_general(
@@ -130,7 +137,7 @@ def _deq_dot(x_ref, codes_i32, s_ref, b_ref, group_size, dequant_dtype):
     if variant == "groupdot":
         wb = codes_i32.astype(jnp.bfloat16)
         x = x_ref[...].astype(jnp.bfloat16)
-        s2 = s_ref[...].reshape(-1, s_ref.shape[-1])  # [gpt, TN] f32
+        s2 = s_ref[...].astype(jnp.float32).reshape(-1, s_ref.shape[-1])
         acc = None
         for g in range(wb.shape[0] // group_size):
             lo, hi = g * group_size, (g + 1) * group_size

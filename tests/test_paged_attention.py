@@ -363,3 +363,47 @@ def test_engine_padded_pool_outputs_identical(monkeypatch, tmp_path):
     got, eng1 = run()
     assert eng1.cache.head_dim == 32
     assert got == ref
+
+
+def test_dead_batch_rows_kv_len_zero():
+    """Empty decode slots (kv_len=0, slot=-1, zero block tables — exactly
+    what Engine._run_decode feeds for unoccupied batch rows) must not fetch
+    chunk 0: with n_chunks == 0 the flash loop never waits, and the leaked
+    DMA semaphores abort on real hardware (caught live on v5e; the engine
+    crashed on any partially-filled decode batch). Live rows must still
+    match the separate write+attend reference."""
+    from mistralrs_tpu.kv.paged import write_kv
+    from mistralrs_tpu.ops.paged_attention import (
+        paged_decode_attention, paged_decode_attention_fused,
+    )
+
+    rng = np.random.default_rng(5)
+    B, n_kv, group, hd, bs, W = 4, 2, 4, 64, 16, 4
+    n_q = n_kv * group
+    S_total = 9 * bs  # 8 blocks + trash
+    kp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((n_kv, S_total, hd)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, n_q, hd)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((B, n_kv, hd)), jnp.bfloat16)
+    bt = np.zeros((B, W), np.int32)
+    bt[0] = [0, 1, 2, 3]
+    bt = jnp.asarray(bt)
+    # row 0 live; rows 1-3 dead (engine fill values)
+    slots = jnp.asarray([1 * bs + 4, -1, -1, -1], jnp.int32)
+    kv_lens = jnp.asarray([21, 0, 0, 0], jnp.int32)
+
+    out_f, kp_f, vp_f = paged_decode_attention_fused(
+        q, kp, vp, k_new, v_new, slots, bt, kv_lens, 0,
+        block_size=bs, interpret=True,
+    )
+    kp2, vp2, _ = write_kv(kp, vp, k_new[:1], v_new[:1], slots[:1])
+    out_r = paged_decode_attention(
+        q[:1], kp2, vp2, bt[:1], kv_lens[:1], 0, block_size=bs,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f[:1], np.float32), np.asarray(out_r, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    assert np.all(np.isfinite(np.asarray(out_f, np.float32)))
