@@ -18,6 +18,7 @@
 #include <linux/filter.h>
 #include <linux/seccomp.h>
 #include <sys/prctl.h>
+#include <sys/stat.h>
 #include <sys/syscall.h>
 #include <unistd.h>
 
@@ -77,13 +78,33 @@ uint64_t fs_all_bits(int abi) {
     return bits;
 }
 
+// Bits the kernel accepts on a rule whose parent_fd is a regular file (or any
+// non-directory): directory-only bits (READ_DIR, MAKE_*, REMOVE_*, REFER)
+// make landlock_add_rule fail with EINVAL.
+uint64_t file_compatible_bits(int abi) {
+    uint64_t bits = LL_FS_EXECUTE | LL_FS_READ_FILE | LL_FS_WRITE_FILE;
+    if (abi >= 3) bits |= LL_FS_TRUNCATE;
+    return bits;
+}
+
 // Grant `access` beneath each path; unopenable paths are skipped (a policy
 // listing /lib64 on a distro without it must not fail the whole sandbox).
-int add_rules(int ruleset_fd, const char** paths, int n, uint64_t access) {
+// Non-directory paths (e.g. /dev/null in an rw list) get `access` masked to
+// the file-compatible subset — the kernel rejects directory bits on files.
+int add_rules(int ruleset_fd, const char** paths, int n, uint64_t access,
+              int abi) {
     for (int i = 0; i < n; i++) {
         int fd = open(paths[i], O_PATH | O_CLOEXEC);
         if (fd < 0) continue;
-        ll_path_beneath_attr attr{access, fd};
+        struct stat st;
+        uint64_t granted = access;
+        if (fstat(fd, &st) == 0 && !S_ISDIR(st.st_mode))
+            granted &= file_compatible_bits(abi);
+        if (granted == 0) {
+            close(fd);
+            continue;
+        }
+        ll_path_beneath_attr attr{granted, fd};
         long rc = syscall(SYS_landlock_add_rule, ruleset_fd,
                           LL_RULE_PATH_BENEATH, &attr, 0);
         close(fd);
@@ -99,8 +120,8 @@ int apply_landlock(const char** ro, int n_ro, const char** rw, int n_rw) {
     ll_ruleset_attr rattr{handled};
     int fd = (int)syscall(SYS_landlock_create_ruleset, &rattr, sizeof(rattr), 0);
     if (fd < 0) return 0;
-    int rc = add_rules(fd, ro, n_ro, fs_ro_bits());
-    if (rc == 0) rc = add_rules(fd, rw, n_rw, handled);
+    int rc = add_rules(fd, ro, n_ro, fs_ro_bits(), abi);
+    if (rc == 0) rc = add_rules(fd, rw, n_rw, handled, abi);
     if (rc == 0 && syscall(SYS_landlock_restrict_self, fd, 0) < 0) rc = -errno;
     close(fd);
     return rc < 0 ? rc : MRS_APPLIED_LANDLOCK;
@@ -174,16 +195,18 @@ int mrs_sandbox_supported(void) {
 
 // Apply in the CHILD (between fork and exec). Returns the bitmask of
 // mechanisms that engaged, or -errno on a hard failure of a supported one.
+// The seccomp network filter installs FIRST so a Landlock failure can never
+// leave the process with the network open.
 int mrs_sandbox_apply(int block_network, const char** ro_paths, int n_ro,
                       const char** rw_paths, int n_rw) {
     int got = 0;
     if (prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) == 0) got |= MRS_APPLIED_NNP;
+    if (block_network) got |= apply_seccomp_net();
     if (n_ro + n_rw > 0) {
         int rc = apply_landlock(ro_paths, n_ro, rw_paths, n_rw);
         if (rc < 0) return rc;
         got |= rc;
     }
-    if (block_network) got |= apply_seccomp_net();
     return got;
 }
 

@@ -163,6 +163,7 @@ def _build_engine(args):
             num_blocks = calculate_cache_config(
                 kv_cfg, block_size=args.block_size, max_model_len=max_len,
                 max_batch=args.max_batch, kv_quant=args.kv_quant is not None,
+                tp_shards=max(1, getattr(args, "tp", 1) or 1),
             )
         except (AttributeError, TypeError):  # bespoke adapter configs
             num_blocks = (max_len // args.block_size) * max(2, args.max_batch // 2)

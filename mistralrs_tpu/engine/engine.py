@@ -152,10 +152,12 @@ def _samp_state_pspecs(dp_axis):
     )
 
 
-def _tp_model_specs(mesh, cfg, weights, replicate_model):
+def _tp_model_specs(mesh, cfg, weights, replicate_model, quantized_kv=False):
     """(local_cfg, tp_axis, weight_specs, cache_specs) for running `cfg` on
     the mesh — TP-sharded, or fully replicated over the model axis (small
-    draft models whose dims don't divide tp)."""
+    draft models whose dims don't divide tp). ``quantized_kv`` must match the
+    target cache's layout: a quantized pool carries a packed kv_scale plane
+    and the spec pytree must mirror it or shard_map fails at trace time."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.tp import (
@@ -171,12 +173,12 @@ def _tp_model_specs(mesh, cfg, weights, replicate_model):
         )
         return cfg, None, wspecs, (
             replicated_cache_pspecs() if replicate_model
-            else paged_cache_pspecs()
+            else paged_cache_pspecs(quantized_kv)
         )
     ep = expert_parallel(cfg, tp)
     return (
         local_config(cfg, tp, ep), TP_AXIS,
-        weight_pspecs(weights, ep=ep), paged_cache_pspecs(),
+        weight_pspecs(weights, ep=ep), paged_cache_pspecs(quantized_kv),
     )
 
 
@@ -221,14 +223,16 @@ def _draft_tp_step_fn(mesh, cfg, weights, *, block_size, backend,
 
 
 def _verify_tp_fn(mesh, cfg, weights, *, block_size, backend, compute_dtype,
-                  n_pos):
+                  n_pos, quantized_kv=False):
     """Mesh variant of `_verify_probs_fn`: target transformed probs at all
     gamma+1 positions, TP-sharded like the engine's main forward."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.tp import DP_AXIS
 
-    lcfg, tp_ax, wspecs, cspecs = _tp_model_specs(mesh, cfg, weights, False)
+    lcfg, tp_ax, wspecs, cspecs = _tp_model_specs(
+        mesh, cfg, weights, False, quantized_kv
+    )
     sspecs = _samp_state_pspecs(DP_AXIS)
 
     def body(w, ids, positions, cache, bt, slot_map, kv_lens, samp):
@@ -1020,6 +1024,7 @@ class Engine:
                 self.mesh, self.cfg, self.weights,
                 block_size=self.block_size, backend=self.backend,
                 compute_dtype=self.compute_dtype, n_pos=g + 1,
+                quantized_kv=self._kv_quant is not None,
             )
         for j in range(g + 1):
             pos_j = jnp.asarray(base_pos + j)

@@ -87,10 +87,17 @@ class SandboxPolicy:
                     pass
             os.setsid()
             if native and (self.block_network or fs):
-                sandbox_native.apply(
+                rc = sandbox_native.apply(
                     block_network=self.block_network,
                     ro_paths=ro, rw_paths=rw,
                 )
+                if rc < 0:
+                    # Fail CLOSED: a supported mechanism errored (-errno).
+                    # Raising here aborts the spawn in the parent rather than
+                    # running the tool with a silently-disabled sandbox.
+                    raise OSError(
+                        -rc, f"native sandbox failed: {os.strerror(-rc)}"
+                    )
 
         return fn
 

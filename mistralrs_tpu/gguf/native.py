@@ -23,7 +23,15 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 _SRC = Path(__file__).resolve().parents[2] / "csrc" / "planar.cpp"
-_SO = _SRC.with_suffix(".so")
+
+
+def _so_path() -> Path:
+    # Artifact name carries a source digest so a stale or foreign-arch blob
+    # can never be dlopen'd; csrc/*.so is gitignored, always built locally.
+    import hashlib
+
+    h = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return _SRC.parent / f"planar-{h}.so"
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -35,13 +43,16 @@ def _load() -> Optional[ctypes.CDLL]:
         if os.environ.get("MRSTPU_NO_NATIVE"):
             return None
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            so = _so_path()
+            if not so.exists():
+                tmp = so.with_suffix(f".tmp{os.getpid()}")
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", str(_SO), str(_SRC)],
+                     "-o", str(tmp), str(_SRC)],
                     check=True, capture_output=True, timeout=120,
                 )
-            lib = ctypes.CDLL(str(_SO))
+                os.replace(tmp, so)
+            lib = ctypes.CDLL(str(so))
         except (OSError, subprocess.SubprocessError, FileNotFoundError):
             return None
         u8 = ctypes.POINTER(ctypes.c_uint8)

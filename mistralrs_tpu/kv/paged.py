@@ -209,6 +209,7 @@ def calculate_cache_config(
     utilization: float = 0.90,
     weight_bytes: int | None = None,
     hbm_bytes: int | None = None,
+    tp_shards: int = 1,
 ) -> int:
     """HBM-utilization-driven KV pool sizing — the analog of the reference's
     `calculate_cache_config` (`paged_attention/mod.rs:149`): fill
@@ -223,8 +224,11 @@ def calculate_cache_config(
     dtype = compute_dtype or jnp.bfloat16
     dsize = 1 if kv_quant else jnp.dtype(dtype).itemsize
     bytes_per_slot = 2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim * dsize
-    if kv_quant:  # packed bf16 per-(head,slot) scale plane (128-lane rows)
-        sw = max(128, -(-2 * cfg.num_kv_heads // 128) * 128)
+    if kv_quant:  # packed bf16 per-(head,slot) scale plane (128-lane rows);
+        # MUST match PagedKVCache.create's SW = tp_shards × per-shard rows,
+        # or mesh engines over-allocate blocks and OOM at startup
+        n_local = -(-cfg.num_kv_heads // tp_shards)
+        sw = tp_shards * max(128, -(-2 * n_local // 128) * 128)
         bytes_per_slot += cfg.num_layers * sw * 2
     bytes_per_block = bytes_per_slot * block_size
 
@@ -246,7 +250,8 @@ def calculate_cache_config(
         free = hbm_bytes - (weight_bytes or 0)
 
     budget = int(free * utilization)
-    num_blocks = max(budget // bytes_per_block, 1)
+    # create() allocates num_blocks + 1 (the trash block for dropped writes)
+    num_blocks = max(budget // bytes_per_block - 1, 1)
     # the engine needs at least max_batch sequences' worth of headroom for
     # one block each, and no more than full-length capacity for max_batch
     min_blocks = max_batch * 2

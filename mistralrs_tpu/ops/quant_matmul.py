@@ -223,6 +223,7 @@ def _tile_vmem(tm, tn, tk, group_size, planes, has_bias, out_bytes):
 def _pick_tiles(
     m: int, n: int, k_store: int, group_size: int,
     planes: int = 2, has_bias: bool = True, out_bytes: int = 4,
+    fixed_tm: bool = False,
 ):
     """(TM, TN, TK): TK in *stored*-K units (packed bytes for w4).
 
@@ -230,6 +231,9 @@ def _pick_tiles(
     whole G dim); TK must divide the stored K. Tiles then shrink until the
     per-step working set fits the scoped-VMEM budget — decode (small TM)
     keeps the big tuned tiles, prefill (TM=256) steps down automatically.
+    ``fixed_tm``: the caller's row tile is immovable (grouped kernels tile by
+    expert-group rows) — the budget walk then only shrinks TK/TN, so the
+    returned tiles are validated against the TM actually used.
     """
     tm = min(_round_up(m, 16), 256)
     tn = _TN_DEFAULT if n % _TN_DEFAULT == 0 else (256 if n % 256 == 0 else 128)
@@ -244,8 +248,10 @@ def _pick_tiles(
             tk //= 2  # keeps gpt = tk/gs ≥ 8
         elif tn > 256 and n % (tn // 2) == 0:
             tn //= 2
-        elif tm > 16:
+        elif tm > 16 and not fixed_tm:
             tm //= 2
+        elif tn > 128 and n % (tn // 2) == 0:
+            tn //= 2
         else:
             break
     return tm, tn, tk
@@ -738,7 +744,7 @@ def _w4_matmul_g(
     nb, k2, n = packed.shape
     t = mp // tm
     _, tn, tk = _pick_tiles(tm, n, k2, group_size,
-                            has_bias=bias is not None)
+                            has_bias=bias is not None, fixed_tm=True)
     grid = (t, _cdiv(n, tn), k2 // tk)
     gpt = tk // group_size
     khalf = k2 // tk
@@ -811,7 +817,7 @@ def _w8_matmul_g(
     nb, _, n = codes.shape
     t = mp // tm
     _, tn, tk = _pick_tiles(tm, n, k, group_size, planes=1,
-                            has_bias=bias is not None)
+                            has_bias=bias is not None, fixed_tm=True)
     grid = (t, _cdiv(n, tn), k // tk)
     gpt = tk // group_size
     has_bias = bias is not None

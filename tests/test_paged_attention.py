@@ -116,7 +116,7 @@ def test_calculate_cache_config():
         cfg, block_size=16, max_model_len=4096, max_batch=4,
         hbm_bytes=64 << 20, weight_bytes=0, utilization=1.0,
     )
-    assert n == (64 << 20) // (64 << 10)
+    assert n == (64 << 20) // (64 << 10) - 1  # -1: trash block
     # clamped up to 2*max_batch when memory is tiny
     n = calculate_cache_config(
         cfg, block_size=16, max_model_len=4096, max_batch=4,
@@ -140,8 +140,26 @@ def test_calculate_cache_config():
         hbm_bytes=64 << 20, weight_bytes=0, utilization=1.0,
     )
     # bytes/slot: bf16 = 2*L*n_kv*hd*2 = 4096; int8 = 2048 + L*128*2 = 3072
-    assert n_f == (64 << 20) // (4096 * 16)
-    assert n_q == (64 << 20) // (3072 * 16)
+    assert n_f == (64 << 20) // (4096 * 16) - 1
+    assert n_q == (64 << 20) // (3072 * 16) - 1
+    # tp>1 widens the packed scale plane (SW = tp_shards × 128-lane rows);
+    # sizing must use PagedKVCache.create's formula or mesh engines with
+    # kv_quant over-allocate and OOM at startup
+    from mistralrs_tpu.kv.paged import PagedKVCache
+
+    n_q8 = calculate_cache_config(
+        cfg, block_size=16, max_model_len=1 << 20, max_batch=64,
+        hbm_bytes=64 << 20, weight_bytes=0, kv_quant=True, utilization=1.0,
+        tp_shards=8,
+    )
+    # int8 @ tp=8: codes 2048 + L*8*128*2 = 2048 + 8192 = 10240 bytes/slot
+    assert n_q8 == (64 << 20) // (10240 * 16) - 1
+    pool = PagedKVCache.create(cfg, num_blocks=4, block_size=16,
+                               kv_quant="int8", tp_shards=8)
+    scale_bytes_per_slot = (
+        cfg.num_layers * pool.kv_scale.shape[-1] * pool.kv_scale.dtype.itemsize
+    )
+    assert scale_bytes_per_slot == 8192
 
 
 @pytest.mark.parametrize("kv_quant", ["int8", "fp8"])

@@ -100,6 +100,69 @@ def test_landlock_confines_writes(tmp_path):
     assert res["read_ok"] is True  # system paths stay readable
 
 
+def test_landlock_tolerates_file_rw_paths(tmp_path):
+    """A non-directory in rw_paths (the default list includes /dev/null) must
+    not fail Landlock: the kernel rejects directory-only access bits on file
+    rules with EINVAL, so the binding masks them to file-compatible bits."""
+    if not sandbox_native.available():
+        pytest.skip("native toolchain unavailable")
+    if not sandbox_native.supported() & sandbox_native.APPLIED_LANDLOCK:
+        pytest.skip("kernel without Landlock")
+    allowed = tmp_path / "rw"
+    allowed.mkdir()
+    res = _run_child(textwrap.dedent(f"""
+        import json
+        from mistralrs_tpu import sandbox_native as sn
+        mask = sn.apply(block_network=False,
+                        rw_paths=[{str(allowed)!r}, "/dev/null"])
+        devnull_ok = dir_ok = None
+        try:
+            open("/dev/null", "w").write("x")
+            devnull_ok = True
+        except OSError:
+            devnull_ok = False
+        try:
+            open({str(allowed)!r} + "/f.txt", "w").write("x")
+            dir_ok = True
+        except OSError:
+            dir_ok = False
+        print(json.dumps({{"mask": mask, "devnull_ok": devnull_ok,
+                           "dir_ok": dir_ok}}))
+    """))
+    assert res["mask"] >= 0, "apply() hard-failed on a file rule"
+    assert res["mask"] & sandbox_native.APPLIED_LANDLOCK
+    assert res["devnull_ok"] is True
+    assert res["dir_ok"] is True
+
+
+def test_network_block_survives_fs_confinement(tmp_path):
+    """Regression: configuring fs_ro/fs_rw used to hard-fail Landlock (file in
+    the rw list) BEFORE the seccomp filter installed, silently disabling the
+    whole sandbox. The net filter now installs first and file rules are
+    masked, so the policy must still block sockets."""
+    if not sandbox_native.available():
+        pytest.skip("native toolchain unavailable")
+    probe = _run_child(textwrap.dedent("""
+        import json
+        from mistralrs_tpu import sandbox_native as sn
+        print(json.dumps({"mask": sn.apply(block_network=True)}))
+    """))
+    if not probe["mask"] & sandbox_native.APPLIED_SECCOMP_NET:
+        pytest.skip("kernel refused seccomp filters")
+    mgr = CodeExecutionManager(
+        SandboxPolicy(block_network=True, workdir=str(tmp_path),
+                      fs_rw=[str(tmp_path), "/tmp", "/dev/null"])
+    )
+    try:
+        out = json.loads(mgr.tool_callbacks()["run_shell"]({
+            "command": f"{sys.executable} -c 'import socket; socket.socket()'"
+                       " && echo OPEN || echo BLOCKED"
+        }))
+    finally:
+        mgr.close_all()
+    assert "BLOCKED" in out["stdout"]
+
+
 def test_shell_session_applies_network_block(tmp_path):
     if not sandbox_native.available():
         pytest.skip("native toolchain unavailable")

@@ -516,3 +516,39 @@ def test_tp_engine_speculative_matches_single_device():
     got4, eng4 = run(build_mesh(tp=4, dp=1))  # 2 kv heads < tp=4: replicated
     assert got4 == ref
     assert eng4._draft_replicated
+
+
+def test_tp_engine_speculative_with_quantized_kv():
+    """Speculative decoding composed with int8 KV on a mesh: the verify-fn
+    spec pytree must mirror the packed kv_scale plane of the quantized pool
+    (regression — _tp_model_specs used to build unquantized cache specs and
+    shard_map failed at trace time with a pytree structure mismatch)."""
+    _need(4)
+    from mistralrs_tpu.models import init_random_weights
+
+    dcfg = ModelConfig(
+        arch="llama", vocab_size=CFG.vocab_size, hidden_size=64,
+        intermediate_size=128, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=32, max_position_embeddings=512,
+    )
+    dw = init_random_weights(dcfg, seed=61, dtype=jnp.float32)
+    sd = _tiny_state_dict(CFG, seed=5)
+    weights = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+
+    def run(mesh):
+        eng = Engine(
+            CFG, dict(weights), num_blocks=64, block_size=16, max_batch=4,
+            backend="xla", compute_dtype=jnp.float32, mesh=mesh,
+            draft=(dcfg, dw), gamma=3, kv_quant="int8",
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8))
+            for p in PROMPTS
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs], eng
+
+    ref, ref_eng = run(None)
+    assert ref_eng.stats["spec_drafted"] > 0
+    got, eng = run(build_mesh(tp=2, dp=2))
+    assert got == ref
