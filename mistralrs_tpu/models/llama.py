@@ -791,7 +791,9 @@ def forward_paged(
     plug in behind the same interface. Returns (logits, updated cache).
     """
     from ..kv.paged import PagedKVCache, gather_kv, write_kv
-    from ..ops.paged_attention import paged_decode_attention_fused
+    from ..ops.paged_attention import (
+        paged_decode_attention_fused, paged_prefill_attention_fused,
+    )
 
     act = ACTIVATIONS[cfg.hidden_act]
     b, t = input_ids.shape
@@ -843,13 +845,35 @@ def forward_paged(
     attn_scale = (
         cfg.attn_scale if cfg.attn_scale is not None else cfg.head_dim**-0.5
     )
+    on_pallas = backend == "pallas" or (
+        backend is None and jax.default_backend() == "tpu"
+    )
     use_decode_kernel = (
         t == 1
         and not force_gather
         and table_slots >= _kernel_min_slots
         and pool_hd % 128 == 0  # Mosaic lane quantum (auto_head_dim_pad
         # pads hd=64/80/96 pools up; unpadded odd-hd pools use gather)
-        and (backend == "pallas" or (backend is None and jax.default_backend() == "tpu"))
+        and on_pallas
+    )
+    # Fused Pallas prefill/verify kernel for t > 1 (chunked prefill and
+    # speculative verification): past KV streams once from the pools and
+    # this chunk's KV is consumed directly from VMEM — replaces the
+    # 3×-traffic gather materialization. Relies on the engine invariant
+    # that each row's valid tokens are consecutive positions
+    # [kv_len − n_valid, kv_len) (see paged_prefill_attention_fused).
+    use_prefill_kernel = (
+        t > 1
+        and not force_gather
+        and pool_hd % 128 == 0
+        and on_pallas
+        and _os.environ.get("MRSTPU_NO_PF_KERNEL") != "1"
+    )
+    slots_bt = slot_mapping.reshape(b, t)  # verify paths pass it flat
+    n_valid_rows = (
+        (last_indices + 1).astype(jnp.int32)
+        if last_indices is not None
+        else jnp.full((b,), t, jnp.int32)
     )
 
     rope_flags = weights.get("layer_use_rope")
@@ -950,6 +974,20 @@ def forward_paged(
                     block_size=block_size, scale=attn_scale, softcap=_soft,
                 )
             attn = attn[:, None]
+        elif use_prefill_kernel:
+            _soft = float(cfg.attn_logit_softcap or 0.0)
+            if has_scales:
+                attn, kp, vp, kvsp = paged_prefill_attention_fused(
+                    q, kp, vp, k, v, slots_bt, block_tables, kv_lens,
+                    n_valid_rows, win, li, kvsp, lw.get("sinks"),
+                    block_size=block_size, scale=attn_scale, softcap=_soft,
+                )
+            else:
+                attn, kp, vp = paged_prefill_attention_fused(
+                    q, kp, vp, k, v, slots_bt, block_tables, kv_lens,
+                    n_valid_rows, win, li, None, lw.get("sinks"),
+                    block_size=block_size, scale=attn_scale, softcap=_soft,
+                )
         else:
             k_c = jax.lax.dynamic_index_in_dim(kp, li, 0, keepdims=False)
             v_c = jax.lax.dynamic_index_in_dim(vp, li, 0, keepdims=False)

@@ -425,3 +425,168 @@ def test_dead_batch_rows_kv_len_zero():
         rtol=2e-2, atol=2e-2,
     )
     assert np.all(np.isfinite(np.asarray(out_f, np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# paged flash prefill/verify kernel (t > 1) vs the gather+sdpa reference
+# ---------------------------------------------------------------------------
+
+
+def _prefill_case(
+    B=2, T=12, n_kv=2, group=2, hd=128, bs=16, n_blocks=24,
+    ctx=(37, 5), nv=None, quant=None, window=0, softcap=0.0,
+    sinks=False, q_tile=None, chunk=None, drop_row=None, seed=0,
+):
+    """Build a pool with ctx tokens written, run the prefill kernel over a
+    T-token chunk, and compare output + resulting pool state against the
+    write_kv + gather_kv + sdpa reference."""
+    from mistralrs_tpu.kv.paged import write_kv
+    from mistralrs_tpu.ops.paged_attention import (
+        paged_prefill_attention_fused,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_q = n_kv * group
+    S = (n_blocks + 1) * bs
+    if quant:
+        store = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+        kp = jnp.zeros((n_kv, S, hd), store)
+        vp = jnp.zeros((n_kv, S, hd), store)
+        ks = jnp.zeros((S, 128), jnp.bfloat16)
+    else:
+        kp = jnp.zeros((n_kv, S, hd), jnp.bfloat16)
+        vp = jnp.zeros((n_kv, S, hd), jnp.bfloat16)
+        ks = None
+    nv = nv or [T] * B
+    width = max((c + t + bs - 1) // bs for c, t in zip(ctx, nv)) + 1
+    bt = np.zeros((B, width), np.int32)
+    nxt = 0
+    for b in range(B):
+        need = (ctx[b] + nv[b] + bs - 1) // bs
+        bt[b, :need] = np.arange(nxt, nxt + need)
+        nxt += need
+    assert nxt <= n_blocks
+    for b in range(B):  # past context through the reference write path
+        c = ctx[b]
+        if c == 0:
+            continue
+        kc = jnp.asarray(rng.standard_normal((c, n_kv, hd)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((c, n_kv, hd)), jnp.bfloat16)
+        pos = np.arange(c)
+        slots = bt[b][pos // bs] * bs + pos % bs
+        kp, vp, ks = write_kv(kp, vp, kc, vc, jnp.asarray(slots), ks)
+    q = jnp.asarray(rng.standard_normal((B, T, n_q, hd)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((B, T, n_kv, hd)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((B, T, n_kv, hd)), jnp.bfloat16)
+    slot_map = np.full((B, T), -1, np.int64)
+    kv_lens = np.zeros((B,), np.int32)
+    for b in range(B):
+        pos = np.arange(ctx[b], ctx[b] + nv[b])
+        if drop_row is None or b != drop_row:
+            slot_map[b, :nv[b]] = bt[b][pos // bs] * bs + pos % bs
+        kv_lens[b] = ctx[b] + nv[b]
+    sk = (
+        jnp.asarray(rng.standard_normal((n_q,)), jnp.float32)
+        if sinks else None
+    )
+
+    kp_r, vp_r, ks_r = kp, vp, ks  # reference: write then gather + sdpa
+    for b in range(B):
+        if drop_row is not None and b == drop_row:
+            continue  # dropped rows write nothing
+        m = slot_map[b, :nv[b]]
+        kp_r, vp_r, ks_r = write_kv(
+            kp_r, vp_r, k_new[b, :nv[b]], v_new[b, :nv[b]],
+            jnp.asarray(m), ks_r)
+    kk, vv = gather_kv(kp_r, vp_r, jnp.asarray(bt), bs, ks_r)
+    positions = np.stack(
+        [np.arange(ctx[b], ctx[b] + T) for b in range(B)])
+    ref = sdpa(
+        q, kk, vv, q_positions=jnp.asarray(positions),
+        kv_len=jnp.asarray(kv_lens), logit_softcap=softcap or None,
+        sliding_window=window if window else None, sinks=sk)
+
+    outs = paged_prefill_attention_fused(
+        q, kp, vp, k_new, v_new, jnp.asarray(slot_map, jnp.int32),
+        jnp.asarray(bt), jnp.asarray(kv_lens), jnp.asarray(nv, jnp.int32),
+        window, 0, ks, sk, block_size=bs, q_tile=q_tile, chunk=chunk,
+        interpret=True, softcap=softcap)
+    out, kp_o, vp_o = outs[:3]
+    ks_o = outs[3] if quant else None
+
+    for b in range(B):  # valid rows only; dropped rows' outputs are unused
+        if drop_row is not None and b == drop_row:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(out[b, :nv[b]], np.float32),
+            np.asarray(ref[b, :nv[b]], np.float32),
+            rtol=3e-2, atol=3e-2)
+    # pool state: codes may differ by 1 at exact round-half boundaries
+    # (1-ulp division difference between paths); dequantized values match
+    live = S - bs  # exclude the trash block (reference scatters -1 there)
+    for a_o, a_r in ((kp_o, kp_r), (vp_o, vp_r)):
+        d = np.abs(np.asarray(a_o[:, :live], np.float32)
+                   - np.asarray(a_r[:, :live], np.float32))
+        if quant == "int8":
+            assert d.max() <= 1.0 + 1e-6
+        elif quant == "fp8":
+            # one e4m3 mantissa step (1/8 relative) of headroom
+            assert (d / np.maximum(
+                np.abs(np.asarray(a_r[:, :live], np.float32)), 1.0)
+            ).max() <= 0.13
+        else:
+            assert d.max() < 1e-6
+    if quant:
+        np.testing.assert_allclose(
+            np.asarray(ks_o[:live], np.float32),
+            np.asarray(ks_r[:live], np.float32), rtol=1e-2, atol=1e-3)
+
+
+def test_prefill_kernel_basic():
+    _prefill_case()
+
+
+def test_prefill_kernel_verify_shape():
+    """Speculative-verify shape: tiny T with one seq mid-stream, one fresh."""
+    _prefill_case(T=5, ctx=(64, 0))
+
+
+def test_prefill_kernel_multi_tile_ragged():
+    """Several q tiles per sequence, ragged n_valid, forced small tiles."""
+    _prefill_case(T=48, ctx=(16, 33), nv=[48, 31], q_tile=16, chunk=1)
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_prefill_kernel_quantized(quant):
+    _prefill_case(quant=quant)
+    _prefill_case(quant=quant, T=40, ctx=(53, 9), nv=[40, 17], q_tile=16)
+
+
+def test_prefill_kernel_window():
+    _prefill_case(window=24, ctx=(70, 70), T=16)
+    _prefill_case(window=8, ctx=(100, 3), T=24, q_tile=8)  # walk-skip path
+
+
+def test_prefill_kernel_softcap_sinks():
+    _prefill_case(softcap=30.0)
+    _prefill_case(sinks=True)
+
+
+def test_prefill_kernel_dropped_row():
+    """A row with slot −1 (inactive verify slot) writes nothing."""
+    _prefill_case(drop_row=1)
+
+
+def test_prefill_kernel_first_chunk():
+    """ctx == 0: pure first-chunk prefill, self-attention only."""
+    _prefill_case(T=33, ctx=(0, 0), nv=[33, 20])
+
+
+def test_prefill_kernel_long_chunk():
+    """T=512 through multiple auto-picked tiles (the bench shape)."""
+    _prefill_case(B=1, T=512, ctx=(96,), n_blocks=48, q_tile=128, chunk=2)
+
+
+def test_prefill_kernel_unaligned_start():
+    """Chunk starts mid-block (r_a > 0) and ends mid-block."""
+    _prefill_case(T=21, ctx=(11, 27), nv=[21, 13])
