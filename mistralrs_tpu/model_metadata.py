@@ -39,6 +39,9 @@ _ARCH_NOTES = {
 _STANDALONE = [
     ("DeepSeek V2/V3", "`DeepseekV2ForCausalLM`, `DeepseekV3ForCausalLM`",
      "MLA attention, noaux-tc MoE (`models/deepseek.py`)"),
+    ("GLM-4 MoE Lite", "`Glm4MoeLiteForCausalLM`",
+     "DeepSeek-family MLA + sigmoid noaux-tc group-limited routing"
+     " (`models/deepseek.py`; reference models/glm4_moe_lite.rs)"),
     ("LFM2", "`Lfm2ForCausalLM`",
      "hybrid short-conv/attention, conv-state cache (`models/lfm2.py`)"),
     ("Qwen3-Next", "`Qwen3NextForCausalLM`",

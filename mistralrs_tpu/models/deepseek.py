@@ -55,6 +55,11 @@ class DeepseekConfig:
     topk_group: int = 1
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
+    moe_layer_freq: int = 1  # glm4_moe_lite: layer i is MoE iff
+    # i >= first_k_dense_replace and i % moe_layer_freq == 0 (reference
+    # models/glm4_moe_lite.rs:715); only freq=1 (every layer past the dense
+    # prefix, all released checkpoints) fits the dense-prefix/moe-suffix
+    # stacked-segment layout here
     eos_token_ids: tuple = ()
 
     @property
@@ -63,6 +68,10 @@ class DeepseekConfig:
 
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "DeepseekConfig":
+        if (d.get("moe_layer_freq", 1) or 1) != 1:
+            raise NotImplementedError(
+                "moe_layer_freq > 1: interleaved dense/MoE layers"
+            )
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -88,6 +97,7 @@ class DeepseekConfig:
             topk_group=d.get("topk_group", 1) or 1,
             max_position_embeddings=d.get("max_position_embeddings", 4096),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
+            moe_layer_freq=d.get("moe_layer_freq", 1) or 1,
         )
 
 

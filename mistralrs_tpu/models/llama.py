@@ -848,6 +848,10 @@ def forward_paged(
     on_pallas = backend == "pallas" or (
         backend is None and jax.default_backend() == "tpu"
     )
+    # backend="pallas" off-TPU runs the kernels in interpret mode — this is
+    # how the multichip dryrun exercises the REAL kernel code paths (DMA
+    # pairing, scale-plane layout) under shard_map on virtual CPU meshes
+    pa_interpret = on_pallas and jax.default_backend() != "tpu"
     use_decode_kernel = (
         t == 1
         and not force_gather
@@ -965,6 +969,7 @@ def forward_paged(
                     block_tables, kv_lens, win, li, kvsp,
                     lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
+                    interpret=pa_interpret,
                 )
             else:
                 attn, kp, vp = paged_decode_attention_fused(
@@ -972,6 +977,7 @@ def forward_paged(
                     block_tables, kv_lens, win, li, None,
                     lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
+                    interpret=pa_interpret,
                 )
             attn = attn[:, None]
         elif use_prefill_kernel:
@@ -981,12 +987,14 @@ def forward_paged(
                     q, kp, vp, k, v, slots_bt, block_tables, kv_lens,
                     n_valid_rows, win, li, kvsp, lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
+                    interpret=pa_interpret,
                 )
             else:
                 attn, kp, vp = paged_prefill_attention_fused(
                     q, kp, vp, k, v, slots_bt, block_tables, kv_lens,
                     n_valid_rows, win, li, None, lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
+                    interpret=pa_interpret,
                 )
         else:
             k_c = jax.lax.dynamic_index_in_dim(kp, li, 0, keepdims=False)

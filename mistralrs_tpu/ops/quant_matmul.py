@@ -640,6 +640,11 @@ def quant_matmul(
     """
     if backend is None:
         backend = _default_backend()
+    if backend == "pallas" and not interpret and jax.default_backend() != "tpu":
+        # explicit pallas off-TPU (the multichip dryrun's virtual CPU mesh):
+        # run the real kernels in interpret mode — compiled Pallas only
+        # exists for TPU
+        interpret = True
     out_dtype = out_dtype or x.dtype
     *batch, k = x.shape
     if layer is not None:

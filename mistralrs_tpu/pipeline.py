@@ -58,7 +58,8 @@ class Pipeline:
 
 # HF model_type → bespoke (config, loader). These archs don't fit the
 # unified llama-family decoder: they serve through engine arch adapters.
-_SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "qwen3_next", "lfm2",
+_SPECIALIZED_ARCHS = ("deepseek_v2", "deepseek_v3", "glm4_moe_lite",
+                      "qwen3_next", "lfm2",
                       "mllama", "llama4", "llama4_text", "gemma3n",
                       "gemma3n_text", "gemma4", "gemma4_text")
 
@@ -243,7 +244,10 @@ def _load_specialized(model_type: str, path: Path, dtype):
     hf_cfg = json.loads((path / "config.json").read_text())
     sd = load_safetensors_dir(path)
     sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
-    if model_type in ("deepseek_v2", "deepseek_v3"):
+    if model_type in ("deepseek_v2", "deepseek_v3", "glm4_moe_lite"):
+        # glm4_moe_lite (reference models/glm4_moe_lite.rs:47) IS the
+        # DeepSeek family: MLA attention + sigmoid noaux-tc group-limited
+        # routing with e_score_correction_bias — one shared implementation
         from .models.deepseek import (
             DeepseekConfig,
             deepseek_weights_from_state_dict,
