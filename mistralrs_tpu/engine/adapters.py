@@ -35,10 +35,14 @@ def _hashable(cfg):
 
 
 class DeepseekAdapter:
-    """Serve DeepSeek V2/V3 (absorbed MLA + DeepSeek-MoE) via the engine."""
+    """Serve DeepSeek V2/V3 / GLM-4-MoE-Lite (absorbed MLA + DeepSeek-MoE)
+    via the engine. Composes with quantized latent pools (int8/fp8 rows +
+    per-slot scales) and speculative decoding (the pool is pure KV — partial
+    acceptance rolls back by kv_len truncation alone, no recurrent state)."""
 
     supports_prefix_cache = True
     supports_embeds = False
+    supports_kv_quant = True
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
@@ -47,12 +51,14 @@ class DeepseekAdapter:
         self.backend = backend
         self._fcfg = _hashable(cfg)
 
-    def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
+    def create_cache(self, num_blocks: int, block_size: int, n_slots: int,
+                     kv_quant=None):
         from ..models.deepseek import make_paged_cache
 
         self._block_size = block_size
         return make_paged_cache(
-            self.cfg, num_blocks, block_size, dtype=self.compute_dtype
+            self.cfg, num_blocks, block_size, dtype=self.compute_dtype,
+            kv_quant=kv_quant,
         )
 
     def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
@@ -71,6 +77,20 @@ class DeepseekAdapter:
             self._block_size, self.backend, self.compute_dtype,
         )
 
+    def verify(self, cache, ids, positions, bt, slot_map, kv_lens,
+               samp_state, slot_ids=None):
+        """Speculative target verification: sampler-transformed probs at
+        all γ+1 positions (the adapter analog of `_verify_probs_fn`;
+        reference pairs speculative with ANY pipeline,
+        speculative/driver.rs:18). The latent pool is pure KV — partial
+        acceptance needs no commit (aux is None)."""
+        probs, cache = _ds_verify(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map.reshape(-1), kv_lens, samp_state,
+            self._block_size, self.backend, self.compute_dtype,
+        )
+        return probs, cache, None
+
 
 class Qwen3NextAdapter:
     """Serve Qwen3-Next (hybrid GDN/full-attention MoE) via the engine.
@@ -78,10 +98,13 @@ class Qwen3NextAdapter:
     Paged KV pools for the full-attention layers; conv/recurrent GDN state
     lives in per-slot pools keyed by the engine's fixed decode slot (claimed
     at admission, so chunked prefill continues the same state). Prefix
-    caching is off: recurrent state cannot be revived from KV blocks."""
+    caching is off: recurrent state cannot be revived from KV blocks.
+    Composes with int8/fp8 attention KV and speculative decoding (GDN
+    state rolls back via per-prefix capture + commit)."""
 
     supports_prefix_cache = False
     supports_embeds = True  # qwen3.5-vl serves through merged embeds
+    supports_kv_quant = True
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
@@ -122,12 +145,14 @@ class Qwen3NextAdapter:
         )
         self._cspecs = q3n_cache_pspecs(TP_AXIS)
 
-    def create_cache(self, num_blocks: int, block_size: int, n_slots: int):
+    def create_cache(self, num_blocks: int, block_size: int, n_slots: int,
+                     kv_quant=None):
         from ..models.qwen3next import make_paged_cache
 
         self._block_size = block_size
         cache = make_paged_cache(
-            self.cfg, num_blocks, block_size, n_slots, dtype=self.compute_dtype
+            self.cfg, num_blocks, block_size, n_slots,
+            dtype=self.compute_dtype, kv_quant=kv_quant
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -222,6 +247,27 @@ class Qwen3NextAdapter:
             self.weights, self._fcfg, tokens, positions, cache, bt,
             slot_map, kv_lens, samp_state, key,
             self._block_size, self.compute_dtype, rope_pos3,
+        )
+
+    def verify(self, cache, ids, positions, bt, slot_map, kv_lens,
+               samp_state, slot_ids=None):
+        """Speculative target verification for the hybrid arch: attention
+        layers verify via kv_len truncation like any paged cache, and the
+        GDN layers run in CAPTURE mode — per-prefix conv/recurrent states
+        come back as aux so `commit_verify` can roll the state to exactly
+        the accepted length (the recurrent analog of the reference's
+        speculative cache rollback, speculative/cache.rs)."""
+        if self.mesh is not None:
+            raise NotImplementedError("qwen3next speculative on a mesh")
+        return _q3n_verify(
+            self.weights, self._fcfg, ids, positions, cache, bt,
+            slot_map, kv_lens, slot_ids, samp_state,
+            self._block_size, self.backend, self.compute_dtype,
+        )
+
+    def commit_verify(self, cache, aux, slot_ids, n_commit):
+        return _q3n_commit(
+            self._fcfg, cache, aux, slot_ids, n_commit
         )
 
 
@@ -431,6 +477,29 @@ def _ds_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         block_size=block_size, backend=backend, compute_dtype=compute_dtype,
         logits_last_only=True, last_indices=last_indices,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _ds_verify(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+               samp_state, block_size, backend, compute_dtype):
+    from ..models.deepseek import deepseek_forward_paged
+    from .sampler import _transformed_probs
+
+    logits, cache = deepseek_forward_paged(
+        weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+        block_size=block_size, backend=backend, compute_dtype=compute_dtype,
+        logits_last_only=False,
+    )
+    probs = jnp.stack(
+        [
+            _transformed_probs(logits[:, j].astype(jnp.float32), samp_state)
+            for j in range(logits.shape[1])
+        ],
+        axis=1,
+    )
+    return probs, cache
 
 
 @functools.partial(
@@ -705,3 +774,34 @@ def _g4_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
         logits[:, -1], samp_state, key
     )
     return new_tokens, logprobs, tops, cache, samp_state
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+)
+def _q3n_verify(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+                slot_ids, samp_state, block_size, backend, compute_dtype):
+    from ..models.qwen3next import qwen3next_forward_paged
+    from .sampler import _transformed_probs
+
+    logits, cache, aux = qwen3next_forward_paged(
+        weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
+        slot_ids, jnp.zeros_like(slot_ids),
+        block_size=block_size, decode=False, compute_dtype=compute_dtype,
+        logits_last_only=False, capture_states=True,
+    )
+    probs = jnp.stack(
+        [
+            _transformed_probs(logits[:, j].astype(jnp.float32), samp_state)
+            for j in range(logits.shape[1])
+        ],
+        axis=1,
+    )
+    return probs, cache, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _q3n_commit(cfg, cache, aux, slot_ids, n_commit):
+    from ..models.qwen3next import commit_verified_states
+
+    return commit_verified_states(cfg, cache, aux, slot_ids, n_commit)

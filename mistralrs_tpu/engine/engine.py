@@ -314,8 +314,20 @@ class Engine:
     ):
         self.adapter = adapter
         if adapter is not None:
-            if draft is not None or kv_quant is not None:
-                raise NotImplementedError("arch adapters: no draft, no KV quant")
+            # composition matrix (reference pairs speculative with ANY
+            # pipeline, speculative/driver.rs:18, and quantizes any paged
+            # cache): adapters opt in per capability
+            if draft is not None and not hasattr(adapter, "verify"):
+                raise NotImplementedError(
+                    f"{type(adapter).__name__} does not support speculative "
+                    "verification"
+                )
+            if kv_quant is not None and not getattr(
+                adapter, "supports_kv_quant", False
+            ):
+                raise NotImplementedError(
+                    f"{type(adapter).__name__} does not support quantized KV"
+                )
             if mesh is not None:
                 if not hasattr(adapter, "shard"):
                     raise NotImplementedError(
@@ -374,7 +386,12 @@ class Engine:
                                    groups=self.dp)
         self.scheduler.on_preempt = self._extend_prompt_embeds
         if adapter is not None:
-            self.cache = adapter.create_cache(num_blocks, block_size, max_batch)
+            if kv_quant is not None:
+                self.cache = adapter.create_cache(
+                    num_blocks, block_size, max_batch, kv_quant=kv_quant)
+            else:
+                self.cache = adapter.create_cache(
+                    num_blocks, block_size, max_batch)
         else:
             from ..kv.paged import auto_head_dim_pad
 
@@ -1054,7 +1071,20 @@ class Engine:
         ids = np.concatenate([base_tok[:, None], drafts], axis=1)  # [B, g+1]
         positions = base_pos[:, None] + np.arange(g + 1)[None, :]
         slot_map = np.stack([slots_at(j) for j in range(g + 1)], axis=1)
-        if self.mesh is not None:
+        verify_aux = None
+        if self.adapter is not None:
+            slot_ids = jnp.asarray(
+                [s if active[s] is not None else -1 for s in range(b)],
+                jnp.int32,
+            )
+            p_probs, self.cache, verify_aux = self.adapter.verify(
+                self.cache, jnp.asarray(ids),
+                jnp.asarray(positions, jnp.int32), jnp.asarray(bt),
+                jnp.asarray(slot_map, jnp.int32),
+                jnp.asarray(base_pos + g + 1), self.samp_state,
+                slot_ids,
+            )
+        elif self.mesh is not None:
             p_probs, self.cache = self._tp_verify(
                 self.weights, jnp.asarray(ids),
                 jnp.asarray(positions, jnp.int32), self.cache, bt_j,
@@ -1079,6 +1109,15 @@ class Engine:
         tokens_np = np.asarray(tokens_j)
         n_acc_np = np.asarray(n_acc_j)
         lp_np = np.asarray(lp_j)
+        if verify_aux is not None:
+            # hybrid/recurrent adapters: roll the captured state forward to
+            # exactly the accepted prefix (base token + accepted drafts)
+            n_commit = np.where(
+                [active[s] is not None for s in range(b)], n_acc_np + 1, 0
+            ).astype(np.int32)
+            self.cache = self.adapter.commit_verify(
+                self.cache, verify_aux, slot_ids, jnp.asarray(n_commit)
+            )
 
         finished: list[Sequence] = []
         for seq in seqs:

@@ -340,7 +340,7 @@ def deepseek_forward(
 
 def _mla_attention_paged(
     cfg, lw, h, cos, sin, pool, li, write_slots, gather_slots, positions,
-    kv_lens, backend, block_size=None, block_tables=None,
+    kv_lens, backend, block_size=None, block_tables=None, scale_plane=None,
 ):
     """Absorbed MLA over a PAGED latent pool (the engine-serving analog of
     the reference's MLA decode path + paged cache,
@@ -386,6 +386,8 @@ def _mla_attention_paged(
 
     use_kernel = (
         t == 1
+        and scale_plane is None  # quantized latent pools: gather path
+        # (the fused-kernel int8 variant is future work)
         and block_tables is not None
         and rank % 128 == 0
         and block_size is not None
@@ -407,13 +409,30 @@ def _mla_attention_paged(
             "bthr,hvr->bthv", lat, lw["w_uv"].astype(jnp.float32)
         ).astype(h.dtype)
         out = out.reshape(b, t, nh * cfg.v_head_dim)
-        return linear(out, lw["o"], backend=backend), pool
+        return linear(out, lw["o"], backend=backend), pool, None
 
     trash = pool.shape[1] - 1
     safe = jnp.where(write_slots < 0, trash, write_slots)
-    pool = pool.at[li, safe].set(rows.reshape(b * t, -1).astype(pool.dtype))
-
-    keys = pool[li][gather_slots].astype(jnp.float32)  # [B, S, D]
+    flat_rows = rows.reshape(b * t, -1)
+    if scale_plane is not None:  # 1-byte latent pool: per-row abs-max scale
+        amax = jnp.max(jnp.abs(flat_rows.astype(jnp.float32)), axis=-1)
+        cap = 127.0 if pool.dtype == jnp.int8 else 448.0
+        sc = amax / cap
+        enc = flat_rows.astype(jnp.float32) / jnp.maximum(sc, 1e-10)[:, None]
+        if pool.dtype == jnp.int8:
+            enc = jnp.clip(jnp.round(enc), -127, 127)
+        pool = pool.at[li, safe].set(enc.astype(pool.dtype))
+        sw = scale_plane.shape[-1]
+        srow = jnp.zeros((b * t, sw), scale_plane.dtype).at[:, 0].set(
+            sc.astype(scale_plane.dtype))
+        scale_plane = scale_plane.at[li, safe].set(srow)
+        keys = (
+            pool[li][gather_slots].astype(jnp.float32)
+            * scale_plane[li][gather_slots][..., :1].astype(jnp.float32)
+        )  # [B, S, D]
+    else:
+        pool = pool.at[li, safe].set(flat_rows.astype(pool.dtype))
+        keys = pool[li][gather_slots].astype(jnp.float32)  # [B, S, D]
     scores = jnp.einsum(
         "bthd,bsd->bhts", q_comb.astype(jnp.float32), keys
     ) * (cfg.qk_head_dim ** -0.5)
@@ -428,7 +447,7 @@ def _mla_attention_paged(
         "bthr,hvr->bthv", lat, lw["w_uv"].astype(jnp.float32)
     ).astype(h.dtype)
     out = out.reshape(b, t, nh * cfg.v_head_dim)
-    return linear(out, lw["o"], backend=backend), pool
+    return linear(out, lw["o"], backend=backend), pool, scale_plane
 
 
 def deepseek_forward_paged(
@@ -470,19 +489,21 @@ def deepseek_forward_paged(
             continue
         seg_w = weights["segments"][seg]
         pool = cache[seg]
+        scales = cache.get(seg + "_scale")
 
         def body(carry, xs):
-            hh, pl_ = carry
+            hh, pl_, sc_ = carry
             lw, li = xs
             x = rms_norm(hh, lw["attn_norm"], cfg.rms_norm_eps)
             # the FULL pool rides the carry (not xs: slicing a pool plane
             # per scan step would copy it); the layer index selects the
             # plane — scalar-prefetched in the fused kernel, dynamic-sliced
             # on the gather path
-            attn, pl_ = _mla_attention_paged(
+            attn, pl_, sc_ = _mla_attention_paged(
                 cfg, lw, x, cos, sin, pl_, li, slot_mapping, gather_slots,
                 positions, kv_lens, backend,
                 block_size=block_size, block_tables=bt_safe,
+                scale_plane=sc_,
             )
             hh = hh + attn
             x = rms_norm(hh, lw["ffn_norm"], cfg.rms_norm_eps)
@@ -490,13 +511,15 @@ def deepseek_forward_paged(
                 hh = hh + _moe(cfg, lw, x, backend)
             else:
                 hh = hh + _dense_mlp(x, lw, backend)
-            return (hh, pl_), None
+            return (hh, pl_, sc_), None
 
         n_seg = pool.shape[0]
-        (h, pool), _ = jax.lax.scan(
-            body, (h, pool), (seg_w, jnp.arange(n_seg, dtype=jnp.int32))
+        (h, pool, scales), _ = jax.lax.scan(
+            body, (h, pool, scales), (seg_w, jnp.arange(n_seg, dtype=jnp.int32))
         )
         new_cache[seg] = pool
+        if scales is not None:
+            new_cache[seg + "_scale"] = scales
 
     h = rms_norm(h, weights["final_norm"], cfg.rms_norm_eps)
     if logits_last_only:
@@ -514,18 +537,28 @@ def deepseek_forward_paged(
 
 
 def make_paged_cache(
-    cfg: DeepseekConfig, num_blocks: int, block_size: int, dtype=jnp.float32
+    cfg: DeepseekConfig, num_blocks: int, block_size: int, dtype=jnp.float32,
+    kv_quant=None,
 ) -> dict:
     """Paged latent pools {seg: [Lseg, S_total, D_pad]} with a trailing
     trash block for dropped writes (slot −1). Rows are ``rank + rope``
     zero-padded to a 128-lane multiple so the fused decode kernel's DMA
-    stripes tile cleanly (pad columns contribute 0 to every score)."""
+    stripes tile cleanly (pad columns contribute 0 to every score).
+
+    ``kv_quant`` ('int8'/'fp8') stores the latent rows 1-byte with a
+    per-(layer, slot) abs-max scale in a slot-major plane
+    ``{seg}_scale: [Lseg, S_total, 128]`` (lane 0; 128-lane row so the
+    fused kernel's scale DMA is Mosaic-legal) — the MLA analog of the
+    paged KV quantization in kv/paged.py."""
     s_total = (num_blocks + 1) * block_size
     d = cfg.kv_lora_rank + cfg.qk_rope_head_dim
     d = -(-d // 128) * 128
+    store = dtype
+    if kv_quant:
+        store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
 
     def seg(n_layers):
-        return jnp.zeros((n_layers, s_total, d), dtype)
+        return jnp.zeros((n_layers, s_total, d), store)
 
     k = cfg.first_k_dense_replace
     out = {}
@@ -533,6 +566,10 @@ def make_paged_cache(
         out["dense"] = seg(k)
     if cfg.num_layers - k > 0:
         out["moe"] = seg(cfg.num_layers - k)
+    if kv_quant:
+        for name in list(out):
+            out[name + "_scale"] = jnp.zeros(
+                (out[name].shape[0], s_total, 128), jnp.bfloat16)
     return out
 
 

@@ -161,6 +161,29 @@ def _delta_rule_scan(q, k, v, g, beta, state0):
     return jnp.moveaxis(outs, 0, 1), state
 
 
+def _delta_rule_scan_all(q, k, v, g, beta, state0):
+    """Like `_delta_rule_scan` but also returns the state after EVERY step,
+    [B, T+1, N, dk, dv] with index 0 = state0 — speculative verification
+    commits the state at the accepted prefix length (the recurrent analog
+    of truncating kv_len; reference speculative/cache.rs rolls caches back
+    the same way)."""
+
+    def step(state, xs):
+        q_t, k_t, v_t, g_t, b_t = xs
+        state = state * jnp.exp(g_t)[..., None, None]
+        kv_mem = jnp.einsum("bnkv,bnk->bnv", state, k_t)
+        delta = (v_t - kv_mem) * b_t[..., None]
+        state = state + jnp.einsum("bnk,bnv->bnkv", k_t, delta)
+        out_t = jnp.einsum("bnkv,bnk->bnv", state, q_t)
+        return state, (out_t, state)
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (q, k, v, g, beta))
+    _, (outs, states) = jax.lax.scan(step, state0, xs)
+    states = jnp.concatenate(
+        [state0[:, None], jnp.moveaxis(states, 0, 1)], axis=1)
+    return jnp.moveaxis(outs, 0, 1), states
+
+
 def _delta_rule_chunked(q, k, v, g, beta, state0, chunk: int = 64):
     """Chunk-parallel gated delta rule — the MXU formulation of
     `_delta_rule_scan` (identical math; the reference's CUDA path is fla's
@@ -247,6 +270,7 @@ def _gdn_mixer(cfg: Qwen3NextConfig, lw, x, conv_state, rec_state, decode):
         [q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1)], -1
     )
     w = lw["conv_w"]  # [conv_dim, K]
+
     if decode:
         state = jnp.concatenate(
             [conv_state[..., 1:], jnp.swapaxes(mixed, 1, 2)], axis=-1
@@ -420,25 +444,36 @@ def qwen3next_forward(
 
 
 def make_paged_cache(cfg: Qwen3NextConfig, num_blocks: int, block_size: int,
-                     n_slots: int, dtype=jnp.float32) -> dict:
+                     n_slots: int, dtype=jnp.float32, kv_quant=None) -> dict:
     """Hybrid engine cache (analog of the reference's
     `kv_cache/hybrid_cache.rs`): paged KV pools for the full-attention
     layers + per-SLOT conv/recurrent state pools for the GDN layers.
 
-    Pools carry one trailing trash row/slot for dropped writes (index -1)."""
+    Pools carry one trailing trash row/slot for dropped writes (index -1).
+    ``kv_quant`` stores the attention KV 1-byte with per-(slot, head)
+    abs-max scales ("kv_scale": [n_full, S_total, 2·n_kv] — k then v lanes);
+    the GDN state pools stay full-precision (recurrent error compounds)."""
     n_full = sum(t == "full_attention" for t in cfg.layer_types)
     n_lin = cfg.num_layers - n_full
     s_total = (num_blocks + 1) * block_size
-    return {
-        "k": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), dtype),
-        "v": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), dtype),
+    store = dtype
+    if kv_quant:
+        store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
+    out = {
+        "k": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), store),
+        "v": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), store),
         "conv": jnp.zeros((n_lin, n_slots + 1, cfg.conv_dim, cfg.conv_kernel), dtype),
         "rec": jnp.zeros((n_lin, n_slots + 1, cfg.n_v_heads, cfg.d_k, cfg.d_v),
                          jnp.float32),
     }
+    if kv_quant:
+        out["kv_scale"] = jnp.zeros(
+            (n_full, s_total, 2 * cfg.num_kv_heads), jnp.bfloat16)
+    return out
 
 
-def _gdn_mixer_paged(cfg, lw, x, conv_prev, rec_prev, row_len, decode):
+def _gdn_mixer_paged(cfg, lw, x, conv_prev, rec_prev, row_len, decode,
+                     capture=False):
     """GDN mixer over per-slot state with chunk continuation + pad masking.
 
     conv_prev [B, conv_dim, K] holds the last K inputs before this chunk
@@ -454,7 +489,8 @@ def _gdn_mixer_paged(cfg, lw, x, conv_prev, rec_prev, row_len, decode):
         [q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1)], -1
     )
     w = lw["conv_w"]  # [conv_dim, K]
-    if decode:
+    timeline = None
+    if decode and not capture:
         state = jnp.concatenate(
             [conv_prev[..., 1:], jnp.swapaxes(mixed, 1, 2)], axis=-1
         )
@@ -464,6 +500,8 @@ def _gdn_mixer_paged(cfg, lw, x, conv_prev, rec_prev, row_len, decode):
         # timeline = [prev K inputs ‖ this chunk]; conv over it is exact for
         # both fresh prompts (prev = zeros) and chunk continuations
         timeline = jnp.concatenate([jnp.swapaxes(conv_prev, 1, 2), mixed], 1)
+        # (in capture mode the timeline itself is returned — the commit
+        # step slices the K-window at the accepted prefix length)
         conv_out = jnp.zeros_like(mixed)
         for j in range(K):
             conv_out = conv_out + timeline[:, j + 1 : j + 1 + t, :] * w[:, j]
@@ -493,7 +531,14 @@ def _gdn_mixer_paged(cfg, lw, x, conv_prev, rec_prev, row_len, decode):
     import os as _os
 
     gdn_chunk = int(_os.environ.get("MRSTPU_GDN_CHUNK", "64"))
-    if t > 1 and gdn_chunk > 0:
+    if capture:
+        # speculative verify: per-step states (γ+1 is small — the
+        # sequential scan is the cheap exact path) + the conv timeline so
+        # any accepted prefix length can be committed afterwards
+        out, rec_states = _delta_rule_scan_all(
+            q, k, v.astype(jnp.float32), g, beta, rec_prev)
+        new_conv, new_rec = timeline, rec_states
+    elif t > 1 and gdn_chunk > 0:
         out, new_rec = _delta_rule_chunked(
             q, k, v.astype(jnp.float32), g, beta, rec_prev, chunk=gdn_chunk
         )
@@ -527,6 +572,8 @@ def qwen3next_forward_paged(
     rope_positions3: Optional[jax.Array] = None,  # [3, B, T] (qwen3.5-vl)
     deepstack: Optional[jax.Array] = None,  # [k, B, T, H] visual adds
     tp_axis: Optional[str] = None,  # shard_map mesh axis (TP serving)
+    capture_states: bool = False,  # speculative verify: leave conv/rec
+    # pools untouched, return per-prefix states for a later commit
 ):
     """Engine-servable hybrid step (prefill chunk or decode): paged KV for
     full-attention layers, slot-keyed conv/recurrent pools for GDN layers.
@@ -571,6 +618,8 @@ def qwen3next_forward_paged(
     ).reshape(b, -1)  # [B, S]
 
     new_cache = {k: v for k, v in cache.items()}
+    aux_timeline: list = []
+    aux_rec: list = []
     ai = ci = 0
     for li, lt in enumerate(cfg.layer_types):
         lw = weights["layers"][li]
@@ -584,19 +633,45 @@ def qwen3next_forward_paged(
             k = rms_norm_gemma(k, lw["k_norm"], cfg.rms_norm_eps)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            kp = new_cache["k"].at[ai, flat_slots].set(
-                k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim).astype(
-                    new_cache["k"].dtype
-                )
-            )
-            vp = new_cache["v"].at[ai, flat_slots].set(
-                v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim).astype(
-                    new_cache["v"].dtype
-                )
-            )
-            new_cache["k"], new_cache["v"] = kp, vp
-            kk = kp[ai][gather_slots].astype(compute_dtype)  # [B, S, n_kv, hd]
-            vv = vp[ai][gather_slots].astype(compute_dtype)
+            k_rows = k.reshape(b * t, cfg.num_kv_heads, cfg.head_dim)
+            v_rows = v.reshape(b * t, cfg.num_kv_heads, cfg.head_dim)
+            if "kv_scale" in new_cache:  # 1-byte pools, per-(slot,head) scale
+                cap = 127.0 if new_cache["k"].dtype == jnp.int8 else 448.0
+
+                def qenc(x):
+                    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+                    sc = amax / cap
+                    enc = x.astype(jnp.float32) / jnp.maximum(
+                        sc, 1e-10)[..., None]
+                    if new_cache["k"].dtype == jnp.int8:
+                        enc = jnp.clip(jnp.round(enc), -127, 127)
+                    return enc, sc
+
+                k_enc, k_sc = qenc(k_rows)
+                v_enc, v_sc = qenc(v_rows)
+                kp = new_cache["k"].at[ai, flat_slots].set(
+                    k_enc.astype(new_cache["k"].dtype))
+                vp = new_cache["v"].at[ai, flat_slots].set(
+                    v_enc.astype(new_cache["v"].dtype))
+                sc_rows = jnp.concatenate([k_sc, v_sc], axis=-1)
+                new_cache["kv_scale"] = new_cache["kv_scale"].at[
+                    ai, flat_slots].set(sc_rows.astype(jnp.bfloat16))
+                new_cache["k"], new_cache["v"] = kp, vp
+                sg = new_cache["kv_scale"][ai][gather_slots].astype(
+                    jnp.float32)  # [B, S, 2·n_kv]
+                nkv = cfg.num_kv_heads
+                kk = (kp[ai][gather_slots].astype(jnp.float32)
+                      * sg[..., :nkv, None]).astype(compute_dtype)
+                vv = (vp[ai][gather_slots].astype(jnp.float32)
+                      * sg[..., nkv:, None]).astype(compute_dtype)
+            else:
+                kp = new_cache["k"].at[ai, flat_slots].set(
+                    k_rows.astype(new_cache["k"].dtype))
+                vp = new_cache["v"].at[ai, flat_slots].set(
+                    v_rows.astype(new_cache["v"].dtype))
+                new_cache["k"], new_cache["v"] = kp, vp
+                kk = kp[ai][gather_slots].astype(compute_dtype)  # [B,S,n_kv,hd]
+                vv = vp[ai][gather_slots].astype(compute_dtype)
             attn = sdpa(q, kk, vv, q_positions=positions, kv_len=kv_lens)
             attn = attn * jax.nn.sigmoid(gate)
             out = attn.reshape(b, t, -1) @ lw["wo"].T
@@ -608,12 +683,17 @@ def qwen3next_forward_paged(
             )
             rec_prev = new_cache["rec"][ci][slot_safe] * reset_keep[:, None, None, None]
             out, nconv, nrec = _gdn_mixer_paged(
-                cfg, lw, x, conv_prev, rec_prev, row_len, decode
+                cfg, lw, x, conv_prev, rec_prev, row_len, decode,
+                capture=capture_states,
             )
-            new_cache["conv"] = new_cache["conv"].at[ci, slot_safe].set(
-                nconv.astype(new_cache["conv"].dtype)
-            )
-            new_cache["rec"] = new_cache["rec"].at[ci, slot_safe].set(nrec)
+            if capture_states:
+                aux_timeline.append(nconv)  # [B, K+T, conv_dim]
+                aux_rec.append(nrec)  # [B, T+1, N, dk, dv]
+            else:
+                new_cache["conv"] = new_cache["conv"].at[ci, slot_safe].set(
+                    nconv.astype(new_cache["conv"].dtype)
+                )
+                new_cache["rec"] = new_cache["rec"].at[ci, slot_safe].set(nrec)
             ci += 1
         if tp_axis is not None:
             out = jax.lax.psum(out, tp_axis)  # row-parallel wo/out_proj
@@ -638,7 +718,38 @@ def qwen3next_forward_paged(
     if lm_head is None:
         lm_head = weights["embed"]
     logits = (h @ jnp.asarray(lm_head, compute_dtype).T).astype(jnp.float32)
+    if capture_states:
+        aux = {
+            "timeline": jnp.stack(aux_timeline),  # [n_lin, B, K+T, conv_dim]
+            "rec": jnp.stack(aux_rec),  # [n_lin, B, T+1, N, dk, dv]
+        }
+        return logits, new_cache, aux
     return logits, new_cache
+
+
+def commit_verified_states(cfg, cache, aux, slot_ids, n_commit):
+    """Write the GDN state at each row's accepted prefix length into the
+    per-slot pools: conv = the K-window of the timeline ending at token
+    n_commit, rec = the per-step state after n_commit tokens. n_commit = 0
+    (or slot < 0) leaves the slot's state unchanged by writing back its own
+    pre-verify values (timeline[0:K] / rec[0])."""
+    K = cfg.conv_kernel
+    trash = cache["conv"].shape[1] - 1
+    slot_safe = jnp.where(slot_ids < 0, trash, slot_ids)
+    n = jnp.maximum(jnp.where(slot_ids < 0, 0, n_commit), 0)
+    tl = aux["timeline"]  # [n_lin, B, K+T, conv_dim]
+    idx = (n[None, :, None] + jnp.arange(K)[None, None, :])[..., None]
+    conv = jnp.take_along_axis(tl, idx, axis=2)  # [n_lin, B, K, conv_dim]
+    conv = jnp.swapaxes(conv, 2, 3)  # [n_lin, B, conv_dim, K]
+    rec = jnp.take_along_axis(
+        aux["rec"], n[None, :, None, None, None, None], axis=2
+    )[:, :, 0]  # [n_lin, B, N, dk, dv]
+    new_cache = dict(cache)
+    new_cache["conv"] = cache["conv"].at[:, slot_safe].set(
+        conv.astype(cache["conv"].dtype)
+    )
+    new_cache["rec"] = cache["rec"].at[:, slot_safe].set(rec)
+    return new_cache
 
 
 def qwen3next_weights_from_state_dict(

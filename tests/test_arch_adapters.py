@@ -362,3 +362,181 @@ def test_load_pipeline_specialized_arch(tmp_path):
     eng.run_to_completion()
     ref = lfm2_greedy_generate(pipe.weights, pipe.cfg, prompt, 5)
     assert seq.generated_ids[: len(ref)] == ref
+
+
+def test_deepseek_engine_kv_quant_int8():
+    """int8 latent pool (per-slot scales) through the engine: greedy output
+    must match the unquantized engine for a short horizon (the MLA analog
+    of fp8 paged KV, cache_engine.rs:13 — round-3 adapter exclusion lift)."""
+    from mistralrs_tpu.engine.adapters import DeepseekAdapter
+
+    cfg, sd = _tiny_deepseek()
+    weights = deepseek_weights_from_state_dict(sd, cfg, absorbed=True)
+    rng = np.random.default_rng(11)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)] for n in (6, 13)
+    ]
+
+    def run(kv_quant):
+        adapter = DeepseekAdapter(cfg, weights, backend="xla")
+        eng = Engine(
+            cfg, weights, num_blocks=64, block_size=8, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            kv_quant=kv_quant,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=5))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    got = run("int8")
+    ref = run(None)
+    assert all(len(o) == 5 for o in got)
+    assert got == ref, (got, ref)
+
+
+def test_deepseek_engine_speculative():
+    """Speculative decoding with an MLA-adapter target + llama draft:
+    greedy-exact vs the plain adapter engine (reference pairs speculative
+    with ANY pipeline, speculative/driver.rs:18)."""
+    from mistralrs_tpu.engine.adapters import DeepseekAdapter
+    from mistralrs_tpu.models import ModelConfig, init_random_weights
+
+    cfg, sd = _tiny_deepseek()
+    weights = deepseek_weights_from_state_dict(sd, cfg, absorbed=True)
+    dcfg = ModelConfig(
+        arch="llama", vocab_size=cfg.vocab_size, hidden_size=32,
+        intermediate_size=64, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=16, max_position_embeddings=256,
+    )
+    dw = init_random_weights(dcfg, seed=21, dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)] for n in (5, 9)
+    ]
+
+    def run(draft):
+        adapter = DeepseekAdapter(cfg, weights, backend="xla")
+        eng = Engine(
+            cfg, weights, num_blocks=96, block_size=8, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            draft=draft, gamma=3,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=10))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    spec = run((dcfg, dw))
+    plain = run(None)
+    assert all(len(o) == 10 for o in spec)
+    assert spec == plain, (spec, plain)
+
+
+def test_deepseek_engine_speculative_with_kv_quant():
+    """The full round-3 exclusion matrix at once: MLA adapter + int8 latent
+    pool + speculative draft."""
+    from mistralrs_tpu.engine.adapters import DeepseekAdapter
+    from mistralrs_tpu.models import ModelConfig, init_random_weights
+
+    cfg, sd = _tiny_deepseek()
+    weights = deepseek_weights_from_state_dict(sd, cfg, absorbed=True)
+    dcfg = ModelConfig(
+        arch="llama", vocab_size=cfg.vocab_size, hidden_size=32,
+        intermediate_size=64, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=16, max_position_embeddings=256,
+    )
+    dw = init_random_weights(dcfg, seed=22, dtype=jnp.float32)
+    prompt = [3, 9, 27, 50, 11, 8]
+
+    def run(draft):
+        adapter = DeepseekAdapter(cfg, weights, backend="xla")
+        eng = Engine(
+            cfg, weights, num_blocks=96, block_size=8, max_batch=2,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            draft=draft, gamma=3, kv_quant="int8",
+        )
+        seq = eng.add_request(
+            prompt, SamplingParams(temperature=0.0, max_tokens=8))
+        eng.run_to_completion()
+        return seq.output_ids
+
+    spec = run((dcfg, dw))
+    plain = run(None)
+    assert len(spec) == 8 and spec == plain, (spec, plain)
+
+
+def test_qwen3next_engine_speculative():
+    """Speculative with the hybrid GDN target: the verify forward captures
+    per-prefix conv/recurrent states and the engine commits exactly the
+    accepted length — greedy output must match the plain adapter engine
+    (recurrent rollback, the analog of speculative/cache.rs)."""
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from mistralrs_tpu.models import ModelConfig, init_random_weights
+
+    cfg, weights = _tiny_qwen3next()
+    dcfg = ModelConfig(
+        arch="llama", vocab_size=cfg.vocab_size, hidden_size=32,
+        intermediate_size=64, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=16, max_position_embeddings=256,
+    )
+    dw = init_random_weights(dcfg, seed=23, dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)] for n in (5, 11)
+    ]
+
+    def run(draft):
+        adapter = Qwen3NextAdapter(cfg, weights)
+        eng = Engine(
+            cfg, weights, num_blocks=96, block_size=4, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            draft=draft, gamma=3,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=10))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    spec = run((dcfg, dw))
+    plain = run(None)
+    assert all(len(o) == 10 for o in spec)
+    assert spec == plain, (spec, plain)
+
+
+def test_qwen3next_engine_kv_quant_int8():
+    """int8 attention-KV pools (per-slot,head scales) on the hybrid adapter;
+    GDN state stays full-precision. Greedy must match the unquantized
+    engine for a short horizon."""
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+
+    cfg, weights = _tiny_qwen3next()
+    rng = np.random.default_rng(19)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)] for n in (5, 11)
+    ]
+
+    def run(kv_quant):
+        adapter = Qwen3NextAdapter(cfg, weights)
+        eng = Engine(
+            cfg, weights, num_blocks=64, block_size=4, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            kv_quant=kv_quant,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=5))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    got = run("int8")
+    ref = run(None)
+    assert all(len(o) == 5 for o in got)
+    assert got == ref, (got, ref)
