@@ -52,7 +52,10 @@ _STANDALONE = [
      " MatFormer slicing (`models/gemma3n.py`)"),
     ("Gemma 4", "(reference-spec)",
      "per-type head geometry, proportional partial RoPE, k=v layers,"
-     " parallel MoE, double-wide KV-shared MLPs (`models/gemma4.py`)"),
+     " parallel MoE, double-wide KV-shared MLPs (`models/gemma4.py`);"
+     " vision tower + unified embedder (`vision/gemma4.py`), USM conformer"
+     " audio (`audio/gemma4.py`), MTP draft heads over donor KV"
+     " (`models/gemma4_mtp.py`)"),
     ("Llama 4", "`Llama4ForCausalLM`",
      "chunked attention, input-scaled MoE (`models/llama4.py`)"),
 ]

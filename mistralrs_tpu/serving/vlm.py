@@ -165,6 +165,72 @@ def gemma3_adapter(
     )
 
 
+def gemma4_adapter(
+    weights: dict, cfg, *, image_token: str = "<image_soft_token>",
+    boi: str = "<start_of_image>", eoi: str = "<end_of_image>",
+    encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
+    image_size: int = 448,
+) -> VlmAdapter:
+    """Gemma 4 multimodal serving: VisionTower (2-D rotary encoder +
+    position-binned pooling, vision/gemma4.py) → Gemma4MultimodalEmbedder →
+    merged prompt embeds for the engine's Gemma4Adapter (the tower path of
+    `vision_models/gemma4/mod.rs:360-430`). `weights` carries
+    {"text": ..., "vision": ..., "embed_vision": ...}; `cfg` carries
+    .text (Gemma4Config), .vision (Gemma4VisionConfig), .image_token_id."""
+    from ..vision.gemma4 import multimodal_embed, vision_tower_encode
+
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.float32
+    vcfg = cfg.vision
+    k = vcfg.pooling_kernel_size
+    # resize to the adapter's square budget (multiple of patch·pool)
+    quantum = vcfg.patch_size * k
+    size = (image_size // quantum) * quantum
+    n_tok = (size // vcfg.patch_size) ** 2 // (k * k)
+    cache = encoder_cache or EncoderCache()
+
+    def process(images):
+        # the tower scales patches to [−1, 1] itself — feed raw [0, 1]
+        px = np.stack([
+            preprocess_image(im, size=size, mean=(0.0,) * 3, std=(1.0,) * 3)
+            for im in images
+        ])
+        return ProcessedMedia(px, [n_tok] * len(images))
+
+    def prepare(prompt_ids, media):
+        from ..multimodal import prepare_vlm_prompt
+
+        def encode(pv):
+            toks = [
+                multimodal_embed(
+                    weights["embed_vision"],
+                    vision_tower_encode(
+                        weights["vision"], vcfg, jnp.asarray(p_, dtype)),
+                    vcfg.rms_norm_eps,
+                )
+                for p_ in pv
+            ]
+            return jnp.stack(toks)
+
+        _, embeds, _ = prepare_vlm_prompt(
+            prompt_ids, media.pixels,
+            embed_weights=weights["text"]["embed"],
+            image_token_id=cfg.image_token_id,
+            encode=encode,
+            encoder_cache=cache,
+            cache_namespace="gemma4",
+            embed_multiplier=cfg.text.hidden_size ** 0.5,
+            compute_dtype=dtype,
+        )
+        return {"prompt_embeds": embeds}
+
+    return VlmAdapter(
+        "gemma4", image_token, process, prepare,
+        expansion=lambda n: f"\n\n{boi}{image_token * n}{eoi}\n\n",
+    )
+
+
 def qwen2vl_smart_resize(
     h: int, w: int, factor: int, min_pixels: int = 56 * 56,
     max_pixels: int = 14 * 14 * 4 * 1280,
@@ -544,6 +610,7 @@ def llama4_adapter(
 
 
 _BUILDER_NAMES = {
+    "gemma4": "gemma4_adapter",
     "llava": "llava_adapter",
     "llama4": "llama4_adapter",
     "voxtral": "voxtral_adapter",
