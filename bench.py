@@ -340,19 +340,24 @@ def measure_prefill(cfg, fcfg, weights, weight_bytes, depth, smoke,
 
 
 def measure_decode_shardmap(cfg, weights, weight_bytes, B, CTX):
-    """Batched decode through the engine's shard_map TP path on a 1-chip
-    tp=1 mesh — runs the fused Pallas decode kernel INSIDE shard_map on
-    real hardware. Returns (tok/s, vs_roofline)."""
+    """Batched decode through the mesh TP path on a 1-chip tp=1 mesh — the
+    fused Pallas decode kernels INSIDE shard_map on real hardware, measured
+    with the SAME methodology as the plain headline point (an N-step chain
+    in one executable, KV pools donated: `paged_tp_decode_chain_fn`, the
+    multi-chip analog of the reference's captured CUDA decode graph).
+    Returns (tok/s, vs_roofline, perstep_tok_s).
+
+    perstep_tok_s is the one-dispatch-per-token rate through the engine's
+    per-step `paged_tp_forward_fn` (donated) — the r4 bench measured this
+    WITHOUT donation and with host-side slot math, which is what produced
+    the spurious 0.42-0.48 "shard_map gap"; the r5 ablation
+    (exp/shardmap_ablation_r5.log) shows scan-inside-shard_map == plain."""
     from mistralrs_tpu.parallel.tp import (
-        build_mesh, paged_tp_forward_fn,
+        build_mesh, paged_tp_decode_chain_fn, paged_tp_forward_fn,
     )
 
     BS = 64
     mesh = build_mesh(tp=1, dp=1, devices=jax.devices()[:1])
-    fwd = paged_tp_forward_fn(
-        mesh, cfg, weights, block_size=BS, backend="pallas",
-        compute_dtype=jnp.bfloat16,
-    )
     num_blocks = B * CTX // BS
     from mistralrs_tpu.kv.paged import PagedKVCache, auto_head_dim_pad
     cache = PagedKVCache.create(
@@ -362,43 +367,57 @@ def measure_decode_shardmap(cfg, weights, weight_bytes, B, CTX):
     width = CTX // BS
     bt = (jnp.arange(B)[:, None] * width
           + jnp.arange(width)[None, :]).astype(jnp.int32)
-    lens = jnp.full((B,), CTX - 64, jnp.int32)
-    tokens = jnp.zeros((B,), jnp.int32)
+    lens0 = jnp.full((B,), CTX - 64, jnp.int32)
+    tokens0 = jnp.zeros((B,), jnp.int32)
 
-    times = []
-    for n in (5, 25):
-        t_l, tok = lens, tokens
-        # warm
-        zi = jnp.zeros((B,), jnp.int32)
-        for _ in range(2):
+    chains = {}
+
+    def run(n):
+        nonlocal cache
+        if n not in chains:
+            chains[n] = paged_tp_decode_chain_fn(
+                mesh, cfg, weights, block_size=BS, n_steps=n,
+                backend="pallas", compute_dtype=jnp.bfloat16,
+            )
+        t0 = time.perf_counter()
+        toks, cache = chains[n](weights, cache, tokens0, lens0, bt)
+        np.asarray(toks)
+        return time.perf_counter() - t0
+
+    step_time = _slope_time(run, 5, 25)
+    kv_bytes = cfg.num_layers * B * CTX * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+    roofline_step = (weight_bytes + kv_bytes) / V5E_HBM_GBPS
+    tps = B / step_time
+
+    # secondary: per-step dispatch through the engine's jitted TP forward
+    # (now donated) — quantifies the per-token dispatch tax real serving
+    # pays without multi-step chaining
+    fwd = paged_tp_forward_fn(
+        mesh, cfg, weights, block_size=BS, backend="pallas",
+        compute_dtype=jnp.bfloat16,
+    )
+    zi = jnp.zeros((B,), jnp.int32)
+
+    def run_ps(n):
+        nonlocal cache
+        t_l, tok = lens0, tokens0
+        t0 = time.perf_counter()
+        for _ in range(n):
             slots = (bt[jnp.arange(B), t_l // BS] * BS + t_l % BS)
             logits, cache = fwd(weights, tok[:, None], t_l[:, None], cache,
                                 bt, slots[:, None].astype(jnp.int32),
                                 t_l + 1, zi)
             tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             t_l = t_l + 1
-        jax.block_until_ready(tok)
-        best = None
-        for _ in range(3):
-            t_l, tok = lens, tokens
-            t0 = time.perf_counter()
-            for _ in range(n):
-                slots = (bt[jnp.arange(B), t_l // BS] * BS + t_l % BS)
-                logits, cache = fwd(weights, tok[:, None], t_l[:, None],
-                                    cache, bt,
-                                    slots[:, None].astype(jnp.int32),
-                                    t_l + 1, zi)
-                tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                t_l = t_l + 1
-            np.asarray(tok)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times.append(best)
-    step_time = (times[1] - times[0]) / 20
-    kv_bytes = cfg.num_layers * B * CTX * cfg.num_kv_heads * cfg.head_dim * 2 * 2
-    roofline_step = (weight_bytes + kv_bytes) / V5E_HBM_GBPS
-    tps = B / step_time
-    return tps, step_time and tps / (B / roofline_step)
+        np.asarray(tok)
+        return time.perf_counter() - t0
+
+    try:
+        ps_step = _slope_time(run_ps, 5, 25)
+        ps_tps = B / ps_step
+    except Exception:  # noqa: BLE001
+        ps_tps = None
+    return tps, tps / (B / roofline_step), ps_tps
 
 
 def main():
@@ -443,11 +462,12 @@ def main():
             ("decode", 8, 1024 if smoke else 8192, "int8"),
             # reference methodology tops out at 16384 (--max-seq-len 16896,
             # releases/v0.8.2/report.md:42-49); int8 KV makes it fit.
-            # bs=4: at bs=8 the pool crosses 2^32 ELEMENTS (32L x 8kv x
-            # 8x16448 slots x 128hd = 4.3e9) and the TPU compiler rejects
-            # the buffer — the per-sequence depth is what the methodology
-            # sweeps, not the pool aggregate
             ("decode", 4, 2048 if smoke else 16384, "int8"),
+            # bs=8 @ 16384: the monolithic pool would cross the 2^31-element
+            # buffer ceiling (32L × 8kv × 8×16448 slots × 128hd = 4.3e9);
+            # layer-chunked pools (kv/paged.py POOL_MAX_ELEMS) split it into
+            # per-chunk buffers scanned chunk-by-chunk, removing the cap
+            ("decode", 8, 2048 if smoke else 16384, "int8"),
             ("decode", 16, CTX, None),
             ("decode", 32, CTX, None),
             ("prefill", 1, 512 if smoke else 2048, None),
@@ -489,15 +509,19 @@ def main():
         # deployment (VERDICT r3 weak #3)
         if time.monotonic() - t_start <= budget and not smoke:
             try:
-                v, r = measure_decode_shardmap(
+                v, r, ps = measure_decode_shardmap(
                     cfg, weights, weight_bytes, 8, CTX
                 )
-                sweep.append({
+                point = {
                     "kind": "decode", "bs": 8, "depth": CTX,
                     "tok_s": round(v, 1), "vs_roofline": round(r, 3),
                     "note": "fused Pallas kernels inside shard_map "
-                            "(tp=1 mesh on 1 chip)",
-                })
+                            "(tp=1 mesh on 1 chip), N-step chain in one "
+                            "executable with donated pools",
+                }
+                if ps:
+                    point["perstep_tok_s"] = round(ps, 1)
+                sweep.append(point)
             except Exception as e:  # noqa: BLE001
                 skipped.append(f"decode-shardmap: {type(e).__name__}")
         # speculative decoding: measure the verify forward (t = γ+1

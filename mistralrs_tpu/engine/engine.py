@@ -49,7 +49,9 @@ def _bucket(n: int, buckets=_PREFILL_BUCKETS) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype"),
+    donate_argnums=(4,),  # cache: callers thread the returned pool; an
+    # un-donated multi-GB pool would be copied whole every step
 )
 def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
                 kv_lens, last_indices, block_size, backend, compute_dtype,
@@ -65,7 +67,8 @@ def _prefill_fn(weights, cfg, ids, positions, cache, block_tables, slot_map,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype"),
+    donate_argnums=(4, 8),  # cache + samp_state (both threaded by the caller)
 )
 def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
                kv_lens, samp_state, key, block_size, backend, compute_dtype,
@@ -81,7 +84,8 @@ def _decode_fn(weights, cfg, tokens, positions, cache, block_tables, slot_map,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype"),
+    donate_argnums=(4,),  # cache threaded by the caller
 )
 def _greedy_step_fn(weights, cfg, tokens, positions, cache, block_tables,
                     slot_map, kv_lens, block_size, backend, compute_dtype):
@@ -95,7 +99,8 @@ def _greedy_step_fn(weights, cfg, tokens, positions, cache, block_tables,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype"),
+    donate_argnums=(4,),  # cache threaded by the caller
 )
 def _draft_step_sample_fn(weights, cfg, tokens, positions, cache, block_tables,
                           slot_map, kv_lens, samp_state, key, block_size,
@@ -116,7 +121,8 @@ def _draft_step_sample_fn(weights, cfg, tokens, positions, cache, block_tables,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype"),
+    donate_argnums=(4,),  # cache threaded by the caller
 )
 def _verify_probs_fn(weights, cfg, ids, positions, cache, block_tables,
                      slot_map, kv_lens, samp_state, block_size, backend,
@@ -506,6 +512,9 @@ class Engine:
                 quantized_kv=self._kv_quant is not None,
                 with_embeds=key[0], with_rope3=key[1], with_deepstack=key[2],
                 with_lora=key[3],
+                cache_chunks=(
+                    len(self.cache.k) if isinstance(self.cache.k, tuple) else 1
+                ),
             )
         return fn
 

@@ -26,6 +26,31 @@ import jax.numpy as jnp
 from ..models.config import ModelConfig
 
 
+#: Per-buffer element ceiling for KV pools. The TPU compiler rejects single
+#: HBM buffers at/above 2^32 elements (32-bit linear indexing); 2^31 keeps a
+#: safety margin AND int32-safe flat slot arithmetic. A monolithic
+#: [L, n_kv, S_total, hd] pool crosses this at (for llama-3-8B geometry,
+#: 32L × 8kv × 128hd = 32768 elements/slot) S_total ≥ 65536 slots ≈ bs=8 ×
+#: 8192 ctx — far below the reference methodology's 16384-depth envelope
+#: (`releases/v0.8.2/report.md:42-49`). Layer-chunked pools remove the
+#: ceiling: the L axis is split into ceil(total/LIMIT) chunks, each its own
+#: buffer, scanned one sub-scan per chunk in forward_paged. The reference
+#: has no such ceiling because it allocates per-layer cache tensors
+#: (`mistralrs-core/src/paged_attention/cache_engine.rs:56`); chunking is
+#: the TPU analog that keeps the one-compiled-layer-body scan.
+POOL_MAX_ELEMS = 2**31
+
+
+def _layer_chunks(num_layers: int, elems_per_layer: int,
+                  max_elems: int) -> tuple[int, ...]:
+    """Split the layer axis so each chunk's buffer stays under max_elems.
+    Returns per-chunk layer counts (sums to num_layers)."""
+    per_buffer_layers = max(int(max_elems // max(elems_per_layer, 1)), 1)
+    n_chunks = -(-num_layers // per_buffer_layers)
+    base, rem = divmod(num_layers, n_chunks)
+    return tuple(base + (1 if i < rem else 0) for i in range(n_chunks))
+
+
 @dataclass(frozen=True)
 class PagedKVCache:
     """k/v pools: [L, n_kv, S_total(slots), head_dim] (+ scales if quantized).
@@ -35,7 +60,14 @@ class PagedKVCache:
     so the fused Pallas decode kernel can DMA a block's scales as ONE
     lane-aligned 8-row sublane slice and RMW this step's scale row exactly
     like the KV write window (the analog of the reference's
-    update_kvscales.cu living inside pagedattention_v2)."""
+    update_kvscales.cu living inside pagedattention_v2).
+
+    When a monolithic pool would cross POOL_MAX_ELEMS, each field is a
+    TUPLE of per-chunk arrays ([Lc, n_kv, S_total, hd] with sum(Lc) = L)
+    instead of one array; ``layer_chunks`` holds the per-chunk layer
+    counts. forward_paged scans chunk by chunk so no single buffer crosses
+    the compiler ceiling (the analog of the reference's per-layer cache
+    tensors, cache_engine.rs:56)."""
 
     k: jax.Array
     v: jax.Array
@@ -59,40 +91,67 @@ class PagedKVCache:
         # pad to the 128-lane Mosaic quantum so hd=64/80/96 archs decode
         # through the fused Pallas kernel (forward_paged pads K/V rows on
         # write and slices the attention output back)
+        max_buffer_elems: Optional[int] = None,  # per-buffer ceiling
+        # (default POOL_MAX_ELEMS, resolved at call time so tests can
+        # monkeypatch); pools that would exceed it come back layer-chunked
+        # (tuples of arrays)
     ) -> "PagedKVCache":
         # +1 trash block PER GROUP: dropped writes (slot −1) scatter into it
         # so they can never collide with live slots (duplicate scatter
         # indices have nondeterministic winners). Under DP the slot axis is
         # sharded over the "data" mesh axis and each group uses LOCAL ids.
-        shape = (
-            cfg.num_layers,
-            cfg.num_kv_heads,
-            groups * (num_blocks + 1) * block_size,
-            max(head_dim_pad or 0, cfg.head_dim),
+        slots = groups * (num_blocks + 1) * block_size
+        hd = max(head_dim_pad or 0, cfg.head_dim)
+        elems_per_layer = cfg.num_kv_heads * slots * hd
+        chunks = _layer_chunks(
+            cfg.num_layers, elems_per_layer,
+            POOL_MAX_ELEMS if max_buffer_elems is None else max_buffer_elems,
         )
+
+        def pool(store):
+            if len(chunks) == 1:
+                return jnp.zeros(
+                    (cfg.num_layers, cfg.num_kv_heads, slots, hd), store
+                )
+            return tuple(
+                jnp.zeros((lc, cfg.num_kv_heads, slots, hd), store)
+                for lc in chunks
+            )
+
         if kv_quant is None:
-            return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            return cls(pool(dtype), pool(dtype))
         store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
         n_local = -(-cfg.num_kv_heads // tp_shards)
         sw = tp_shards * max(128, -(-2 * n_local // 128) * 128)
-        sshape = (shape[0], shape[2], sw)  # [L, S_total, SW] packed k|v
-        return cls(
-            jnp.zeros(shape, store),
-            jnp.zeros(shape, store),
-            jnp.zeros(sshape, jnp.bfloat16),
-        )
+        if len(chunks) == 1:
+            scale = jnp.zeros((cfg.num_layers, slots, sw), jnp.bfloat16)
+        else:
+            scale = tuple(
+                jnp.zeros((lc, slots, sw), jnp.bfloat16) for lc in chunks
+            )
+        return cls(pool(store), pool(store), scale)
 
     @property
     def quantized(self) -> bool:
         return self.kv_scale is not None
 
     @property
+    def chunked(self) -> bool:
+        return isinstance(self.k, tuple)
+
+    @property
+    def layer_chunks(self) -> tuple[int, ...]:
+        if self.chunked:
+            return tuple(c.shape[0] for c in self.k)
+        return (self.k.shape[0],)
+
+    @property
     def head_dim(self) -> int:
-        return self.k.shape[-1]
+        return (self.k[0] if self.chunked else self.k).shape[-1]
 
     @property
     def num_slots(self) -> int:
-        return self.k.shape[2]
+        return (self.k[0] if self.chunked else self.k).shape[2]
 
 
 jax.tree_util.register_dataclass(

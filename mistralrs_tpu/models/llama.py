@@ -841,7 +841,7 @@ def forward_paged(
 
     table_slots = jnp.shape(block_tables)[1] * block_size
     _kernel_min_slots = int(_os.environ.get("MRSTPU_PA_KERNEL_MIN_SLOTS", "0"))
-    pool_hd = cache.k.shape[-1]  # ≥ cfg.head_dim when padded for the kernel
+    pool_hd = cache.head_dim  # ≥ cfg.head_dim when padded for the kernel
     attn_scale = (
         cfg.attn_scale if cfg.attn_scale is not None else cfg.head_dim**-0.5
     )
@@ -885,13 +885,17 @@ def forward_paged(
         rope_flags = jnp.ones_like(windows)
 
     def body(carry, xs, heavy=None):
+        # li = GLOBAL layer id (deepstack rows); si = weight-segment-local id
+        # (scalar-prefetch indexing of stacked quantized planes); pi =
+        # pool-chunk-local id (layer plane inside the carried KV pool — equals
+        # li for monolithic pools, chunk-relative for layer-chunked ones)
         if has_scales:
             hh, kp, vp, kvsp = carry
-            lw, win, ur, li, si = xs
+            lw, win, ur, li, si, pi = xs
         else:
             hh, kp, vp = carry
             kvsp = None
-            lw, win, ur, li, si = xs
+            lw, win, ur, li, si, pi = xs
         if heavy:
             # stacked quantized planes stay OUT of the scan xs (slicing them
             # per step copies ~every weight byte twice more); the kernel
@@ -966,7 +970,7 @@ def forward_paged(
             if has_scales:
                 attn, kp, vp, kvsp = paged_decode_attention_fused(
                     q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
-                    block_tables, kv_lens, win, li, kvsp,
+                    block_tables, kv_lens, win, pi, kvsp,
                     lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
                     interpret=pa_interpret,
@@ -974,7 +978,7 @@ def forward_paged(
             else:
                 attn, kp, vp = paged_decode_attention_fused(
                     q[:, 0], kp, vp, k[:, 0], v[:, 0], flat_slots,
-                    block_tables, kv_lens, win, li, None,
+                    block_tables, kv_lens, win, pi, None,
                     lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
                     interpret=pa_interpret,
@@ -985,22 +989,22 @@ def forward_paged(
             if has_scales:
                 attn, kp, vp, kvsp = paged_prefill_attention_fused(
                     q, kp, vp, k, v, slots_bt, block_tables, kv_lens,
-                    n_valid_rows, win, li, kvsp, lw.get("sinks"),
+                    n_valid_rows, win, pi, kvsp, lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
                     interpret=pa_interpret,
                 )
             else:
                 attn, kp, vp = paged_prefill_attention_fused(
                     q, kp, vp, k, v, slots_bt, block_tables, kv_lens,
-                    n_valid_rows, win, li, None, lw.get("sinks"),
+                    n_valid_rows, win, pi, None, lw.get("sinks"),
                     block_size=block_size, scale=attn_scale, softcap=_soft,
                     interpret=pa_interpret,
                 )
         else:
-            k_c = jax.lax.dynamic_index_in_dim(kp, li, 0, keepdims=False)
-            v_c = jax.lax.dynamic_index_in_dim(vp, li, 0, keepdims=False)
+            k_c = jax.lax.dynamic_index_in_dim(kp, pi, 0, keepdims=False)
+            v_c = jax.lax.dynamic_index_in_dim(vp, pi, 0, keepdims=False)
             kv_s = (
-                jax.lax.dynamic_index_in_dim(kvsp, li, 0, keepdims=False)
+                jax.lax.dynamic_index_in_dim(kvsp, pi, 0, keepdims=False)
                 if has_scales else None
             )
             k_c, v_c, kv_s = write_kv(
@@ -1009,10 +1013,10 @@ def forward_paged(
                 v.reshape(b * t, cfg.num_kv_heads, pool_hd),
                 flat_slots, kv_s,
             )
-            kp = jax.lax.dynamic_update_index_in_dim(kp, k_c, li, 0)
-            vp = jax.lax.dynamic_update_index_in_dim(vp, v_c, li, 0)
+            kp = jax.lax.dynamic_update_index_in_dim(kp, k_c, pi, 0)
+            vp = jax.lax.dynamic_update_index_in_dim(vp, v_c, pi, 0)
             if has_scales:
-                kvsp = jax.lax.dynamic_update_index_in_dim(kvsp, kv_s, li, 0)
+                kvsp = jax.lax.dynamic_update_index_in_dim(kvsp, kv_s, pi, 0)
             kk, vv = gather_kv(
                 k_c, v_c, block_tables, block_size, kv_s, dtype=compute_dtype
             )
@@ -1070,13 +1074,36 @@ def forward_paged(
     segments = [weights["layers"]]
     if "layers_moe" in weights:  # dense-prefix MoE (glm4moe)
         segments.append(weights["layers_moe"])
-    if has_scales:
-        carry = (h, cache.k, cache.v, cache.kv_scale)
-    else:
-        carry = (h, cache.k, cache.v)
+
+    # Weight-segment boundaries × pool-chunk boundaries → scan intervals.
+    # Layer-chunked pools (each chunk a separate buffer under the 2^31
+    # element ceiling, kv/paged.py POOL_MAX_ELEMS) carry only their chunk
+    # through its sub-scan; monolithic pools reduce to one interval per
+    # weight segment (identical to the pre-chunking code path).
+    seg_bounds = []
     off = 0
     for seg in segments:
         n_seg = jax.tree_util.tree_leaves(seg)[0].shape[0]
+        seg_bounds.append((off, off + n_seg, seg))
+        off += n_seg
+    chunked = isinstance(cache.k, tuple)
+    kpools = list(cache.k) if chunked else [cache.k]
+    vpools = list(cache.v) if chunked else [cache.v]
+    spools = (
+        (list(cache.kv_scale) if chunked else [cache.kv_scale])
+        if has_scales else None
+    )
+    chunk_bounds = []
+    coff = 0
+    for kc in kpools:
+        chunk_bounds.append((coff, coff + kc.shape[0]))
+        coff += kc.shape[0]
+    cuts = sorted(
+        {a for a, _, _ in seg_bounds} | {b for _, b, _ in seg_bounds}
+        | {a for a, _ in chunk_bounds} | {b for _, b in chunk_bounds}
+    )
+
+    def _seg_heavy(seg):
         heavy = {k: v for k, v in seg.items() if isinstance(v, QTensor)}
         # quantized expert banks [L, E, ...] are the heaviest weights of
         # all — route them through the same scalar-prefetch layer indexing
@@ -1091,18 +1118,43 @@ def forward_paged(
             )
         ):
             heavy["experts"] = seg["experts"]
+        return heavy
+
+    for a, b_end in zip(cuts[:-1], cuts[1:]):
+        si_idx = next(
+            i for i, (s0, s1, _) in enumerate(seg_bounds) if s0 <= a < s1
+        )
+        s0, _, seg = seg_bounds[si_idx]
+        ci = next(i for i, (c0, c1) in enumerate(chunk_bounds) if c0 <= a < c1)
+        c0, _ = chunk_bounds[ci]
+        heavy = _seg_heavy(seg)
         light = {k: v for k, v in seg.items() if k not in heavy}
-        xs = (light, windows[off : off + n_seg], rope_flags[off : off + n_seg],
-              layer_ids[off : off + n_seg],
-              jnp.arange(n_seg, dtype=jnp.int32))
+        if (a, b_end) != (s0, seg_bounds[si_idx][1]):
+            light = jax.tree_util.tree_map(
+                lambda x: x[a - s0 : b_end - s0], light
+            )
+        xs = (light, windows[a:b_end], rope_flags[a:b_end],
+              layer_ids[a:b_end],
+              jnp.arange(a - s0, b_end - s0, dtype=jnp.int32),
+              jnp.arange(a - c0, b_end - c0, dtype=jnp.int32))
+        if has_scales:
+            carry = (h, kpools[ci], vpools[ci], spools[ci])
+        else:
+            carry = (h, kpools[ci], vpools[ci])
         carry, _ = jax.lax.scan(partial(body, heavy=heavy), carry, xs)
-        off += n_seg
-    if has_scales:
-        h, kp, vp, kvsp = carry
-        new_cache = PagedKVCache(kp, vp, kvsp)
+        if has_scales:
+            h, kpools[ci], vpools[ci], spools[ci] = carry
+        else:
+            h, kpools[ci], vpools[ci] = carry
+    if chunked:
+        new_cache = PagedKVCache(
+            tuple(kpools), tuple(vpools),
+            tuple(spools) if has_scales else None,
+        )
     else:
-        h, kp, vp = carry
-        new_cache = PagedKVCache(kp, vp)
+        new_cache = PagedKVCache(
+            kpools[0], vpools[0], spools[0] if has_scales else None
+        )
 
     h = _maybe_norm(
         h, weights["final_norm"], cfg.rms_norm_eps, gemma,

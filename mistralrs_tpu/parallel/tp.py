@@ -240,11 +240,12 @@ def cache_pspecs() -> KVCache:
     return KVCache(k=spec, v=spec)
 
 
-def paged_cache_pspecs(quantized_kv: bool = False):
+def paged_cache_pspecs(quantized_kv: bool = False, chunks: int = 1):
     """PartitionSpecs for kv.paged.PagedKVCache pools [L, n_kv, S, hd]:
     kv-heads shard over the model axis; the slot axis shards over the data
     axis (each DP group owns an independent pool plane with LOCAL block/slot
-    ids — see kv/manager.py GroupedKVManager)."""
+    ids — see kv/manager.py GroupedKVManager). ``chunks > 1`` mirrors a
+    layer-chunked pool (tuple of per-chunk buffers, kv/paged.py)."""
     from ..kv.paged import PagedKVCache
 
     spec = P(None, TP_AXIS, DP_AXIS, None)
@@ -253,10 +254,15 @@ def paged_cache_pspecs(quantized_kv: bool = False):
     # locally sees [L, S_local, 128] with ITS heads' scales in lanes
     # 0:n_kv_local (k) and n_kv_local:2n_kv_local (v)
     sspec = P(None, DP_AXIS, TP_AXIS) if quantized_kv else None
+    if chunks > 1:
+        return PagedKVCache(
+            k=(spec,) * chunks, v=(spec,) * chunks,
+            kv_scale=(sspec,) * chunks if quantized_kv else None,
+        )
     return PagedKVCache(k=spec, v=spec, kv_scale=sspec)
 
 
-def replicated_cache_pspecs(quantized_kv: bool = False):
+def replicated_cache_pspecs(quantized_kv: bool = False, chunks: int = 1):
     """Paged-pool specs with KV heads REPLICATED over the model axis (slot
     axis still shards over data) — for small draft models in speculative
     serving whose head counts don't divide tp."""
@@ -264,6 +270,11 @@ def replicated_cache_pspecs(quantized_kv: bool = False):
 
     spec = P(None, None, DP_AXIS, None)
     sspec = P(None, DP_AXIS, None) if quantized_kv else None
+    if chunks > 1:
+        return PagedKVCache(
+            k=(spec,) * chunks, v=(spec,) * chunks,
+            kv_scale=(sspec,) * chunks if quantized_kv else None,
+        )
     return PagedKVCache(k=spec, v=spec, kv_scale=sspec)
 
 
@@ -271,16 +282,22 @@ def shard_paged_cache(mesh: Mesh, cache, replicate_model: bool = False):
     """Place the paged pools on the mesh."""
     from ..kv.paged import PagedKVCache
 
+    chunks = len(cache.k) if isinstance(cache.k, tuple) else 1
     specs = (
-        replicated_cache_pspecs(cache.kv_scale is not None)
+        replicated_cache_pspecs(cache.kv_scale is not None, chunks)
         if replicate_model
-        else paged_cache_pspecs(cache.kv_scale is not None)
+        else paged_cache_pspecs(cache.kv_scale is not None, chunks)
     )
     put = lambda a, s: None if a is None else jax.device_put(a, NamedSharding(mesh, s))
+    tput = lambda a, s: (
+        None if a is None
+        else tuple(put(ac, sc) for ac, sc in zip(a, s))
+        if isinstance(a, tuple) else put(a, s)
+    )
     return PagedKVCache(
-        k=put(cache.k, specs.k),
-        v=put(cache.v, specs.v),
-        kv_scale=put(cache.kv_scale, specs.kv_scale),
+        k=tput(cache.k, specs.k),
+        v=tput(cache.v, specs.v),
+        kv_scale=tput(cache.kv_scale, specs.kv_scale),
     )
 
 
@@ -300,6 +317,11 @@ def paged_tp_forward_fn(
     replicate_model: bool = False,  # weights/KV-heads replicated (small
     # draft models whose head counts don't divide tp); batch still shards
     # over the data axis
+    cache_chunks: int = 1,  # layer-chunked pool (kv/paged.py): tuple fields
+    donate_cache: bool = True,  # alias the KV pools through the jit — an
+    # un-donated multi-GB pool forces XLA to copy it every step (exactly
+    # the failure bench.py's plain path donates against); callers must
+    # thread the returned cache and never touch the old one
 ):
     """Build the jitted multi-chip PAGED forward for the serving engine —
     the composition the reference achieves with Row/ColumnParallelLayer
@@ -321,12 +343,12 @@ def paged_tp_forward_fn(
         tp, ep = 1, False
         lcfg = cfg
         wspecs = jax.tree_util.tree_map(lambda _: P(), weights)
-        cspecs = replicated_cache_pspecs(quantized_kv)
+        cspecs = replicated_cache_pspecs(quantized_kv, cache_chunks)
     else:
         ep = expert_parallel(cfg, tp)
         lcfg = local_config(cfg, tp, ep)
         wspecs = weight_pspecs(weights, ep=ep)
-        cspecs = paged_cache_pspecs(quantized_kv)
+        cspecs = paged_cache_pspecs(quantized_kv, cache_chunks)
 
     def body(w, ids, positions, cache, bt, slot_map, kv_lens, last_idx,
              *extras):
@@ -369,7 +391,78 @@ def paged_tp_forward_fn(
         out_specs=(P(DP_AXIS, None, None), cspecs),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    # cache is positional arg 3 of body — donating it lets the output pool
+    # alias the input pool (no per-step multi-GB copy); ignored on CPU
+    return jax.jit(mapped, donate_argnums=(3,) if donate_cache else ())
+
+
+def paged_tp_decode_chain_fn(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    weights: dict,
+    *,
+    block_size: int,
+    n_steps: int,
+    backend: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+    quantized_kv: bool = False,
+    cache_chunks: int = 1,
+):
+    """N greedy decode steps as ONE executable over the mesh: the step loop
+    (slot math → fused forward → argmax feedback) runs as a `lax.scan`
+    INSIDE the shard_map body, so the whole chain is a single dispatch with
+    the KV pools donated through it. This is the full multi-chip analog of
+    the reference's captured CUDA decode graph (`pipeline/cuda_graph.rs:666`)
+    — and the r5 shard_map ablation (exp/shardmap_ablation_r5.log) shows it
+    recovers ~100% of the plain-path throughput: per-step dispatch (~3.3 ms)
+    and un-donated pool copies (~2.9 ms) were the entire r4 "shard_map gap";
+    the kernels themselves lose nothing inside the mesh.
+
+      (weights, cache, tokens [B], kv_lens [B], block_tables [B, W])
+        → (tokens-per-step [n_steps, B], cache)
+
+    kv_lens counts the valid KV BEFORE each step (the step writes its token
+    at position kv_lens and attends over kv_lens+1 entries, matching the
+    engine's decode convention)."""
+    tp = mesh.shape[TP_AXIS]
+    ep = expert_parallel(cfg, tp)
+    lcfg = local_config(cfg, tp, ep)
+    wspecs = weight_pspecs(weights, ep=ep)
+    cspecs = paged_cache_pspecs(quantized_kv, cache_chunks)
+    from ..models.llama import forward_paged
+
+    def body(w, cache, tokens, kv_lens, bt):
+        b = tokens.shape[0]
+
+        def step(carry, _):
+            cache, tok, lens = carry
+            slots = (
+                bt[jnp.arange(b), lens // block_size] * block_size
+                + lens % block_size
+            ).astype(jnp.int32)
+            logits, cache = forward_paged(
+                w, lcfg, tok[:, None], lens[:, None], cache, bt,
+                slots[:, None].reshape(-1), lens + 1,
+                block_size=block_size, backend=backend,
+                logits_last_only=True, compute_dtype=compute_dtype,
+                tp_axis=TP_AXIS if tp > 1 else None,
+            )
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (cache, tok, lens + 1), tok
+
+        (cache, _, _), toks = jax.lax.scan(
+            step, (cache, tokens, kv_lens), None, length=n_steps
+        )
+        return toks, cache
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(wspecs, cspecs, P(DP_AXIS), P(DP_AXIS), P(DP_AXIS, None)),
+        out_specs=(P(None, DP_AXIS), cspecs),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1,))
 
 
 def tp_forward_fn(
