@@ -43,10 +43,13 @@ class DeepseekAdapter:
     supports_prefix_cache = True
     supports_embeds = False
     supports_kv_quant = True
+    supports_lora = True  # per-request bank via attach_adapter_bank
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
-        self.weights = weights
+        # the engine reads bank names from ITS weights dict; the forwards
+        # must only see arrays
+        self.weights = {k: v for k, v in weights.items() if k != "lora_names"}
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
@@ -62,23 +65,26 @@ class DeepseekAdapter:
         )
 
     def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
-                last_indices, slot_ids, resets, embeds=None):
+                last_indices, slot_ids, resets, embeds=None,
+                lora_scalings=None):
         return _ds_fwd(
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map.reshape(-1), kv_lens, last_indices,
             self._block_size, self.backend, self.compute_dtype,
+            lora_scalings=lora_scalings,
         )
 
     def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
-               samp_state, key):
+               samp_state, key, lora_scalings=None):
         return _ds_decode(
             self.weights, self._fcfg, tokens, positions, cache, bt,
             slot_map, kv_lens, samp_state, key,
             self._block_size, self.backend, self.compute_dtype,
+            lora_scalings=lora_scalings,
         )
 
     def verify(self, cache, ids, positions, bt, slot_map, kv_lens,
-               samp_state, slot_ids=None):
+               samp_state, slot_ids=None, lora_scalings=None):
         """Speculative target verification: sampler-transformed probs at
         all γ+1 positions (the adapter analog of `_verify_probs_fn`;
         reference pairs speculative with ANY pipeline,
@@ -88,6 +94,7 @@ class DeepseekAdapter:
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map.reshape(-1), kv_lens, samp_state,
             self._block_size, self.backend, self.compute_dtype,
+            lora_scalings=lora_scalings,
         )
         return probs, cache, None
 
@@ -105,24 +112,32 @@ class Qwen3NextAdapter:
     supports_prefix_cache = False
     supports_embeds = True  # qwen3.5-vl serves through merged embeds
     supports_kv_quant = True
+    supports_lora = True  # per-request bank (single-device engine)
+    supports_dp = True  # slot pools group-partition over the data axis
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
-        self.weights = weights
+        # the engine reads bank names from ITS weights dict; the forwards
+        # must only see arrays
+        self.weights = {k: v for k, v in weights.items() if k != "lora_names"}
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
         self.mesh = None
+        self._dp = 1
+        self._dp_axis = None
         self._tp_fns: dict = {}
 
     def shard(self, mesh):
-        """Shard weights + state pools over the mesh's model axis — the
-        mesh×hybrid-arch composition (reference: every-model TP,
+        """Shard weights + state pools over the mesh — the mesh×hybrid-arch
+        composition (reference: every-model TP,
         `mistralrs-quant/src/distributed/layers.rs:58` from qwen3_next.rs).
         Attention KV shards on kv-heads; the GDN conv window and delta-rule
         state shard on their heads (conv rows permuted to shard-major);
-        experts shard EP-style with the router replicated. dp=1 only — GDN
-        slot pools are not group-partitioned."""
+        experts shard EP-style with the router replicated. dp > 1
+        partitions the slot axes of ALL pools over the data axis (group-
+        local ids, per-group trash — make_paged_cache groups=dp); batch
+        rows shard dp-wise and the body localizes engine slot ids."""
         from ..models.qwen3next import (
             permute_gdn_conv_for_tp, q3n_cache_pspecs, q3n_local_config,
             q3n_weight_pspecs,
@@ -130,11 +145,11 @@ class Qwen3NextAdapter:
         from ..parallel.tp import DP_AXIS, TP_AXIS
         from jax.sharding import NamedSharding
 
-        if int(mesh.shape.get(DP_AXIS, 1)) != 1:
-            raise NotImplementedError("GDN adapter mesh: dp=1 only")
         tp = int(mesh.shape[TP_AXIS])
+        self._dp = int(mesh.shape.get(DP_AXIS, 1))
         self.mesh = mesh
         self._tp_axis = TP_AXIS
+        self._dp_axis = DP_AXIS
         self._lcfg = _hashable(q3n_local_config(self.cfg, tp))
         w = permute_gdn_conv_for_tp(self.weights, self.cfg, tp)
         self._wspecs = q3n_weight_pspecs(w, TP_AXIS)
@@ -143,7 +158,9 @@ class Qwen3NextAdapter:
             else jax.device_put(a, NamedSharding(mesh, s)),
             w, self._wspecs, is_leaf=lambda x: x is None,
         )
-        self._cspecs = q3n_cache_pspecs(TP_AXIS)
+        self._cspecs = q3n_cache_pspecs(
+            TP_AXIS, DP_AXIS if self._dp > 1 else None
+        )
 
     def create_cache(self, num_blocks: int, block_size: int, n_slots: int,
                      kv_quant=None):
@@ -152,7 +169,8 @@ class Qwen3NextAdapter:
         self._block_size = block_size
         cache = make_paged_cache(
             self.cfg, num_blocks, block_size, n_slots,
-            dtype=self.compute_dtype, kv_quant=kv_quant
+            dtype=self.compute_dtype, kv_quant=kv_quant,
+            groups=getattr(self, "_dp", 1) or 1,
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -164,8 +182,10 @@ class Qwen3NextAdapter:
         return cache
 
     def _tp_step(self, decode: bool, embeds, rope3, deepstack):
-        """Lazily built shard_map step (batch inputs replicated; weights +
-        pools sharded; logits replicated by the row-parallel psums)."""
+        """Lazily built shard_map step: weights + pools sharded, batch rows
+        dp-sharded (replicated at dp=1), logits returned global. Engine slot
+        ids are GLOBAL (group-major rows); the body rebases them to the
+        group-local pool plane (trash = local shape-1, per-group)."""
         from jax.sharding import PartitionSpec as P
         from ..models.qwen3next import qwen3next_forward_paged
 
@@ -178,6 +198,9 @@ class Qwen3NextAdapter:
             self._lcfg, self._block_size, self.compute_dtype, self._tp_axis
         )
         rep = P()
+        dp, dpa = self._dp, self._dp_axis
+        row = P(dpa) if dp > 1 else rep
+        row2 = P(dpa, None) if dp > 1 else rep
 
         def body(w, ids, positions, cache, bt, slot_map, kv_lens, slot_ids,
                  resets, last_idx, *extras):
@@ -185,6 +208,10 @@ class Qwen3NextAdapter:
             emb = extras.pop(0) if key[1] else None
             r3 = extras.pop(0) if key[2] else None
             ds = extras.pop(0) if key[3] else None
+            if dp > 1:
+                spg = cache["conv"].shape[1] - 1  # local live slots
+                g = jax.lax.axis_index(dpa)
+                slot_ids = jnp.where(slot_ids < 0, -1, slot_ids - g * spg)
             return qwen3next_forward_paged(
                 w, lcfg, ids, positions, cache, bt,
                 slot_map.reshape(ids.shape), kv_lens, slot_ids, resets,
@@ -195,23 +222,30 @@ class Qwen3NextAdapter:
                 tp_axis=axis,
             )
 
-        in_specs = [self._wspecs] + [rep] * 9
-        for flag in key[1:]:
-            if flag:
-                in_specs.append(rep)
-        # cache sits at position 3
-        in_specs[3] = self._cspecs
+        in_specs = [self._wspecs, row2, row2, self._cspecs, row2, row2,
+                    row, row, row, row]
+        if key[1]:
+            in_specs.append(P(dpa, None, None) if dp > 1 else rep)
+        if key[2]:
+            in_specs.append(P(None, dpa, None) if dp > 1 else rep)
+        if key[3]:
+            in_specs.append(P(None, dpa, None, None) if dp > 1 else rep)
+        out_logits = P(dpa, None, None) if dp > 1 else rep
         mapped = jax.shard_map(
             body, mesh=self.mesh, in_specs=tuple(in_specs),
-            out_specs=(rep, self._cspecs), check_vma=False,
+            out_specs=(out_logits, self._cspecs), check_vma=False,
         )
         fn = self._tp_fns[key] = jax.jit(mapped)
         return fn
 
     def prefill(self, cache, ids, positions, bt, slot_map, kv_lens,
                 last_indices, slot_ids, resets, embeds=None,
-                rope_pos3=None, deepstack=None):
+                rope_pos3=None, deepstack=None, lora_scalings=None):
         if self.mesh is not None:
+            if lora_scalings is not None:
+                raise NotImplementedError(
+                    "qwen3next per-request LoRA on a mesh"
+                )
             fn = self._tp_step(False, embeds, rope_pos3, deepstack)
             extras = [e for e in (embeds, rope_pos3, deepstack)
                       if e is not None]
@@ -221,12 +255,16 @@ class Qwen3NextAdapter:
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map, kv_lens, slot_ids, resets, last_indices,
             self._block_size, self.compute_dtype, embeds, rope_pos3,
-            deepstack,
+            deepstack, lora_scalings,
         )
 
     def decode(self, cache, tokens, positions, bt, slot_map, kv_lens,
-               samp_state, key, rope_pos3=None):
+               samp_state, key, rope_pos3=None, lora_scalings=None):
         if self.mesh is not None:
+            if lora_scalings is not None:
+                raise NotImplementedError(
+                    "qwen3next per-request LoRA on a mesh"
+                )
             b = tokens.shape[0]
             slot_ids = jnp.where(
                 slot_map >= 0, jnp.arange(b, dtype=jnp.int32), -1
@@ -246,29 +284,129 @@ class Qwen3NextAdapter:
         return _q3n_decode(
             self.weights, self._fcfg, tokens, positions, cache, bt,
             slot_map, kv_lens, samp_state, key,
-            self._block_size, self.compute_dtype, rope_pos3,
+            self._block_size, self.compute_dtype, rope_pos3, lora_scalings,
         )
 
     def verify(self, cache, ids, positions, bt, slot_map, kv_lens,
-               samp_state, slot_ids=None):
+               samp_state, slot_ids=None, lora_scalings=None):
         """Speculative target verification for the hybrid arch: attention
         layers verify via kv_len truncation like any paged cache, and the
         GDN layers run in CAPTURE mode — per-prefix conv/recurrent states
         come back as aux so `commit_verify` can roll the state to exactly
         the accepted length (the recurrent analog of the reference's
-        speculative cache rollback, speculative/cache.rs)."""
+        speculative cache rollback, speculative/cache.rs). On a mesh the
+        capture forward runs TP/DP-sharded; the sampler transform applies
+        OUTSIDE the shard_map on the gathered logits (works at any dp)."""
         if self.mesh is not None:
-            raise NotImplementedError("qwen3next speculative on a mesh")
+            if lora_scalings is not None:
+                raise NotImplementedError(
+                    "qwen3next per-request LoRA on a mesh"
+                )
+            from .sampler import _transformed_probs
+
+            logits, cache, aux = self._tp_verify_fn()(
+                self.weights, ids, positions, cache, bt, slot_map,
+                kv_lens, slot_ids
+            )
+            probs = jnp.stack(
+                [
+                    _transformed_probs(
+                        logits[:, j].astype(jnp.float32), samp_state
+                    )
+                    for j in range(logits.shape[1])
+                ],
+                axis=1,
+            )
+            return probs, cache, aux
         return _q3n_verify(
             self.weights, self._fcfg, ids, positions, cache, bt,
             slot_map, kv_lens, slot_ids, samp_state,
             self._block_size, self.backend, self.compute_dtype,
+            lora_scalings=lora_scalings,
         )
 
+    def _tp_verify_fn(self):
+        """Capture-mode verify forward over the mesh. Aux states come back
+        dp-sharded on batch / tp-sharded on the GDN head axes, matching
+        what `_tp_commit_fn` scatters into the sharded pools."""
+        from jax.sharding import PartitionSpec as P
+        from ..models.qwen3next import qwen3next_forward_paged
+
+        fn = self._tp_fns.get("verify")
+        if fn is not None:
+            return fn
+        lcfg, bsz, cdt, axis = (
+            self._lcfg, self._block_size, self.compute_dtype, self._tp_axis
+        )
+        rep = P()
+        dp, dpa = self._dp, self._dp_axis
+        row = P(dpa) if dp > 1 else rep
+        row2 = P(dpa, None) if dp > 1 else rep
+
+        def body(w, ids, positions, cache, bt, slot_map, kv_lens, slot_ids):
+            if dp > 1:
+                spg = cache["conv"].shape[1] - 1
+                g = jax.lax.axis_index(dpa)
+                slot_ids = jnp.where(slot_ids < 0, -1, slot_ids - g * spg)
+            return qwen3next_forward_paged(
+                w, lcfg, ids, positions, cache, bt, slot_map, kv_lens,
+                slot_ids, jnp.zeros_like(slot_ids),
+                block_size=bsz, decode=False, compute_dtype=cdt,
+                logits_last_only=False, capture_states=True, tp_axis=axis,
+            )
+
+        aux_specs = {
+            "timeline": P(None, dpa if dp > 1 else None, None, axis),
+            "rec": P(None, dpa if dp > 1 else None, None, axis, None, None),
+        }
+        out_logits = P(dpa, None, None) if dp > 1 else rep
+        mapped = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(self._wspecs, row2, row2, self._cspecs, row2, row2,
+                      row, row),
+            out_specs=(out_logits, self._cspecs, aux_specs),
+            check_vma=False,
+        )
+        fn = self._tp_fns["verify"] = jax.jit(mapped)
+        return fn
+
     def commit_verify(self, cache, aux, slot_ids, n_commit):
+        if self.mesh is not None:
+            return self._tp_commit_fn()(cache, aux, slot_ids, n_commit)
         return _q3n_commit(
             self._fcfg, cache, aux, slot_ids, n_commit
         )
+
+    def _tp_commit_fn(self):
+        from jax.sharding import PartitionSpec as P
+        from ..models.qwen3next import commit_verified_states
+
+        fn = self._tp_fns.get("commit")
+        if fn is not None:
+            return fn
+        lcfg, axis = self._lcfg, self._tp_axis
+        rep = P()
+        dp, dpa = self._dp, self._dp_axis
+        row = P(dpa) if dp > 1 else rep
+
+        def body(cache, aux, slot_ids, n_commit):
+            if dp > 1:
+                spg = cache["conv"].shape[1] - 1
+                g = jax.lax.axis_index(dpa)
+                slot_ids = jnp.where(slot_ids < 0, -1, slot_ids - g * spg)
+            return commit_verified_states(lcfg, cache, aux, slot_ids, n_commit)
+
+        aux_specs = {
+            "timeline": P(None, dpa if dp > 1 else None, None, axis),
+            "rec": P(None, dpa if dp > 1 else None, None, axis, None, None),
+        }
+        mapped = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(self._cspecs, aux_specs, row, row),
+            out_specs=self._cspecs, check_vma=False,
+        )
+        fn = self._tp_fns["commit"] = jax.jit(mapped)
+        return fn
 
 
 class Gemma3nAdapter:
@@ -281,7 +419,9 @@ class Gemma3nAdapter:
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
-        self.weights = weights
+        # the engine reads bank names from ITS weights dict; the forwards
+        # must only see arrays
+        self.weights = {k: v for k, v in weights.items() if k != "lora_names"}
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
@@ -358,7 +498,9 @@ class Lfm2Adapter:
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
-        self.weights = weights
+        # the engine reads bank names from ITS weights dict; the forwards
+        # must only see arrays
+        self.weights = {k: v for k, v in weights.items() if k != "lora_names"}
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
@@ -431,7 +573,8 @@ def _lfm2_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
 )
 def _q3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
              slot_ids, resets, last_indices, block_size, compute_dtype,
-             embeds=None, rope_pos3=None, deepstack=None):
+             embeds=None, rope_pos3=None, deepstack=None,
+             lora_scalings=None):
     from ..models.qwen3next import qwen3next_forward_paged
 
     return qwen3next_forward_paged(
@@ -440,6 +583,7 @@ def _q3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         block_size=block_size, decode=False, compute_dtype=compute_dtype,
         logits_last_only=True, last_indices=last_indices,
         input_embeds=embeds, rope_positions3=rope_pos3, deepstack=deepstack,
+        lora_scalings=lora_scalings,
     )
 
 
@@ -448,7 +592,7 @@ def _q3n_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
 )
 def _q3n_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
                 kv_lens, samp_state, key, block_size, compute_dtype,
-                rope_pos3=None):
+                rope_pos3=None, lora_scalings=None):
     from ..models.qwen3next import qwen3next_forward_paged
 
     b = tokens.shape[0]
@@ -458,6 +602,7 @@ def _q3n_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
         slot_map[:, None], kv_lens, slot_ids, jnp.zeros((b,), jnp.int32),
         block_size=block_size, decode=True, compute_dtype=compute_dtype,
         logits_last_only=True, rope_positions3=rope_pos3,
+        lora_scalings=lora_scalings,
     )
     new_tokens, logprobs, tops, samp_state = sample(
         logits[:, -1], samp_state, key
@@ -469,13 +614,15 @@ def _q3n_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
 def _ds_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
-            last_indices, block_size, backend, compute_dtype):
+            last_indices, block_size, backend, compute_dtype,
+            lora_scalings=None):
     from ..models.deepseek import deepseek_forward_paged
 
     return deepseek_forward_paged(
         weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         block_size=block_size, backend=backend, compute_dtype=compute_dtype,
         logits_last_only=True, last_indices=last_indices,
+        lora_scalings=lora_scalings,
     )
 
 
@@ -483,14 +630,15 @@ def _ds_fwd(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
 def _ds_verify(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
-               samp_state, block_size, backend, compute_dtype):
+               samp_state, block_size, backend, compute_dtype,
+               lora_scalings=None):
     from ..models.deepseek import deepseek_forward_paged
     from .sampler import _transformed_probs
 
     logits, cache = deepseek_forward_paged(
         weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         block_size=block_size, backend=backend, compute_dtype=compute_dtype,
-        logits_last_only=False,
+        logits_last_only=False, lora_scalings=lora_scalings,
     )
     probs = jnp.stack(
         [
@@ -506,13 +654,15 @@ def _ds_verify(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
 def _ds_decode(weights, cfg, tokens, positions, cache, bt, slot_map, kv_lens,
-               samp_state, key, block_size, backend, compute_dtype):
+               samp_state, key, block_size, backend, compute_dtype,
+               lora_scalings=None):
     from ..models.deepseek import deepseek_forward_paged
 
     logits, cache = deepseek_forward_paged(
         weights, cfg, tokens[:, None], positions[:, None], cache, bt,
         slot_map, kv_lens, block_size=block_size, backend=backend,
         compute_dtype=compute_dtype, logits_last_only=True,
+        lora_scalings=lora_scalings,
     )
     new_tokens, logprobs, tops, samp_state = sample(
         logits[:, -1], samp_state, key
@@ -532,7 +682,9 @@ class MllamaAdapter:
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
-        self.weights = weights
+        # the engine reads bank names from ITS weights dict; the forwards
+        # must only see arrays
+        self.weights = {k: v for k, v in weights.items() if k != "lora_names"}
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
@@ -639,7 +791,9 @@ class Llama4Adapter:
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
-        self.weights = weights
+        # the engine reads bank names from ITS weights dict; the forwards
+        # must only see arrays
+        self.weights = {k: v for k, v in weights.items() if k != "lora_names"}
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
@@ -712,7 +866,9 @@ class Gemma4Adapter:
 
     def __init__(self, cfg, weights, compute_dtype=jnp.float32, backend=None):
         self.cfg = cfg
-        self.weights = weights
+        # the engine reads bank names from ITS weights dict; the forwards
+        # must only see arrays
+        self.weights = {k: v for k, v in weights.items() if k != "lora_names"}
         self.compute_dtype = compute_dtype
         self.backend = backend
         self._fcfg = _hashable(cfg)
@@ -780,7 +936,8 @@ def _g4_decode(weights, cfg, tokens, positions, cache, bt, slot_map,
     jax.jit, static_argnames=("cfg", "block_size", "backend", "compute_dtype")
 )
 def _q3n_verify(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
-                slot_ids, samp_state, block_size, backend, compute_dtype):
+                slot_ids, samp_state, block_size, backend, compute_dtype,
+                lora_scalings=None):
     from ..models.qwen3next import qwen3next_forward_paged
     from .sampler import _transformed_probs
 
@@ -789,6 +946,7 @@ def _q3n_verify(weights, cfg, ids, positions, cache, bt, slot_map, kv_lens,
         slot_ids, jnp.zeros_like(slot_ids),
         block_size=block_size, decode=False, compute_dtype=compute_dtype,
         logits_last_only=False, capture_states=True,
+        lora_scalings=lora_scalings,
     )
     probs = jnp.stack(
         [

@@ -126,14 +126,18 @@ def _draft_step_sample_fn(weights, cfg, tokens, positions, cache, block_tables,
 )
 def _verify_probs_fn(weights, cfg, ids, positions, cache, block_tables,
                      slot_map, kv_lens, samp_state, block_size, backend,
-                     compute_dtype):
+                     compute_dtype, lora_scalings=None):
     """Target verification: sampler-transformed probs at ALL gamma+1
     positions in one forward (the speculative core — reference
-    `speculative/driver.rs` + `verifier.rs`)."""
+    `speculative/driver.rs` + `verifier.rs`). Per-request LoRA applies to
+    the TARGET only — the draft proposes from the base model and the
+    acceptance test keeps the committed tokens exactly target-distributed
+    (adapter divergence only lowers the acceptance rate; reference composes
+    adapters with speculative the same way, speculative/driver.rs:18)."""
     logits, cache = forward_paged(
         weights, cfg, ids, positions, cache, block_tables, slot_map, kv_lens,
         block_size=block_size, backend=backend, logits_last_only=False,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, lora_scalings=lora_scalings,
     )
     probs = jnp.stack(
         [
@@ -229,9 +233,11 @@ def _draft_tp_step_fn(mesh, cfg, weights, *, block_size, backend,
 
 
 def _verify_tp_fn(mesh, cfg, weights, *, block_size, backend, compute_dtype,
-                  n_pos, quantized_kv=False):
+                  n_pos, quantized_kv=False, with_lora=False):
     """Mesh variant of `_verify_probs_fn`: target transformed probs at all
-    gamma+1 positions, TP-sharded like the engine's main forward."""
+    gamma+1 positions, TP-sharded like the engine's main forward. With an
+    attached adapter bank (``with_lora``) the per-slot one-hot scalings ride
+    as a trailing [B, γ+1, A] arg, dp-sharded like the token rows."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.tp import DP_AXIS
@@ -241,12 +247,13 @@ def _verify_tp_fn(mesh, cfg, weights, *, block_size, backend, compute_dtype,
     )
     sspecs = _samp_state_pspecs(DP_AXIS)
 
-    def body(w, ids, positions, cache, bt, slot_map, kv_lens, samp):
+    def body(w, ids, positions, cache, bt, slot_map, kv_lens, samp,
+             lora_scalings=None):
         logits, cache = forward_paged(
             w, lcfg, ids, positions, cache, bt, slot_map.reshape(-1),
             kv_lens, block_size=block_size, backend=backend,
             logits_last_only=False, compute_dtype=compute_dtype,
-            tp_axis=tp_ax,
+            tp_axis=tp_ax, lora_scalings=lora_scalings,
         )
         probs = jnp.stack(
             [
@@ -258,9 +265,12 @@ def _verify_tp_fn(mesh, cfg, weights, *, block_size, backend, compute_dtype,
         return probs, cache
 
     b2 = P(DP_AXIS, None)
+    in_specs = [wspecs, b2, b2, cspecs, b2, b2, P(DP_AXIS), sspecs]
+    if with_lora:
+        in_specs.append(P(DP_AXIS, None, None))
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(wspecs, b2, b2, cspecs, b2, b2, P(DP_AXIS), sspecs),
+        in_specs=tuple(in_specs),
         out_specs=(P(DP_AXIS, None, None), cspecs),
         check_vma=False,
     ))
@@ -356,6 +366,23 @@ class Engine:
         self.mrope = bool(getattr(cfg, "mrope_section", ()))
         self.mesh = mesh
         self.dp = 1
+        if mesh is not None:
+            from ..parallel.tp import DP_AXIS as _DPA
+
+            # dp groups apply to adapter engines too (group-major slots,
+            # group-local block ids, dp-sharded slot pools)
+            self.dp = int(mesh.shape.get(_DPA, 1))
+            if max_batch % self.dp:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by dp={self.dp}"
+                )
+            if self.dp > 1 and adapter is not None and not getattr(
+                adapter, "supports_dp", False
+            ):
+                raise NotImplementedError(
+                    f"{type(adapter).__name__} does not group-partition its "
+                    f"state pools: dp={self.dp} needs supports_dp"
+                )
         self._tp_fwds: dict = {}  # (embeds, rope3, deepstack, lora) → jitted
         self._kv_quant = kv_quant
         self.lora_names = tuple(weights.pop("lora_names", ()))
@@ -582,11 +609,11 @@ class Engine:
                 raise ValueError(
                     f"unknown adapter {lora!r}; attached: {list(self.lora_names)}"
                 )
-            if self.draft_cfg is not None:
-                raise ValueError("per-request LoRA with a draft model")
-            if self.adapter is not None:
+            if self.adapter is not None and not getattr(
+                self.adapter, "supports_lora", False
+            ):
                 raise NotImplementedError(
-                    "per-request LoRA on arch-adapter engines"
+                    f"per-request LoRA on {type(self.adapter).__name__}"
                 )
             seq.lora_name = lora  # type: ignore[attr-defined]
         if deepstack_embeds is not None:
@@ -876,6 +903,10 @@ class Engine:
                 pf_kwargs["rope_pos3"] = rope_pos3
             if deepstack is not None:
                 pf_kwargs["deepstack"] = deepstack
+            if self.lora_names and getattr(self.adapter, "supports_lora", False):
+                pf_kwargs["lora_scalings"] = self._lora_scalings_rows(
+                    {r_: sp.seq for r_, sp in row_sp.items()}, rows, t
+                )
             logits, self.cache = self.adapter.prefill(
                 self.cache, jnp.asarray(ids_arr), jnp.asarray(positions),
                 jnp.asarray(bt), jnp.asarray(slot_map, jnp.int32),
@@ -1046,12 +1077,14 @@ class Engine:
                 compute_dtype=self.compute_dtype,
                 replicate_model=self._draft_replicated,
             )
-            self._tp_verify = _verify_tp_fn(
-                self.mesh, self.cfg, self.weights,
-                block_size=self.block_size, backend=self.backend,
-                compute_dtype=self.compute_dtype, n_pos=g + 1,
-                quantized_kv=self._kv_quant is not None,
-            )
+            if self.adapter is None:  # adapters bring their own mesh verify
+                self._tp_verify = _verify_tp_fn(
+                    self.mesh, self.cfg, self.weights,
+                    block_size=self.block_size, backend=self.backend,
+                    compute_dtype=self.compute_dtype, n_pos=g + 1,
+                    quantized_kv=self._kv_quant is not None,
+                    with_lora=bool(self.lora_names),
+                )
         for j in range(g + 1):
             pos_j = jnp.asarray(base_pos + j)
             kv_j = jnp.asarray(base_pos + j + 1)
@@ -1080,26 +1113,35 @@ class Engine:
         ids = np.concatenate([base_tok[:, None], drafts], axis=1)  # [B, g+1]
         positions = base_pos[:, None] + np.arange(g + 1)[None, :]
         slot_map = np.stack([slots_at(j) for j in range(g + 1)], axis=1)
+        lora_rows = self._lora_scalings_rows(
+            {seq.slot: seq for seq in seqs}, b, g + 1
+        )
         verify_aux = None
         if self.adapter is not None:
             slot_ids = jnp.asarray(
                 [s if active[s] is not None else -1 for s in range(b)],
                 jnp.int32,
             )
+            ver_kwargs = {}
+            if self.lora_names and getattr(self.adapter, "supports_lora", False):
+                ver_kwargs["lora_scalings"] = lora_rows
             p_probs, self.cache, verify_aux = self.adapter.verify(
                 self.cache, jnp.asarray(ids),
                 jnp.asarray(positions, jnp.int32), jnp.asarray(bt),
                 jnp.asarray(slot_map, jnp.int32),
                 jnp.asarray(base_pos + g + 1), self.samp_state,
-                slot_ids,
+                slot_ids, **ver_kwargs,
             )
         elif self.mesh is not None:
-            p_probs, self.cache = self._tp_verify(
+            verify_args = [
                 self.weights, jnp.asarray(ids),
                 jnp.asarray(positions, jnp.int32), self.cache, bt_j,
                 jnp.asarray(slot_map, jnp.int32),
                 jnp.asarray(base_pos + g + 1), self.samp_state,
-            )
+            ]
+            if lora_rows is not None:
+                verify_args.append(lora_rows)
+            p_probs, self.cache = self._tp_verify(*verify_args)
         else:
             p_probs, self.cache = _verify_probs_fn(
                 self.weights, self._fcfg, jnp.asarray(ids),
@@ -1107,6 +1149,7 @@ class Engine:
                 jnp.asarray(slot_map.reshape(-1), jnp.int32),
                 jnp.asarray(base_pos + g + 1), self.samp_state,
                 self.block_size, self.backend, self.compute_dtype,
+                lora_scalings=lora_rows,
             )
         # acceptance sampling on device (Leviathan et al.; greedy slots
         # reduce exactly to token matching) — only [B, g+1] results cross
@@ -1198,6 +1241,10 @@ class Engine:
             dec_kwargs = {}
             if rope_pos3 is not None:
                 dec_kwargs["rope_pos3"] = rope_pos3
+            if self.lora_names and getattr(self.adapter, "supports_lora", False):
+                dec_kwargs["lora_scalings"] = self._lora_scalings_rows(
+                    {s_.slot: s_ for s_ in seqs}, b, 1
+                )
             new_tokens, logprobs, tops, self.cache, self.samp_state = (
                 self.adapter.decode(
                     self.cache, jnp.asarray(tokens), jnp.asarray(positions),

@@ -56,19 +56,49 @@ def load_adapter(path: str | Path) -> tuple[dict[str, Any], dict[str, np.ndarray
     return cfg, tensors
 
 
-def _collect(adapter: Mapping[str, np.ndarray]):
+def _collect(adapter: Mapping[str, np.ndarray],
+             module_to_key: Optional[Mapping[str, str]] = None):
     """→ {(layer, key): {"A": arr, "B": arr}}"""
+    m2k = module_to_key if module_to_key is not None else _MODULE_TO_KEY
     out: dict[tuple[int, str], dict[str, np.ndarray]] = {}
     for name, arr in adapter.items():
         m = _LORA_RE.search(name)
         if not m:
             continue
         layer, module, ab = int(m.group(1)), m.group(2), m.group(3)
-        key = _MODULE_TO_KEY.get(module)
+        key = m2k.get(module)
         if key is None:
             continue
         out.setdefault((layer, key), {})[ab] = arr
     return out
+
+
+#: PEFT module names → deepseek weight keys (absorbed-MLA layout,
+#: models/deepseek.py): LoRA targets the unabsorbed projections (q paths,
+#: o_proj) and the dense-segment MLP; kv_b is absorbed into w_uk/w_uv and
+#: is not a runtime target.
+DEEPSEEK_MODULE_TO_KEY = {
+    "q_proj": "q",
+    "q_a_proj": "q_a",
+    "q_b_proj": "q_b",
+    "o_proj": "o",
+    "gate_proj": "gate",
+    "up_proj": "up",
+    "down_proj": "down",
+}
+
+#: PEFT module names → qwen3next per-layer weight keys (attention layers
+#: carry wq/wk/wv/wo; GDN layers have none of these so their bank slices
+#: are never injected; dense MLP gate/up/down when present).
+QWEN3NEXT_MODULE_TO_KEY = {
+    "q_proj": "wq",
+    "k_proj": "wk",
+    "v_proj": "wv",
+    "o_proj": "wo",
+    "gate_proj": "gate",
+    "up_proj": "up",
+    "down_proj": "down",
+}
 
 
 def merge_lora_into_state_dict(
@@ -172,6 +202,9 @@ def attach_adapter_bank(
     adapters: "list[tuple[str, Mapping[str, Any], Mapping[str, np.ndarray]]]",
     num_layers: int,
     dtype=jnp.bfloat16,
+    module_to_key: Optional[Mapping[str, str]] = None,
+    cfg=None,  # ModelConfig: needed to place deltas when the base weights
+    # are fused (wqkv / wgateup, fuse_projections) — see below
 ) -> dict:
     """Attach MULTIPLE named adapters for per-request selection — the analog
     of the reference's adapter runtime (`adapter/selection.rs`): every
@@ -179,15 +212,30 @@ def attach_adapter_bank(
     r]}`` (ranks padded to the bank max, scaling folded into B) and
     ``weights["lora_names"]`` records the order. At run time the engine
     feeds a per-slot one-hot over A through the X-LoRA mixing path, so a
-    request selects its adapter (or none) with zero recompilation."""
+    request selects its adapter (or none) with zero recompilation.
+
+    Weight layouts supported (per-request LoRA composes with arch-adapter
+    engines the way the reference's adapter runtime composes with any
+    pipeline, `adapter/selection.rs` + `speculative/driver.rs:18`):
+
+    * ``weights["layers"]`` a dict of stacked arrays (llama family):
+      stacked ``[L, A, r, K]`` banks, layer-sliced by the model's scan.
+    * ``weights["layers"]`` a LIST of per-layer dicts (qwen3next-style
+      Python layer loop): each touched layer gets its own ``[A, r, K]``
+      slice, injected only where the base key exists.
+    * ``weights["segments"]`` (deepseek MLA): the stacked bank is split
+      dense-first/moe-second to mirror the loader's segment order; a key
+      is injected only into segments that carry the base projection (the
+      moe segment's expert MLPs are not LoRA targets).
+    """
     names = [n for n, _, _ in adapters]
-    per_key: dict[str, list] = {}
+    m2k = dict(module_to_key) if module_to_key is not None else dict(_MODULE_TO_KEY)
     max_r: dict[str, int] = {}
     dims: dict[str, tuple[int, int]] = {}
     collected = []
-    for _, cfg, sd in adapters:
-        scale = float(cfg.get("lora_alpha", 1.0)) / float(cfg.get("r", 1))
-        pairs = _collect(sd)
+    for _, acfg, sd in adapters:
+        scale = float(acfg.get("lora_alpha", 1.0)) / float(acfg.get("r", 1))
+        pairs = _collect(sd, m2k)
         by_key: dict[str, dict[int, dict]] = {}
         for (layer, key), ab in pairs.items():
             by_key.setdefault(key, {})[layer] = ab
@@ -196,8 +244,8 @@ def attach_adapter_bank(
             max_r[key] = max(max_r.get(key, 0), r)
             dims[key] = (k_in, n_out)
         collected.append((scale, by_key))
-    new_layers = dict(weights["layers"])
     n_a = len(adapters)
+    banks: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for key, (k_in, n_out) in dims.items():
         r = max_r[key]
         a = np.zeros((num_layers, n_a, r, k_in), np.float32)
@@ -207,11 +255,101 @@ def attach_adapter_bank(
                 ra = ab["A"].shape[0]
                 a[layer, ai, :ra] = ab["A"]
                 b[layer, ai, :, :ra] = ab["B"] * scale
-        new_layers[key + "_lora"] = {
-            "a": jnp.asarray(a, dtype),
-            "b": jnp.asarray(b, dtype),
-        }
+        banks[key] = (a, b)
+
     out = dict(weights)
-    out["layers"] = new_layers
+    layers = weights.get("layers")
+    if isinstance(layers, (list, tuple)):
+        new_list = [dict(lw) for lw in layers]
+        for key, (a, b) in banks.items():
+            for li, lw in enumerate(new_list):
+                if key in lw:
+                    lw[key + "_lora"] = {
+                        "a": jnp.asarray(a[li], dtype),
+                        "b": jnp.asarray(b[li], dtype),
+                    }
+        out["layers"] = type(layers)(new_list)
+    elif layers is not None:
+        new_layers = dict(layers)
+        # fused base layouts (fuse_projections, the new_merged analog): fold
+        # the per-projection banks into ONE bank on the fused output — A
+        # matrices concat on the rank axis, B blocks land at each
+        # projection's output offset (exact: the block-diagonal B makes the
+        # fused delta the concatenation of the per-projection deltas)
+        for fused_key, parts in (
+            ("wqkv", ("wq", "wk", "wv")),
+            ("wgateup", ("gate", "up")),
+        ):
+            present = [k for k in parts if k in banks]
+            if fused_key not in layers or not present:
+                continue
+            if cfg is None:
+                raise ValueError(
+                    f"base weights are fused ({fused_key}); pass cfg= so "
+                    "the adapter deltas can be placed at the right output "
+                    "offsets"
+                )
+            # raw fields only: cfg may be a frozen dict-like without the
+            # ModelConfig q_dim/kv_dim properties
+            if fused_key == "wqkv":
+                hd = cfg.head_dim
+                q_dim = cfg.num_heads * hd
+                kv_dim = cfg.num_kv_heads * hd
+                offs = {"wq": 0, "wk": q_dim, "wv": q_dim + kv_dim}
+                n_total = q_dim + 2 * kv_dim
+            else:
+                offs = {"gate": 0, "up": cfg.intermediate_size}
+                n_total = 2 * cfg.intermediate_size
+            r_tot = sum(banks[k][0].shape[2] for k in present)
+            k_in = banks[present[0]][0].shape[3]
+            a = np.zeros((num_layers, n_a, r_tot, k_in), np.float32)
+            b = np.zeros((num_layers, n_a, n_total, r_tot), np.float32)
+            ro = 0
+            for k in present:
+                ak, bk = banks.pop(k)
+                r = ak.shape[2]
+                a[:, :, ro : ro + r, :] = ak
+                b[:, :, offs[k] : offs[k] + bk.shape[2], ro : ro + r] = bk
+                ro += r
+            banks[fused_key] = (a, b)
+        for key, (a, b) in banks.items():
+            new_layers[key + "_lora"] = {
+                "a": jnp.asarray(a, dtype),
+                "b": jnp.asarray(b, dtype),
+            }
+        out["layers"] = new_layers
+    elif "segments" in weights:
+        segs = dict(weights["segments"])
+        start = 0
+        for seg_name in ("dense", "moe"):
+            if seg_name not in segs:
+                continue
+            seg = dict(segs[seg_name])
+            n_seg = _seg_layers(seg)
+            for key, (a, b) in banks.items():
+                if key in seg:
+                    seg[key + "_lora"] = {
+                        "a": jnp.asarray(a[start : start + n_seg], dtype),
+                        "b": jnp.asarray(b[start : start + n_seg], dtype),
+                    }
+            segs[seg_name] = seg
+            start += n_seg
+        out["segments"] = segs
+    else:
+        raise ValueError("weights carry neither 'layers' nor 'segments'")
     out["lora_names"] = tuple(names)
     return out
+
+
+def _seg_layers(seg: Mapping[str, Any]) -> int:
+    """Layer count of a stacked deepseek segment (leading dim of any
+    stacked projection)."""
+    for v in seg.values():
+        leaf = v
+        if isinstance(v, Mapping):
+            leaf = next(iter(v.values()))
+        if hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 1:
+            return int(leaf.shape[0])
+        if hasattr(leaf, "data"):
+            return int(leaf.data.shape[0])
+    raise ValueError("cannot infer segment layer count")

@@ -229,10 +229,17 @@ def _mla_attention_absorbed(
 
 
 def _dense_mlp(h, lw, backend):
-    return linear(
-        jax.nn.silu(linear(h, lw["gate"], backend=backend))
-        * linear(h, lw["up"], backend=backend),
-        lw["down"], backend=backend,
+    from ..lora import apply_lora_delta
+
+    gate = apply_lora_delta(
+        linear(h, lw["gate"], backend=backend), h, lw.get("gate_lora")
+    )
+    up = apply_lora_delta(
+        linear(h, lw["up"], backend=backend), h, lw.get("up_lora")
+    )
+    hid = jax.nn.silu(gate) * up
+    return apply_lora_delta(
+        linear(hid, lw["down"], backend=backend), hid, lw.get("down_lora")
     )
 
 
@@ -355,15 +362,23 @@ def _mla_attention_paged(
     layer plane; at decode (t == 1) on TPU the fused Pallas kernel
     (`ops/mla_attention.py`) writes + attends in one pass — the analog of
     `concat_and_cache_mla.cu` + `flashinfer_mla_decode.cu`."""
+    from ..lora import apply_lora_delta
+
     b, t, _ = h.shape
     nh = cfg.num_heads
     rank = cfg.kv_lora_rank
     if cfg.q_lora_rank:
-        q = linear(h, lw["q_a"], backend=backend)
-        q = rms_norm(q, lw["q_a_norm"], cfg.rms_norm_eps)
-        q = linear(q, lw["q_b"], backend=backend)
+        q = apply_lora_delta(
+            linear(h, lw["q_a"], backend=backend), h, lw.get("q_a_lora")
+        )
+        qa = rms_norm(q, lw["q_a_norm"], cfg.rms_norm_eps)
+        q = apply_lora_delta(
+            linear(qa, lw["q_b"], backend=backend), qa, lw.get("q_b_lora")
+        )
     else:
-        q = linear(h, lw["q"], backend=backend)
+        q = apply_lora_delta(
+            linear(h, lw["q"], backend=backend), h, lw.get("q_lora")
+        )
     q = q.reshape(b, t, nh, cfg.qk_head_dim)
     q_nope, q_pe = q[..., : cfg.qk_nope_head_dim], q[..., cfg.qk_nope_head_dim :]
     q_pe = _interleaved_rope(q_pe, cos, sin)
@@ -409,7 +424,10 @@ def _mla_attention_paged(
             "bthr,hvr->bthv", lat, lw["w_uv"].astype(jnp.float32)
         ).astype(h.dtype)
         out = out.reshape(b, t, nh * cfg.v_head_dim)
-        return linear(out, lw["o"], backend=backend), pool, None
+        o = apply_lora_delta(
+            linear(out, lw["o"], backend=backend), out, lw.get("o_lora")
+        )
+        return o, pool, None
 
     trash = pool.shape[1] - 1
     safe = jnp.where(write_slots < 0, trash, write_slots)
@@ -447,7 +465,10 @@ def _mla_attention_paged(
         "bthr,hvr->bthv", lat, lw["w_uv"].astype(jnp.float32)
     ).astype(h.dtype)
     out = out.reshape(b, t, nh * cfg.v_head_dim)
-    return linear(out, lw["o"], backend=backend), pool, scale_plane
+    o = apply_lora_delta(
+        linear(out, lw["o"], backend=backend), out, lw.get("o_lora")
+    )
+    return o, pool, scale_plane
 
 
 def deepseek_forward_paged(
@@ -465,6 +486,7 @@ def deepseek_forward_paged(
     compute_dtype=jnp.float32,
     logits_last_only: bool = True,
     last_indices: Optional[jax.Array] = None,
+    lora_scalings: Optional[jax.Array] = None,  # [B, T, A] per-request mix
 ):
     """Engine-servable absorbed-MLA step over the paged latent pool
     (prefill chunk or decode). Mirrors `forward_paged` (models/llama.py) —
@@ -494,6 +516,15 @@ def deepseek_forward_paged(
         def body(carry, xs):
             hh, pl_, sc_ = carry
             lw, li = xs
+            if lora_scalings is not None:
+                # per-request adapter mix rides every bank entry (the same
+                # one-hot X-LoRA path as forward_paged, models/llama.py)
+                lw = {
+                    k: (dict(v, xlora_scalings=lora_scalings)
+                        if k.endswith("_lora") and isinstance(v, dict)
+                        and "xlora_scalings" not in v else v)
+                    for k, v in lw.items()
+                }
             x = rms_norm(hh, lw["attn_norm"], cfg.rms_norm_eps)
             # the FULL pool rides the carry (not xs: slicing a pool plane
             # per scan step would copy it); the layer index selects the

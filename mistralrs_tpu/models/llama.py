@@ -181,6 +181,7 @@ def _maybe_norm(x, w, eps, gemma: bool, bias=None, norm_type="rmsnorm"):
 def _mlp(x, lw: dict, act, backend, tp_axis=None, return_hidden: bool = False):
     if "wgateup" in lw:  # fused gate+up (new_merged analog)
         gu = linear(x, lw["wgateup"], backend=backend)
+        gu = apply_lora_delta(gu, x, lw.get("wgateup_lora"))
         half = gu.shape[-1] // 2
         hidden = act(gu[..., :half]) * gu[..., half:]
     else:
@@ -493,6 +494,7 @@ def _layer_step(
 
     if "wqkv" in lw:
         qkv = linear(x, lw["wqkv"], backend=backend)
+        qkv = apply_lora_delta(qkv, x, lw.get("wqkv_lora"))
         q = qkv[..., : cfg.q_dim]
         k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
         v = qkv[..., cfg.q_dim + cfg.kv_dim :]
@@ -927,6 +929,7 @@ def forward_paged(
         )
         if "wqkv" in lw:
             qkv = linear(x, lw["wqkv"], backend=backend)
+            qkv = apply_lora_delta(qkv, x, lw.get("wqkv_lora"))
             q = qkv[..., : cfg.q_dim]
             k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
             v = qkv[..., cfg.q_dim + cfg.kv_dim :]

@@ -386,7 +386,12 @@ def _mlp_or_moe(cfg: Qwen3NextConfig, lw: dict, x: jax.Array,
     """MoE (qwen3-next) or dense silu MLP (qwen3.5 text, text.rs Mlp)."""
     if cfg.num_experts > 0:
         return _moe(cfg, lw, x, tp_axis)
-    return (jax.nn.silu(x @ lw["gate"].T) * (x @ lw["up"].T)) @ lw["down"].T
+    from ..lora import apply_lora_delta
+
+    gate = apply_lora_delta(x @ lw["gate"].T, x, lw.get("gate_lora"))
+    up = apply_lora_delta(x @ lw["up"].T, x, lw.get("up_lora"))
+    hid = jax.nn.silu(gate) * up
+    return apply_lora_delta(hid @ lw["down"].T, hid, lw.get("down_lora"))
 
 
 def qwen3next_forward(
@@ -444,7 +449,8 @@ def qwen3next_forward(
 
 
 def make_paged_cache(cfg: Qwen3NextConfig, num_blocks: int, block_size: int,
-                     n_slots: int, dtype=jnp.float32, kv_quant=None) -> dict:
+                     n_slots: int, dtype=jnp.float32, kv_quant=None,
+                     groups: int = 1) -> dict:
     """Hybrid engine cache (analog of the reference's
     `kv_cache/hybrid_cache.rs`): paged KV pools for the full-attention
     layers + per-SLOT conv/recurrent state pools for the GDN layers.
@@ -452,18 +458,26 @@ def make_paged_cache(cfg: Qwen3NextConfig, num_blocks: int, block_size: int,
     Pools carry one trailing trash row/slot for dropped writes (index -1).
     ``kv_quant`` stores the attention KV 1-byte with per-(slot, head)
     abs-max scales ("kv_scale": [n_full, S_total, 2·n_kv] — k then v lanes);
-    the GDN state pools stay full-precision (recurrent error compounds)."""
+    the GDN state pools stay full-precision (recurrent error compounds).
+
+    ``groups`` > 1 (data-parallel serving): the slot axes become
+    groups × plane with per-group trailing trash — sharded over the data
+    mesh axis each shard's slice ends with ITS trash row, and block/slot
+    ids are group-LOCAL (same layout as kv/paged.py PagedKVCache.create)."""
     n_full = sum(t == "full_attention" for t in cfg.layer_types)
     n_lin = cfg.num_layers - n_full
-    s_total = (num_blocks + 1) * block_size
+    if n_slots % groups:
+        raise ValueError(f"n_slots {n_slots} not divisible by groups {groups}")
+    s_total = groups * (num_blocks + 1) * block_size
+    slot_rows = groups * (n_slots // groups + 1)
     store = dtype
     if kv_quant:
         store = jnp.int8 if kv_quant == "int8" else jnp.float8_e4m3fn
     out = {
         "k": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), store),
         "v": jnp.zeros((n_full, s_total, cfg.num_kv_heads, cfg.head_dim), store),
-        "conv": jnp.zeros((n_lin, n_slots + 1, cfg.conv_dim, cfg.conv_kernel), dtype),
-        "rec": jnp.zeros((n_lin, n_slots + 1, cfg.n_v_heads, cfg.d_k, cfg.d_v),
+        "conv": jnp.zeros((n_lin, slot_rows, cfg.conv_dim, cfg.conv_kernel), dtype),
+        "rec": jnp.zeros((n_lin, slot_rows, cfg.n_v_heads, cfg.d_k, cfg.d_v),
                          jnp.float32),
     }
     if kv_quant:
@@ -574,6 +588,7 @@ def qwen3next_forward_paged(
     tp_axis: Optional[str] = None,  # shard_map mesh axis (TP serving)
     capture_states: bool = False,  # speculative verify: leave conv/rec
     # pools untouched, return per-prefix states for a later commit
+    lora_scalings: Optional[jax.Array] = None,  # [B, T, A] per-request mix
 ):
     """Engine-servable hybrid step (prefill chunk or decode): paged KV for
     full-attention layers, slot-keyed conv/recurrent pools for GDN layers.
@@ -621,14 +636,28 @@ def qwen3next_forward_paged(
     aux_timeline: list = []
     aux_rec: list = []
     ai = ci = 0
+    from ..lora import apply_lora_delta
+
     for li, lt in enumerate(cfg.layer_types):
         lw = weights["layers"][li]
+        if lora_scalings is not None:
+            # per-request adapter mix on this layer's bank entries (same
+            # one-hot X-LoRA path as forward_paged, models/llama.py)
+            lw = {
+                k: (dict(v, xlora_scalings=lora_scalings)
+                    if k.endswith("_lora") and isinstance(v, dict)
+                    and "xlora_scalings" not in v else v)
+                for k, v in lw.items()
+            }
         x = rms_norm_gemma(h, lw["attn_norm"], cfg.rms_norm_eps)
         if lt == "full_attention":
-            qg = (x @ lw["wq"].T).reshape(b, t, cfg.num_heads, 2 * cfg.head_dim)
+            qg_flat = apply_lora_delta(x @ lw["wq"].T, x, lw.get("wq_lora"))
+            qg = qg_flat.reshape(b, t, cfg.num_heads, 2 * cfg.head_dim)
             q, gate = qg[..., : cfg.head_dim], qg[..., cfg.head_dim :]
-            k = (x @ lw["wk"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-            v = (x @ lw["wv"].T).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+            k = apply_lora_delta(x @ lw["wk"].T, x, lw.get("wk_lora")).reshape(
+                b, t, cfg.num_kv_heads, cfg.head_dim)
+            v = apply_lora_delta(x @ lw["wv"].T, x, lw.get("wv_lora")).reshape(
+                b, t, cfg.num_kv_heads, cfg.head_dim)
             q = rms_norm_gemma(q, lw["q_norm"], cfg.rms_norm_eps)
             k = rms_norm_gemma(k, lw["k_norm"], cfg.rms_norm_eps)
             q = apply_rope(q, cos, sin)
@@ -674,7 +703,10 @@ def qwen3next_forward_paged(
                 vv = vp[ai][gather_slots].astype(compute_dtype)
             attn = sdpa(q, kk, vv, q_positions=positions, kv_len=kv_lens)
             attn = attn * jax.nn.sigmoid(gate)
-            out = attn.reshape(b, t, -1) @ lw["wo"].T
+            attn_flat = attn.reshape(b, t, -1)
+            out = apply_lora_delta(
+                attn_flat @ lw["wo"].T, attn_flat, lw.get("wo_lora")
+            )
             ai += 1
         else:
             conv_prev = (
@@ -939,14 +971,16 @@ def q3n_weight_pspecs(weights: dict, tp_axis: str = "model") -> dict:
     }
 
 
-def q3n_cache_pspecs(tp_axis: str = "model") -> dict:
+def q3n_cache_pspecs(tp_axis: str = "model", dp_axis=None) -> dict:
     """Hybrid cache pspecs: KV pools shard on kv-heads, conv on the (shard-
-    major) conv rows, recurrent state on value heads."""
+    major) conv rows, recurrent state on value heads. With ``dp_axis`` the
+    slot axes shard over the data axis too (group-local ids + per-group
+    trash, make_paged_cache groups=dp)."""
     from jax.sharding import PartitionSpec as P
 
     return {
-        "k": P(None, None, tp_axis, None),  # [L_full, S, n_kv, hd]
-        "v": P(None, None, tp_axis, None),
-        "conv": P(None, None, tp_axis, None),  # [L_lin, slots, conv_dim, K]
-        "rec": P(None, None, tp_axis, None, None),  # [L_lin, slots, n_v, dk, dv]
+        "k": P(None, dp_axis, tp_axis, None),  # [L_full, S, n_kv, hd]
+        "v": P(None, dp_axis, tp_axis, None),
+        "conv": P(None, dp_axis, tp_axis, None),  # [L_lin, slots, conv_dim, K]
+        "rec": P(None, dp_axis, tp_axis, None, None),  # [L_lin, slots, n_v, dk, dv]
     }

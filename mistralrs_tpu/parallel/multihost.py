@@ -161,9 +161,56 @@ def decode_params(d: dict):
     return SamplingParams(**d)
 
 
+def encode_payload(obj):
+    """JSON-encode a request kwarg tree, tagging ndarray leaves as
+    {"__nd__": {dtype, shape, b64}} — media tensors (merged VLM embeds,
+    M-RoPE streams, DeepStack rows, mllama cross-K/V) replicate over the
+    wire so every rank runs the identical SPMD forward (the analog of the
+    reference replicating full multimodal requests to its daemon ranks,
+    `mistralrs-core/src/distributed.rs:174`)."""
+    import base64
+
+    import numpy as _np
+
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    if isinstance(obj, (list, tuple)):
+        return [encode_payload(v) for v in obj]
+    if isinstance(obj, dict):
+        return {str(k): encode_payload(v) for k, v in obj.items()}
+    arr = _np.asarray(obj)
+    return {
+        "__nd__": {
+            "dtype": str(arr.dtype),
+            "shape": list(arr.shape),
+            "b64": base64.b64encode(arr.tobytes()).decode("ascii"),
+        }
+    }
+
+
+def decode_payload(obj):
+    """Inverse of :func:`encode_payload`."""
+    import base64
+
+    import numpy as _np
+
+    if isinstance(obj, dict):
+        nd = obj.get("__nd__")
+        if nd is not None and len(obj) == 1:
+            return _np.frombuffer(
+                base64.b64decode(nd["b64"]), dtype=_np.dtype(nd["dtype"])
+            ).reshape(nd["shape"]).copy()
+        return {k: decode_payload(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [decode_payload(v) for v in obj]
+    return obj
+
+
 def default_decode_request(req: dict) -> tuple:
-    """Standard wire format: {"request_id", "prompt_ids", "params"}."""
-    return list(req["prompt_ids"]), decode_params(req.get("params") or {})
+    """Standard wire format: {"request_id", "prompt_ids", "params"[, "mm"]}.
+    Returns (prompt_ids, params, mm_kwargs)."""
+    mm = {k: decode_payload(v) for k, v in (req.get("mm") or {}).items()}
+    return list(req["prompt_ids"]), decode_params(req.get("params") or {}), mm
 
 
 class LockstepDriver:
@@ -236,10 +283,12 @@ class LockstepDriver:
             if msg.get("kind") == "stop":
                 return finished
             for req in msg.get("requests", ()):
-                prompt_ids, params = self.decode_request(req)
+                decoded = self.decode_request(req)
+                prompt_ids, params = decoded[0], decoded[1]
+                mm = decoded[2] if len(decoded) > 2 else {}
                 self.engine.add_request(
                     prompt_ids, params, request_id=req.get("request_id"),
-                    priority=int(req.get("priority", 0)),
+                    priority=int(req.get("priority", 0)), **mm,
                 )
             for rid in msg.get("aborts", ()):
                 seq = self.engine.abort(rid)

@@ -122,20 +122,24 @@ class ModelInstance:
             # the stepping thread is restarted
             self.start()
         if self.driver is not None:
-            if mm_kwargs:
-                raise NotImplementedError(
-                    "multimodal requests on a multi-host deployment (tensor "
-                    "media payloads are not replicated over the wire)"
-                )
             import uuid
 
-            from ..parallel.multihost import encode_params
+            from ..parallel.multihost import encode_params, encode_payload
 
             rid = f"mh-{uuid.uuid4().hex[:12]}"
+            req = {"request_id": rid, "prompt_ids": list(prompt_ids),
+                   "params": encode_params(params)}
+            if mm_kwargs:
+                # media tensors (merged embeds, M-RoPE, DeepStack, adapter
+                # state) replicate to every rank — the SPMD forward needs
+                # identical inputs on all hosts (reference replicates full
+                # multimodal requests to daemons, distributed.rs:174)
+                req["mm"] = {
+                    k: encode_payload(v) for k, v in mm_kwargs.items()
+                }
             seq = self.driver.submit(
-                {"request_id": rid, "prompt_ids": list(prompt_ids),
-                 "params": encode_params(params)},
-                list(prompt_ids), params, on_tokens=on_tokens,
+                req, list(prompt_ids), params, on_tokens=on_tokens,
+                **mm_kwargs,
             )
         else:
             seq = self.engine.add_request(

@@ -930,7 +930,7 @@ def build_app(state: ServerState) -> web.Application:
         if bank:
             weights = attach_adapter_bank(
                 weights, bank, inst.engine.cfg.num_layers,
-                dtype=inst.engine.compute_dtype,
+                dtype=inst.engine.compute_dtype, cfg=inst.engine.cfg,
             )
             inst.engine.lora_names = tuple(weights.pop("lora_names"))
         else:

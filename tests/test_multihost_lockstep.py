@@ -192,3 +192,102 @@ def test_two_process_jax_distributed_psum(tmp_path):
             pytest.skip(f"cross-process CPU collectives unavailable: {err[-200:]}")
         assert rc == 0, f"rc={rc}\nstdout={out}\nstderr={err[-2000:]}"
         assert "DIST_OK" in out
+
+
+MM_WORKER_SRC = textwrap.dedent(
+    """
+    import json, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models import ModelConfig, init_random_weights
+    from mistralrs_tpu.parallel.multihost import (
+        LockstepDriver, RequestReplicator, default_decode_request,
+    )
+
+    port = int(sys.argv[1])
+    cfg = ModelConfig(**{cfg_kw})
+    weights = init_random_weights(cfg, seed=11)
+    eng = Engine(cfg, weights, backend="xla", compute_dtype=jnp.float32,
+                 **{eng_kw})
+    rep = RequestReplicator(host_id=1, num_hosts=2, port=port)
+    rep.connect()
+    drv = LockstepDriver(rep, eng, default_decode_request)
+    fin = drv.run_worker()
+    out = {{seq.request_id: seq.generated_ids for seq in fin}}
+    print("RESULT " + json.dumps(out), flush=True)
+    """
+)
+
+
+def test_two_process_lockstep_multimodal(tmp_path):
+    """Multimodal requests on the lockstep wire: merged VLM embeds + M-RoPE
+    streams base64-replicate to the worker, whose token stream must be
+    byte-identical (round-4 'multimodal on multi-host' exclusion, lifted;
+    reference replicates full multimodal requests to daemons,
+    distributed.rs:174)."""
+    from mistralrs_tpu.parallel.multihost import encode_payload
+
+    mm_cfg = dict(CFG_KW, mrope_section=(2, 1, 1))
+    port = _free_port()
+    script = tmp_path / "worker_mm.py"
+    script.write_text(
+        MM_WORKER_SRC.format(cfg_kw=repr(mm_cfg), eng_kw=repr(ENG_KW))
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, str(script), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        cfg = ModelConfig(**mm_cfg)
+        weights = init_random_weights(cfg, seed=11)
+        eng = Engine(cfg, weights, backend="xla", compute_dtype=jnp.float32,
+                     **ENG_KW)
+        rep = RequestReplicator(host_id=0, num_hosts=2, port=port)
+        rep.start_server()
+        drv = LockstepDriver(rep, eng)
+
+        rng = np.random.default_rng(5)
+        T = 6
+        embeds = rng.standard_normal((T, cfg.hidden_size)).astype(np.float32) * 0.05
+        pos3 = np.stack(
+            [np.arange(T), np.arange(T) // 2, np.arange(T) % 3]
+        ).astype(np.int32)
+        seqs = {}
+
+        def submit(i, prompt, params_d, mm):
+            rid = f"mm-{i}"
+            req = {"request_id": rid, "prompt_ids": list(prompt),
+                   "params": params_d}
+            if mm:
+                req["mm"] = {k: encode_payload(v) for k, v in mm.items()}
+            seqs[rid] = drv.submit(req, list(prompt),
+                                   SamplingParams(**params_d), **mm)
+
+        submit(0, [7] * T, {"temperature": 0.0, "max_tokens": 6},
+               {"prompt_embeds": embeds, "mrope_positions": pos3})
+        submit(1, [1, 5, 9], {"temperature": 0.0, "max_tokens": 6}, {})
+        drv.step()
+        submit(2, [3] * T, {"temperature": 0.0, "max_tokens": 4},
+               {"prompt_embeds": embeds * 2.0, "mrope_positions": pos3})
+        while eng.has_work:
+            drv.step()
+        drv.shutdown()
+
+        out, err = proc.communicate(timeout=180)
+        result_lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert result_lines, f"worker produced no result\nstdout={out}\nstderr={err[-2000:]}"
+        worker_tokens = json.loads(result_lines[-1][len("RESULT "):])
+        assert len(worker_tokens) == 3
+        for rid, seq in seqs.items():
+            assert worker_tokens[rid] == seq.generated_ids, (
+                rid, worker_tokens[rid], seq.generated_ids
+            )
+        # the media payload actually matters: the two embed requests diverge
+        assert seqs["mm-0"].generated_ids != seqs["mm-2"].generated_ids
+    finally:
+        if proc.poll() is None:
+            proc.kill()

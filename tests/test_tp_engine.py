@@ -552,3 +552,120 @@ def test_tp_engine_speculative_with_quantized_kv():
     assert ref_eng.stats["spec_drafted"] > 0
     got, eng = run(build_mesh(tp=2, dp=2))
     assert got == ref
+
+
+def test_qwen3next_engine_dp_mesh_matches_single_device():
+    """GDN hybrid on a dp=2 × tp=2 mesh: slot pools group-partitioned over
+    the data axis (per-group trash, body-local slot rebase) — the round-4
+    'GDN adapter mesh dp=1 only' exclusion, lifted."""
+    _need(4)
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from test_arch_adapters import _tiny_qwen3next
+
+    cfg, weights = _tiny_qwen3next()
+    rng = np.random.default_rng(17)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)]
+        for n in (5, 11, 3, 7)
+    ]
+
+    def run(mesh):
+        adapter = Qwen3NextAdapter(cfg, weights)
+        eng = Engine(
+            cfg, dict(weights), num_blocks=32, block_size=4, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            mesh=mesh,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=6))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    ref = run(None)
+    got = run(build_mesh(tp=2, dp=2))
+    assert got == ref
+
+
+def test_qwen3next_speculative_on_mesh():
+    """Speculative decoding with a GDN-hybrid target on a tp=2 mesh: the
+    capture-mode verify + state commit run TP-sharded (round-4 'qwen3next
+    speculative on a mesh' exclusion, lifted). Greedy → exact."""
+    _need(2)
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from mistralrs_tpu.models import init_random_weights
+    from test_arch_adapters import _tiny_qwen3next
+
+    cfg, weights = _tiny_qwen3next()
+    dcfg = ModelConfig(
+        arch="llama", vocab_size=cfg.vocab_size, hidden_size=32,
+        intermediate_size=64, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=16, max_position_embeddings=256,
+    )
+    dw = init_random_weights(dcfg, seed=33, dtype=jnp.float32)
+    rng = np.random.default_rng(19)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)] for n in (5, 9)
+    ]
+
+    def run(mesh, draft):
+        adapter = Qwen3NextAdapter(cfg, weights)
+        kwargs = dict(draft=draft, gamma=3) if draft is not None else {}
+        eng = Engine(
+            cfg, dict(weights), num_blocks=64, block_size=4, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            mesh=mesh, **kwargs,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    ref = run(None, None)
+    got_spec_mesh = run(build_mesh(tp=2, dp=1), (dcfg, dw))
+    assert got_spec_mesh == ref
+
+
+def test_qwen3next_speculative_on_dp_mesh():
+    """The full triple: GDN target × speculative × dp=2 mesh — dp-sharded
+    verify logits gather globally before the sampler transform; the commit
+    rebases slots per group."""
+    _need(4)
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from mistralrs_tpu.models import init_random_weights
+    from test_arch_adapters import _tiny_qwen3next
+
+    cfg, weights = _tiny_qwen3next()
+    dcfg = ModelConfig(
+        arch="llama", vocab_size=cfg.vocab_size, hidden_size=32,
+        intermediate_size=64, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=16, max_position_embeddings=256,
+    )
+    dw = init_random_weights(dcfg, seed=33, dtype=jnp.float32)
+    rng = np.random.default_rng(19)
+    prompts = [
+        [int(x) for x in rng.integers(1, cfg.vocab_size, n)]
+        for n in (5, 9, 4)
+    ]
+
+    def run(mesh, draft):
+        adapter = Qwen3NextAdapter(cfg, weights)
+        kwargs = dict(draft=draft, gamma=3) if draft is not None else {}
+        eng = Engine(
+            cfg, dict(weights), num_blocks=32, block_size=4, max_batch=4,
+            prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+            mesh=mesh, **kwargs,
+        )
+        seqs = [
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8))
+            for p in prompts
+        ]
+        eng.run_to_completion()
+        return [s.output_ids for s in seqs]
+
+    ref = run(None, None)
+    got = run(build_mesh(tp=2, dp=2), (dcfg, dw))
+    assert got == ref
