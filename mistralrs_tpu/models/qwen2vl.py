@@ -32,6 +32,7 @@ class Qwen2VLConfig:
     vision: Qwen2VLVisionConfig
     mrope_section: tuple[int, ...]
     image_token_id: int
+    video_token_id: Optional[int] = None
 
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Qwen2VLConfig":
@@ -49,6 +50,7 @@ class Qwen2VLConfig:
             vision=Qwen2VLVisionConfig.from_hf(d["vision_config"]),
             mrope_section=sec,
             image_token_id=d["image_token_id"],
+            video_token_id=d.get("video_token_id"),
         )
 
 
@@ -62,6 +64,7 @@ class Qwen25VLConfig:
     vision: "Qwen25VLVisionConfig"
     mrope_section: tuple[int, ...]
     image_token_id: int
+    video_token_id: Optional[int] = None
 
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Qwen25VLConfig":
@@ -78,6 +81,7 @@ class Qwen25VLConfig:
             vision=Qwen25VLVisionConfig.from_hf(d["vision_config"]),
             mrope_section=sec,
             image_token_id=d["image_token_id"],
+            video_token_id=d.get("video_token_id"),
         )
 
 
@@ -225,6 +229,7 @@ def qwen2vl_forward(
     *,
     compute_dtype=jnp.float32,
     logits_last_only: bool = False,
+    media_token_id: Optional[int] = None,  # video spans merge on video_token_id
 ):
     embeds = None
     if patches is not None:
@@ -237,7 +242,9 @@ def qwen2vl_forward(
             input_ids, weights["text"]["embed"], dtype=compute_dtype
         )
         embeds = merge_image_embeddings(
-            embeds, input_ids, feats, cfg.image_token_id
+            embeds, input_ids, feats,
+            media_token_id if media_token_id is not None
+            else cfg.image_token_id,
         )
     cos, sin = mrope_cos_sin(cfg, positions3)
     # attention masking uses the sequence index (causality is positional in
@@ -259,12 +266,19 @@ def prepare_multimodal_prompt(
     grid_thw: Optional[tuple[int, int, int]] = None,
     encoder_cache=None,
     compute_dtype=jnp.float32,
+    media_token_id: Optional[int] = None,  # video spans use video_token_id
 ):
     """→ (prompt_ids, prompt_embeds [T, H], extra_hash, mrope_positions
     [3, T]) for ``Engine.add_request`` — the engine runs M-RoPE prefill from
     the position streams and decode at token-index + delta (all-equal
-    streams reduce to standard rope)."""
+    streams reduce to standard rope). A VIDEO rides the same path with
+    grid_t > 1 and the placeholder span on ``video_token_id`` — the
+    temporal M-RoPE stream then advances per temporal patch (reference
+    serves videos through the same Qwen2-VL get_rope_index,
+    vision_models/qwen2vl/inputs_processor.rs video path)."""
     from ..multimodal import prepare_vlm_prompt
+
+    tok_id = media_token_id if media_token_id is not None else cfg.image_token_id
 
     def encode(pv):
         # vision features per image token row [N/merge², H] → [1, n, H]
@@ -275,14 +289,14 @@ def prepare_multimodal_prompt(
     ids, embeds, extra = prepare_vlm_prompt(
         prompt_ids, patches,
         embed_weights=weights["text"]["embed"],
-        image_token_id=cfg.image_token_id,
+        image_token_id=tok_id,
         encode=encode,
         encoder_cache=encoder_cache,
         cache_namespace="qwen2vl",
         compute_dtype=compute_dtype,
     )
     pos3 = mrope_position_ids(
-        np.asarray(prompt_ids), cfg.image_token_id,
+        np.asarray(prompt_ids), tok_id,
         grid_thw if patches is not None else (0, 0, 0),
         merge=cfg.vision.spatial_merge_size,
     )

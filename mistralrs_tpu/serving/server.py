@@ -394,8 +394,9 @@ def build_app(state: ServerState) -> web.Application:
         `Engine.add_request(prompt_embeds=...)` — the analog of the
         reference's vision inputs processors."""
         images: list = []
+        kinds: list[str] = []
         msgs: list[dict] = []
-        _MEDIA_TYPES = ("image_url", "input_audio")
+        _MEDIA_TYPES = ("image_url", "input_audio", "video_url")
         for m in req.messages:
             content = m.content
             has_media = isinstance(content, list) and any(
@@ -424,11 +425,35 @@ def build_app(state: ServerState) -> web.Application:
                                 else str(iu)
                             )
                             images.append(vlm_mod.decode_image_url(url))
+                            kinds.append("image")
+                        elif p["type"] == "video_url":
+                            # frame extraction + per-frame hashing
+                            # (video_input.rs + server-core/src/video.rs)
+                            from ..video import decode_video_url
+
+                            vu = p.get("video_url")
+                            url = (
+                                vu.get("url", "") if isinstance(vu, dict)
+                                else str(vu)
+                            )
+                            nf = (vu.get("num_frames")
+                                  if isinstance(vu, dict) else None)
+                            if not getattr(inst.vlm, "supports_video", False):
+                                raise ValueError(
+                                    f"model {inst.model_id!r} does not "
+                                    "accept video input"
+                                )
+                            images.append(decode_video_url(
+                                url, **({"num_frames": int(nf)}
+                                        if nf else {})
+                            ))
+                            kinds.append("video")
                         else:  # input_audio (voxtral-class models)
                             ia = p.get("input_audio") or {}
                             images.append(vlm_mod.decode_audio(
                                 ia.get("data", ""), ia.get("format", "wav")
                             ))
+                            kinds.append("image")
                     except ValueError as e:
                         raise web.HTTPBadRequest(
                             text=json.dumps({"error": {"message": str(e)}}),
@@ -439,11 +464,16 @@ def build_app(state: ServerState) -> web.Application:
         mm_kwargs: dict = {}
         if images:
             media = inst.vlm.process(images)
-            counts = iter(media.counts)
+            items = iter(zip(kinds, media.counts))
+
+            def _expand_next():
+                kind, count = next(items)
+                return inst.vlm.expand_media(kind, count)
+
             for m in msgs:
                 if isinstance(m["content"], list):
                     m["content"] = "".join(
-                        s if s is not None else inst.vlm.expand(next(counts))
+                        s if s is not None else _expand_next()
                         for s in m["content"]
                     )
         prompt = inst.chat_template.render(

@@ -54,19 +54,39 @@ class ProcessedMedia:
 
 @dataclass
 class VlmAdapter:
-    """Family-specific bridge from decoded images to engine kwargs."""
+    """Family-specific bridge from decoded media to engine kwargs."""
 
     family: str
     image_token: str  # literal placeholder string in chat text
-    process: Callable[[list[np.ndarray]], ProcessedMedia]
+    process: Callable[[list], ProcessedMedia]
     prepare: Callable[[list[int], ProcessedMedia], dict]
     # placeholder expansion for one image (default: token string × count)
     expansion: Optional[Callable[[int], str]] = None
+    # video support (qwen-VL families): placeholder token + expansion for
+    # one video span (reference serves `video_url` parts through the same
+    # processors, server-core/src/video.rs + qwen2vl/inputs_processor.rs)
+    video_token: Optional[str] = None
+    video_expansion: Optional[Callable[[int], str]] = None
+
+    @property
+    def supports_video(self) -> bool:
+        return self.video_token is not None
 
     def expand(self, count: int) -> str:
         if self.expansion is not None:
             return self.expansion(count)
         return self.image_token * count
+
+    def expand_media(self, kind: str, count: int) -> str:
+        if kind == "video":
+            if self.video_expansion is not None:
+                return self.video_expansion(count)
+            if self.video_token is None:
+                raise ValueError(
+                    f"{self.family} serving does not accept video input"
+                )
+            return self.video_token * count
+        return self.expand(count)
 
 
 def llava_adapter(
@@ -253,29 +273,40 @@ def qwen2vl_smart_resize(
     return hb, wb
 
 
-def qwen2vl_patchify(
-    image: np.ndarray, patch: int, merge: int, tps: int,
+def qwen2vl_patchify_frames(
+    frames: np.ndarray, patch: int, merge: int, tps: int,
     mean=CLIP_MEAN, std=CLIP_STD,
 ) -> tuple[np.ndarray, tuple[int, int, int]]:
-    """HWC uint8 → ([grid_t*h*w, C*tps*p*p] patches, grid_thw) with HF's
-    merge-window-major ordering (image_processing_qwen2_vl.py)."""
-    h0, w0 = image.shape[:2]
+    """[N, H, W, C] uint8 frames → ([grid_t*h*w, C*tps*p*p] patches,
+    grid_thw) with HF's merge-window-major ordering — the VIDEO general
+    case (grid_t = ⌈N/tps⌉; consecutive tps frames share one temporal
+    patch, image_processing_qwen2_vl.py). A still image is the N=1 special
+    case (repeated to tps)."""
+    n, h0, w0 = frames.shape[:3]
     rh, rw = qwen2vl_smart_resize(h0, w0, patch * merge)
-    try:
-        from PIL import Image
 
-        img = Image.fromarray(image).resize((rw, rh), Image.BICUBIC)
-        arr = np.asarray(img, np.float32) / 255.0
-    except ImportError:
-        yi = (np.arange(rh) * h0 // rh).clip(0, h0 - 1)
-        xi = (np.arange(rw) * w0 // rw).clip(0, w0 - 1)
-        arr = np.asarray(image, np.float32)[yi][:, xi] / 255.0
+    def resize(img):
+        try:
+            from PIL import Image
+
+            return np.asarray(
+                Image.fromarray(img).resize((rw, rh), Image.BICUBIC),
+                np.float32) / 255.0
+        except ImportError:
+            yi = (np.arange(rh) * h0 // rh).clip(0, h0 - 1)
+            xi = (np.arange(rw) * w0 // rw).clip(0, w0 - 1)
+            return np.asarray(img, np.float32)[yi][:, xi] / 255.0
+
+    arr = np.stack([resize(f) for f in frames])  # [N, rh, rw, C]
     arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
-    chw = arr.transpose(2, 0, 1)  # [C, H, W]
-    frames = np.repeat(chw[None], tps, axis=0)  # still image → tps frames
-    c = chw.shape[0]
-    gt, gh, gw = 1, rh // patch, rw // patch
-    p = frames.reshape(
+    chw = arr.transpose(0, 3, 1, 2)  # [N, C, H, W]
+    if n % tps:  # pad to a tps multiple by repeating the last frame
+        chw = np.concatenate(
+            [chw, np.repeat(chw[-1:], (-n) % tps, axis=0)]
+        )
+    c = chw.shape[1]
+    gt, gh, gw = chw.shape[0] // tps, rh // patch, rw // patch
+    p = chw.reshape(
         gt, tps, c, gh // merge, merge, patch, gw // merge, merge, patch
     )
     p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
@@ -285,8 +316,19 @@ def qwen2vl_patchify(
     )
 
 
+def qwen2vl_patchify(
+    image: np.ndarray, patch: int, merge: int, tps: int,
+    mean=CLIP_MEAN, std=CLIP_STD,
+) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """HWC uint8 still image → patches (grid_t = 1)."""
+    return qwen2vl_patchify_frames(
+        np.repeat(image[None], tps, axis=0), patch, merge, tps, mean, std
+    )
+
+
 def qwen2vl_adapter(
     weights: dict, cfg, *, image_token: str = "<|image_pad|>",
+    video_token: str = "<|video_pad|>",
     vision_start: str = "<|vision_start|>", vision_end: str = "<|vision_end|>",
     encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
 ) -> VlmAdapter:
@@ -298,29 +340,48 @@ def qwen2vl_adapter(
     vis = cfg.vision
     cache = encoder_cache or EncoderCache()
 
-    def process(images):
-        if len(images) != 1:
+    def process(items):
+        from ..video import VideoInput
+
+        if len(items) != 1:
             raise ValueError(
-                "qwen2-vl serving currently supports one image per request"
+                "qwen2-vl serving currently supports one media item per "
+                "request"
             )
+        it = items[0]
+        if isinstance(it, VideoInput):
+            patches, grid = qwen2vl_patchify_frames(
+                it.stacked(), vis.patch_size, vis.spatial_merge_size,
+                vis.temporal_patch_size,
+            )
+            n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+            return ProcessedMedia(patches, [n], {
+                "grid_thw": grid, "kind": "video",
+                "frame_hashes": it.frame_hashes(),
+            })
         patches, grid = qwen2vl_patchify(
-            images[0], vis.patch_size, vis.spatial_merge_size,
+            it, vis.patch_size, vis.spatial_merge_size,
             vis.temporal_patch_size,
         )
         n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
         return ProcessedMedia(patches, [n], {"grid_thw": grid})
 
     def prepare(prompt_ids, media):
+        is_video = media.extras.get("kind") == "video"
         _, embeds, _, pos3 = prepare_multimodal_prompt(
             weights, cfg, prompt_ids, media.pixels,
             media.extras["grid_thw"], encoder_cache=cache,
             compute_dtype=dtype,
+            media_token_id=(getattr(cfg, "video_token_id", None)
+                            if is_video else None),
         )
         return {"prompt_embeds": embeds, "mrope_positions": pos3}
 
     return VlmAdapter(
         "qwen2vl", image_token, process, prepare,
         expansion=lambda n: f"{vision_start}{image_token * n}{vision_end}",
+        video_token=video_token,
+        video_expansion=lambda n: f"{vision_start}{video_token * n}{vision_end}",
     )
 
 

@@ -1,0 +1,230 @@
+"""Video inputs end-to-end: decode → frame sampling → per-frame hashing →
+Qwen2-VL temporal patches + M-RoPE → engine serving + HTTP `video_url`
+parts. The analog of the reference's `video_input.rs` +
+`server-core/src/video.rs` + the qwen2vl video inputs processor."""
+
+import base64
+import io
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+PIL = pytest.importorskip("PIL")
+
+from mistralrs_tpu.video import (
+    VideoInput,
+    decode_video_bytes,
+    decode_video_url,
+    sample_indices,
+)
+
+
+def _gif_bytes(n_frames=6, size=12, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = [
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        )
+        for _ in range(n_frames)
+    ]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True,
+                   append_images=frames[1:], duration=100, loop=0)
+    return buf.getvalue()
+
+
+def test_gif_decode_sampling_and_hashes():
+    raw = _gif_bytes(n_frames=10)
+    v = decode_video_bytes(raw, num_frames=4)
+    assert v.num_frames == 4
+    assert v.total_num_frames == 10
+    assert v.sampled_indices == sample_indices(10, 4)
+    assert v.fps == pytest.approx(10.0)  # 100 ms/frame
+    assert v.timestamps_secs()[0] == 0.0
+    hashes = v.frame_hashes()
+    assert len(set(hashes)) == 4  # random frames → distinct digests
+    # deterministic content hash; different video → different hash
+    v2 = decode_video_bytes(_gif_bytes(n_frames=10, seed=1), num_frames=4)
+    assert v.content_hash() == decode_video_bytes(raw, 4).content_hash()
+    assert v.content_hash() != v2.content_hash()
+
+
+def test_video_data_uri_roundtrip():
+    raw = _gif_bytes(4)
+    uri = "data:video/gif;base64," + base64.b64encode(raw).decode()
+    v = decode_video_url(uri, num_frames=4)
+    assert v.num_frames == 4
+    with pytest.raises(ValueError):
+        decode_video_url("https://example.com/cat.mp4")
+
+
+def test_patchify_frames_temporal_grid():
+    from mistralrs_tpu.serving.vlm import (
+        qwen2vl_patchify,
+        qwen2vl_patchify_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (4, 56, 56, 3), dtype=np.uint8)
+    patches, grid = qwen2vl_patchify_frames(frames, 14, 2, 2)
+    assert grid[0] == 2  # 4 frames / tps=2 → 2 temporal patches
+    assert patches.shape[0] == grid[0] * grid[1] * grid[2]
+    # an odd frame count pads by repeating the last frame
+    _, grid3 = qwen2vl_patchify_frames(frames[:3], 14, 2, 2)
+    assert grid3[0] == 2
+    # the still-image wrapper is the N=1 special case
+    p1, g1 = qwen2vl_patchify(frames[0], 14, 2, 2)
+    p1f, g1f = qwen2vl_patchify_frames(frames[:1], 14, 2, 2)
+    assert g1 == g1f
+    np.testing.assert_array_equal(p1, p1f)
+
+
+def test_qwen2vl_video_forward_matches_hf():
+    """Temporal M-RoPE + video-token merge parity: our forward on a video
+    grid (t=2) matches HF's pixel_values_videos path exactly."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_qwen2vl import _tiny_vl
+
+    from mistralrs_tpu.models.llama import KVCache
+    from mistralrs_tpu.models.qwen2vl import (
+        mrope_position_ids,
+        qwen2vl_forward,
+    )
+
+    _, model, cfg, weights = _tiny_vl()
+    grid = (2, 4, 4)  # two temporal patches → 8 merged video tokens
+    rng = np.random.default_rng(5)
+    patches = rng.standard_normal((32, 3 * 2 * 16)).astype(np.float32)
+    # HF locates the video span via vision_start (152) + video tokens (151)
+    ids = np.array([[3, 17, 152] + [151] * 8 + [9, 22]], np.int64)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids),
+            pixel_values_videos=torch.tensor(patches),
+            video_grid_thw=torch.tensor([list(grid)]),
+        ).logits.numpy()
+    pos3 = mrope_position_ids(ids[0], cfg.video_token_id, grid)[:, None]
+    cache = KVCache.create(cfg.text, 1, ids.shape[1] + 2, dtype=jnp.float32)
+    got, _ = qwen2vl_forward(
+        weights, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(patches),
+        grid, jnp.asarray(pos3), cache, jnp.zeros((1,), jnp.int32),
+        media_token_id=cfg.video_token_id,
+    )
+    # the M-RoPE streams match HF exactly (checked in-test below); the
+    # logit tolerance absorbs f32 tower accumulation over 32 patches with
+    # cross-frame attention (tower max-abs ≈ 1e-3 vs torch/oneDNN)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-2, atol=8e-3)
+    from mistralrs_tpu.models.qwen2vl import mrope_position_ids as _mpi
+
+    pos_hf, _ = model.model.get_rope_index(
+        torch.tensor(ids), None, torch.tensor([list(grid)]), None
+    )
+    np.testing.assert_array_equal(pos3[:, 0], pos_hf[:, 0].numpy())
+
+
+def test_video_through_engine_with_encoder_cache():
+    """A served video request: adapter process → merged embeds + temporal
+    M-RoPE → engine generate. Same video again hits the encoder cache; a
+    different video produces a different media hash (per-frame digests
+    chained — block_hash.rs media chaining analog)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_qwen2vl import _tiny_vl
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.multimodal import EncoderCache
+    from mistralrs_tpu.serving.vlm import qwen2vl_adapter
+
+    _, _, cfg, weights = _tiny_vl()
+    cache = EncoderCache()
+    adapter = qwen2vl_adapter(weights, cfg, encoder_cache=cache,
+                              compute_dtype=jnp.float32)
+    assert adapter.supports_video
+
+    rng = np.random.default_rng(7)
+    vids = [
+        VideoInput(frames=[
+            rng.integers(0, 255, (56, 56, 3), dtype=np.uint8)
+            for _ in range(4)
+        ])
+        for _ in range(2)
+    ]
+
+    def make_request(v):
+        media = adapter.process([v])
+        assert media.extras["kind"] == "video"
+        assert media.extras["grid_thw"][0] == 2  # 4 frames / tps=2
+        n = media.counts[0]
+        expansion = adapter.expand_media("video", n)
+        assert "<|video_pad|>" in expansion
+        # prompt: text + vision_start + video span + vision_end + text
+        ids = [3, 17, 152] + [151] * n + [9, 22]
+        kwargs = adapter.prepare(ids, media)
+        return ids, kwargs, media
+
+    eng = Engine(cfg.text, weights["text"], num_blocks=64, block_size=16,
+                 max_batch=4, backend="xla", compute_dtype=jnp.float32)
+    outs = []
+    seqs = []
+    for v in vids:
+        ids, kwargs, _ = make_request(v)
+        seqs.append(eng.add_request(
+            ids, SamplingParams(temperature=0.0, max_tokens=6),
+            prompt_embeds=np.asarray(kwargs["prompt_embeds"]),
+            mrope_positions=np.asarray(kwargs["mrope_positions"]),
+        ))
+    eng.run_to_completion()
+    outs = [s.output_ids for s in seqs]
+    assert all(len(o) == 6 for o in outs)
+    assert outs[0] != outs[1]  # the video content matters
+    # content digests chained into the prefix hash differ per video
+    assert seqs[0].extra_hash != seqs[1].extra_hash
+
+    # same video re-served → encoder cache hit
+    h0, m0 = cache.hits, cache.misses
+    make_request(vids[0])
+    assert cache.hits == h0 + 1 and cache.misses == m0
+
+
+async def test_video_url_rejected_without_video_support(aiohttp_client):
+    """Image-only adapters reject `video_url` parts with a clear 400 (the
+    reference errors likewise when a pipeline lacks a video processor)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_server_vlm import CFG, WEIGHTS, _tokenizer_with_image_token
+
+    from mistralrs_tpu.chat_template import resolve_chat_template
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.serving.server import ServerState, build_app
+    from mistralrs_tpu.serving.vlm import llava_adapter
+
+    eng = Engine(CFG.text, WEIGHTS["text"], num_blocks=32, block_size=16,
+                 max_batch=2, backend="xla", compute_dtype=jnp.float32)
+    state = ServerState(
+        eng, _tokenizer_with_image_token(),
+        resolve_chat_template(arch="qwen2"), "tiny-llava",
+        vlm=llava_adapter(WEIGHTS, CFG, compute_dtype=jnp.float32),
+    )
+    client = await aiohttp_client(build_app(state))
+    uri = "data:video/gif;base64," + base64.b64encode(_gif_bytes(4)).decode()
+    resp = await client.post("/v1/chat/completions", json={
+        "model": "tiny-llava",
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "what happens?"},
+            {"type": "video_url", "video_url": {"url": uri}},
+        ]}],
+        "max_tokens": 4,
+    })
+    assert resp.status == 400
+    body = await resp.json()
+    assert "video" in body["error"]["message"]
+    state.shutdown()
