@@ -83,6 +83,9 @@ _MULTIMODAL = [
      "/8 conv2d audio tower + MoE text"),
     ("Qwen3.5", "(reference-spec)",
      "hybrid GDN text + DeepStack tower (`models/qwen3_5.py`)"),
+    ("Qwen3.5-MoE", "(reference-spec)",
+     "hybrid GDN + mixed MoE/dense MLPs incl. `mlp_only_layers` "
+     "(`models/qwen3_5.py`; HF-parity-tested via Qwen3Next)"),
     ("GLM-4V / GLM-4.5V", "`Glm4v(Moe)ForConditionalGeneration`",
      "bicubic pos grid, partial M-RoPE"),
     ("Mllama (Llama 3.2 V)", "`MllamaForConditionalGeneration`",
@@ -91,7 +94,8 @@ _MULTIMODAL = [
     ("Mistral 3 / Pixtral", "`Mistral3ForConditionalGeneration`",
      "packed crops, 2D rope, patch merger"),
     ("Phi-4-multimodal", "`Phi4MultimodalForCausalLM`",
-     "HD crops, causal SigLIP tower"),
+     "HD crops, causal SigLIP tower; AUDIO via NeMo-subsampled conformer "
+     "+ speech projection (`audio/phi4mm.py`, HF-parity-tested)"),
     ("Phi-3-vision", "(reference-spec)",
      "HD sub_glb assembly (`models/phi3v.py`)"),
     ("LFM2-VL", "`Lfm2VlForConditionalGeneration`",

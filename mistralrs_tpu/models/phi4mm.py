@@ -1,4 +1,4 @@
-"""Phi-4-multimodal (image modality) — the analog of the reference's
+"""Phi-4-multimodal (image + audio modalities) — the analog of the reference's
 `mistralrs-core/src/vision_models/phi4/`: a SigLIP-style tower with
 idefics-style bucketized patch positions and an attention-pooling head
 (unused for features), HD crop assembly (sub-image grid + separator
@@ -27,6 +27,8 @@ class Phi4MMConfig:
     image_token_id: int
     crop_size: int
     feature_layer: int
+    audio: Optional[Any] = None  # audio/phi4mm.py Phi4MMAudioConfig
+    audio_token_id: int = 200011
 
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Phi4MMConfig":
@@ -34,6 +36,13 @@ class Phi4MMConfig:
         vc = d["vision_config"]
         import dataclasses
 
+        audio = None
+        audio_token_id = 200011
+        if d.get("audio_config"):
+            from ..audio.phi4mm import Phi4MMAudioConfig
+
+            audio = Phi4MMAudioConfig.from_hf(d["audio_config"])
+            audio_token_id = audio.audio_token_id
         return cls(
             text=text,
             # is_causal=True in HF's Phi4MultimodalVisionAttention: the sdpa
@@ -44,6 +53,8 @@ class Phi4MMConfig:
             image_token_id=vc.get("image_token_id", 200010),
             crop_size=vc.get("crop_size", 448),
             feature_layer=vc.get("feature_layer", -2),
+            audio=audio,
+            audio_token_id=audio_token_id,
         )
 
 
@@ -60,7 +71,7 @@ def phi4mm_weights_from_state_dict(
     }
     vision = _phi4_vision_weights(sd, img, cfg.vision)
     g = lambda k: jnp.asarray(sd[img + k], jnp.float32)  # noqa: E731
-    return {
+    out = {
         "text": weights_from_state_dict(text_sd, cfg.text, dtype=dtype,
                                         **text_kwargs),
         "vision": vision,
@@ -71,6 +82,17 @@ def phi4mm_weights_from_state_dict(
         "glb_ext": g("global_img_feature_extensor")[0, 0],  # [D]
         "sub_ext": g("sub_img_feature_extensor")[0, 0, 0],  # [D]
     }
+    aud = "model.embed_tokens_extend.audio_embed."
+    if cfg.audio is not None and any(k.startswith(aud) for k in sd):
+        from ..audio.phi4mm import (
+            phi4mm_audio_params,
+            phi4mm_audio_projection_params,
+        )
+
+        out["audio"] = phi4mm_audio_params(
+            sd, cfg.audio, prefix=aud + "encoder.")
+        out["audio_proj"] = phi4mm_audio_projection_params(sd, prefix=aud)
+    return out
 
 
 def _phi4_vision_weights(sd, img_prefix, vcfg):
@@ -178,5 +200,38 @@ def prepare_multimodal_prompt(
         ),
         encoder_cache=encoder_cache,
         cache_namespace="phi4mm",
+        compute_dtype=compute_dtype,
+    )
+
+
+def prepare_audio_prompt(
+    weights: dict,
+    cfg: Phi4MMConfig,
+    prompt_ids: list[int],
+    mel_features,  # [T_mel, n_mels] log-mel (audio/phi4mm.py phi4mm_logmel)
+    encoder_cache=None,
+    compute_dtype=jnp.float32,
+    projection_mode: str = "speech",
+):
+    """→ (prompt_ids, prompt_embeds [T, H], extra_hash) — the conformer
+    states projected through the speech pair and merged at the audio
+    placeholder span (the phi4 audio embedding,
+    `vision_models/phi4/mod.rs:448-451`)."""
+    from ..audio.phi4mm import audio_project, conformer_encode
+    from ..multimodal import prepare_vlm_prompt
+
+    def encode(feats):
+        states = conformer_encode(weights["audio"], cfg.audio,
+                                  jnp.asarray(feats)[None])
+        return audio_project(weights["audio_proj"], states,
+                             mode=projection_mode).astype(compute_dtype)
+
+    return prepare_vlm_prompt(
+        prompt_ids, mel_features,
+        embed_weights=weights["text"]["embed"],
+        image_token_id=cfg.audio_token_id,
+        encode=encode,
+        encoder_cache=encoder_cache,
+        cache_namespace="phi4mm_audio",
         compute_dtype=compute_dtype,
     )

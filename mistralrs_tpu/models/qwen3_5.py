@@ -73,10 +73,13 @@ def qwen3_5_weights_from_state_dict(
         for k, v in sd.items()
         if k.startswith("model.visual.")
     }
-    return {
+    out = {
         "text": qwen3next_weights_from_state_dict(text_sd, cfg.text, dtype=dtype),
-        "vision": qwen3vl_vision_params(vis_sd, cfg.vision, dtype=jnp.float32),
     }
+    if vis_sd:  # text-only checkpoint slices serve without the tower
+        out["vision"] = qwen3vl_vision_params(vis_sd, cfg.vision,
+                                              dtype=jnp.float32)
+    return out
 
 
 def num_image_tokens(cfg: Qwen35Config, grid_thw: tuple[int, int, int]) -> int:

@@ -48,6 +48,11 @@ class Qwen3NextConfig:
     num_experts: int
     num_experts_per_tok: int
     norm_topk_prob: bool
+    #: layers forced to the dense MLP even when num_experts > 0 (HF
+    #: `mlp_only_layers`; the reference REJECTS this field —
+    #: vision_models/qwen3_5_moe/text.rs:520 "not implemented yet" — we
+    #: serve it)
+    mlp_only_layers: tuple = ()
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     partial_rotary_factor: float = 0.25
@@ -78,6 +83,7 @@ class Qwen3NextConfig:
             num_experts=d.get("num_experts", 0) or 0,
             num_experts_per_tok=d.get("num_experts_per_tok", 0) or 0,
             norm_topk_prob=d.get("norm_topk_prob", True),
+            mlp_only_layers=tuple(d.get("mlp_only_layers") or ()),
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
             rope_theta=d.get("rope_theta", 10000.0),
             partial_rotary_factor=d.get("partial_rotary_factor", 0.25),
@@ -383,8 +389,10 @@ def _moe(cfg: Qwen3NextConfig, lw, x, tp_axis=None):
 
 def _mlp_or_moe(cfg: Qwen3NextConfig, lw: dict, x: jax.Array,
                 tp_axis=None) -> jax.Array:
-    """MoE (qwen3-next) or dense silu MLP (qwen3.5 text, text.rs Mlp)."""
-    if cfg.num_experts > 0:
+    """MoE (qwen3-next) or dense silu MLP (qwen3.5 text / `mlp_only_layers`
+    rows, text.rs Mlp) — keyed per LAYER by the router's presence so MoE
+    and dense layers mix in one stack."""
+    if "router" in lw:
         return _moe(cfg, lw, x, tp_axis)
     from ..lora import apply_lora_delta
 
@@ -800,7 +808,7 @@ def qwen3next_weights_from_state_dict(
             "attn_norm": g(p + "input_layernorm.weight"),
             "ffn_norm": g(p + "post_attention_layernorm.weight"),
         }
-        if cfg.num_experts > 0:
+        if cfg.num_experts > 0 and i not in cfg.mlp_only_layers:
             lw.update(
                 router=g(p + "mlp.gate.weight"),
                 se_gate=g(p + "mlp.shared_expert.gate_proj.weight"),

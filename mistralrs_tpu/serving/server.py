@@ -448,12 +448,12 @@ def build_app(state: ServerState) -> web.Application:
                                         if nf else {})
                             ))
                             kinds.append("video")
-                        else:  # input_audio (voxtral-class models)
+                        else:  # input_audio (voxtral/phi4mm audio)
                             ia = p.get("input_audio") or {}
                             images.append(vlm_mod.decode_audio(
                                 ia.get("data", ""), ia.get("format", "wav")
                             ))
-                            kinds.append("image")
+                            kinds.append("audio")
                     except ValueError as e:
                         raise web.HTTPBadRequest(
                             text=json.dumps({"error": {"message": str(e)}}),

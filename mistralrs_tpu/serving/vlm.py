@@ -67,6 +67,9 @@ class VlmAdapter:
     # processors, server-core/src/video.rs + qwen2vl/inputs_processor.rs)
     video_token: Optional[str] = None
     video_expansion: Optional[Callable[[int], str]] = None
+    # audio placeholder for mixed-modality families (phi4mm); audio-only
+    # families (voxtral) use image_token as the audio placeholder
+    audio_token: Optional[str] = None
 
     @property
     def supports_video(self) -> bool:
@@ -86,6 +89,8 @@ class VlmAdapter:
                     f"{self.family} serving does not accept video input"
                 )
             return self.video_token * count
+        if kind == "audio" and self.audio_token is not None:
+            return self.audio_token * count
         return self.expand(count)
 
 
@@ -928,13 +933,17 @@ def idefics2_adapter(
 
 def phi4mm_adapter(
     weights: dict, cfg, *, image_token: str = "<|image|>",
+    audio_token: str = "<|audio|>",
     encoder_cache: Optional[EncoderCache] = None, compute_dtype=None,
     max_crops: int = 16,
 ) -> VlmAdapter:
     """Phi-4-multimodal HD assembly: the image is scaled into the best
     hr×wr crop grid (area ≤ max_crops), padded to crop multiples, split
     into crops with a global thumbnail FIRST (the reference's
-    `phi4/inputs_processor.rs` dynamic-HD transform)."""
+    `phi4/inputs_processor.rs` dynamic-HD transform). AUDIO items (mono
+    16 kHz waveforms from `input_audio` parts) run the conformer encoder
+    + speech projection (`audio/phi4mm.py`; reference
+    `vision_models/conformer/` + `phi4/mod.rs:448`)."""
     from ..models.phi4mm import num_image_tokens
     from ..models.phi4mm import prepare_multimodal_prompt as prep
 
@@ -964,8 +973,21 @@ def phi4mm_adapter(
 
     def process(images):
         if len(images) != 1:
-            raise ValueError("phi4mm serving: one image per request")
+            raise ValueError("phi4mm serving: one media item per request")
         im = images[0]
+        if getattr(im, "ndim", 2) == 1:  # mono waveform → audio modality
+            from ..audio.phi4mm import (
+                phi4mm_audio_embed_sizes,
+                phi4mm_logmel,
+            )
+
+            if getattr(cfg, "audio", None) is None or "audio" not in weights:
+                raise ValueError(
+                    "this phi4 checkpoint has no audio encoder"
+                )
+            mel = phi4mm_logmel(im)
+            n = phi4mm_audio_embed_sizes(cfg.audio, mel.shape[0])
+            return ProcessedMedia(mel, [n], {"kind": "audio"})
         oh, ow = im.shape[:2]
         # best grid: preserve aspect, total crops ≤ max_crops
         best, best_err = (1, 1), float("inf")
@@ -987,13 +1009,22 @@ def phi4mm_adapter(
         return ProcessedMedia(px, [num_image_tokens(cfg, sizes[0])])
 
     def prepare(prompt_ids, media):
+        if media.extras.get("kind") == "audio":
+            from ..models.phi4mm import prepare_audio_prompt
+
+            _, embeds, _ = prepare_audio_prompt(
+                weights, cfg, prompt_ids, media.pixels,
+                encoder_cache=cache, compute_dtype=dtype,
+            )
+            return {"prompt_embeds": embeds}
         _, embeds, _ = prep(
             weights, cfg, prompt_ids, media.pixels, sizes[0],
             encoder_cache=cache, compute_dtype=dtype,
         )
         return {"prompt_embeds": embeds}
 
-    return VlmAdapter("phi4mm", image_token, process, prepare)
+    return VlmAdapter("phi4mm", image_token, process, prepare,
+                      audio_token=audio_token)
 
 
 def minicpmo_adapter(

@@ -186,3 +186,135 @@ def test_qwen3_5_image_through_engine():
     # zeroing the deepstack adds must change the decode (they reach layer 0)
     out_nods = run(embeds, np.zeros_like(ds_rows))
     assert out_nods != first
+
+
+def _tiny_moe():
+    """Qwen3.5-MoE: the qwen3_5_moe checkpoint namespace + rope_parameters
+    config shape, with weights fabricated from an HF Qwen3Next model whose
+    text stack is numerically identical (MoE blocks + a dense
+    `mlp_only_layers` row — the reference REJECTS that field,
+    vision_models/qwen3_5_moe/text.rs:520; we serve it)."""
+    import transformers
+
+    layer_types = ["linear_attention", "full_attention"] * 2
+    hf_next = transformers.Qwen3NextConfig(
+        vocab_size=160, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, layer_types=layer_types,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=3,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, decoder_sparse_step=1,
+        mlp_only_layers=[1], norm_topk_prob=True,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        pad_token_id=0, rope_theta=10000.0, partial_rotary_factor=0.25,
+    )
+    torch.manual_seed(77)
+    model = transformers.Qwen3NextForCausalLM(hf_next).eval()
+
+    hf_cfg = {
+        "model_type": "qwen3_5_moe",
+        "text_config": {
+            "vocab_size": 160, "hidden_size": 48, "intermediate_size": 96,
+            "num_hidden_layers": 4, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "head_dim": 16,
+            "max_position_embeddings": 128, "rms_norm_eps": 1e-6,
+            "full_attention_interval": 2,
+            "linear_conv_kernel_dim": 3, "linear_key_head_dim": 8,
+            "linear_value_head_dim": 8, "linear_num_key_heads": 2,
+            "linear_num_value_heads": 4,
+            "num_experts": 4, "num_experts_per_tok": 2,
+            "moe_intermediate_size": 32,
+            "shared_expert_intermediate_size": 32,
+            "mlp_only_layers": [1], "norm_topk_prob": True,
+            "rope_parameters": {"rope_theta": 10000.0,
+                                "mrope_section": [1, 1, 0],
+                                "partial_rotary_factor": 0.25},
+        },
+        "vision_config": {
+            "depth": 2, "hidden_size": 32, "intermediate_size": 64,
+            "num_heads": 4, "patch_size": 8, "temporal_patch_size": 2,
+            "spatial_merge_size": 2, "out_hidden_size": 48,
+            "num_position_embeddings": 16, "deepstack_visual_indexes": [0],
+        },
+        "image_token_id": 150,
+    }
+    cfg = Qwen35Config.from_hf(hf_cfg)
+    assert cfg.text.num_experts == 4
+    assert cfg.text.mlp_only_layers == (1,)
+    assert cfg.text.layer_types == tuple(layer_types)
+
+    # qwen3_5_moe checkpoint namespace: text under model.language_model.*
+    sd = {}
+    rng = np.random.default_rng(61)
+    for k, v in model.state_dict().items():
+        arr = v.detach().numpy().astype(np.float32)
+        if k == "lm_head.weight":
+            sd[k] = arr
+        elif k.startswith("model."):
+            sd["model.language_model." + k[len("model."):]] = arr
+    # tiny qwen3-vl tower (same shape as _tiny's)
+    from test_qwen3_5 import _tiny as _dense_tiny  # reuse tower fabric
+
+    _, _, dense_weights = _dense_tiny()
+    return model, cfg, sd, dense_weights["vision"]
+
+
+def test_qwen3_5_moe_text_parity_vs_hf():
+    """The MoE text stack loaded through the qwen3_5_moe namespace matches
+    HF Qwen3Next logits exactly — including the dense `mlp_only_layers`
+    row (reference parity target: vision_models/qwen3_5_moe/text.rs)."""
+    from mistralrs_tpu.models.qwen3next import (
+        Qwen3NextCache,
+        qwen3next_forward,
+    )
+
+    model, cfg, sd, _ = _tiny_moe()
+    weights = qwen3_5_weights_from_state_dict(sd, cfg)
+    # mixed stack: layer 1 dense, layer 3 MoE
+    assert "router" not in weights["text"]["layers"][1]
+    assert "gate" in weights["text"]["layers"][1]
+    assert "router" in weights["text"]["layers"][3]
+
+    ids = np.array([[3, 17, 40, 9, 22, 61, 5, 2]], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(np.asarray(ids, np.int64))).logits.numpy()
+    b, t = ids.shape
+    cache = Qwen3NextCache.create(cfg.text, b, t + 4)
+    positions = np.broadcast_to(np.arange(t)[None], (b, t)).astype(np.int32)
+    got, _ = qwen3next_forward(
+        weights["text"], cfg.text, jnp.asarray(ids), jnp.asarray(positions),
+        cache, jnp.zeros((b,), jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=6e-4, atol=6e-4)
+
+
+def test_qwen3_5_moe_through_engine():
+    """Engine-served qwen3.5-MoE (hybrid GDN + mixed MoE/dense MLPs)
+    matches the standalone greedy decode; image requests ride the same
+    DeepStack/M-RoPE path as dense qwen3.5."""
+    from mistralrs_tpu.engine.adapters import Qwen3NextAdapter
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.qwen3next import qwen3next_greedy_generate
+
+    model, cfg, sd, vision = _tiny_moe()
+    weights = qwen3_5_weights_from_state_dict(sd, cfg)
+    adapter = Qwen3NextAdapter(cfg.text, weights["text"])
+    eng = Engine(
+        cfg.text, weights["text"], num_blocks=64, block_size=4, max_batch=2,
+        prefill_chunk=8, compute_dtype=jnp.float32, adapter=adapter,
+    )
+    rng = np.random.default_rng(5)
+    prompts = [
+        [int(x) for x in rng.integers(1, 150, n)] for n in (5, 9)
+    ]
+    seqs = [
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=6))
+        for p in prompts
+    ]
+    eng.run_to_completion()
+    for p, s in zip(prompts, seqs):
+        ref = qwen3next_greedy_generate(weights["text"], cfg.text, p, 6)
+        assert s.generated_ids[: len(ref)] == ref
