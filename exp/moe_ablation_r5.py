@@ -116,9 +116,13 @@ def timeit(f, iters=50, attempts=4):
     raise RuntimeError("timing failed after retries")
 
 
+# weights ride as jit ARGUMENTS — closed-over 5.6 GB constants get
+# serialized into the HLO and break the compile relay (the r4/r5 stalls)
+bank1 = jax.device_put(bank1)
+
 # A. full path (one layer's MoE MLP)
-fa = jax.jit(lambda: moe_grouped_mlp(x, bank1, topw, topi, act))
-t_full = timeit(fa)
+fa_jit = jax.jit(lambda b: moe_grouped_mlp(x, b, topw, topi, act))
+t_full = timeit(lambda: fa_jit(bank1))
 print(f"A full moe_grouped_mlp : {t_full:.3f} ms", flush=True)
 
 # B. routing fixed: static groups precomputed OUTSIDE the timed region
@@ -128,36 +132,38 @@ st, dest, sw, tile_idx, mp = jax.jit(
 st, dest, sw, tile_idx = map(jax.device_put, (st, dest, sw, tile_idx))
 
 
-def matmuls_only():
+@jax.jit
+def matmuls_only(b):
     xs = jnp.zeros((int(mp), h), x.dtype).at[dest].set(x[st])
     hidden = act(
-        quant_matmul_grouped(xs, bank1["gate"], tile_idx, tm=tm,
+        quant_matmul_grouped(xs, b["gate"], tile_idx, tm=tm,
                              out_dtype=xs.dtype)
-    ) * quant_matmul_grouped(xs, bank1["up"], tile_idx, tm=tm,
+    ) * quant_matmul_grouped(xs, b["up"], tile_idx, tm=tm,
                              out_dtype=xs.dtype)
-    y = quant_matmul_grouped(hidden.astype(x.dtype), bank1["down"], tile_idx,
+    y = quant_matmul_grouped(hidden.astype(x.dtype), b["down"], tile_idx,
                              tm=tm, out_dtype=xs.dtype)
     return jnp.zeros((n, h), y.dtype).at[st].add(y[dest] * sw[:, None].astype(y.dtype))
 
 
-t_mm = timeit(jax.jit(matmuls_only))
+t_mm = timeit(lambda: matmuls_only(bank1))
 print(f"B matmuls+combine (routing precomputed) : {t_mm:.3f} ms "
       f"(routing cost {t_full - t_mm:.3f} ms)", flush=True)
 
 
 # C. matmul floor: the same 3 grouped matmuls with NO scatter/gather
-def mm_floor():
+@jax.jit
+def mm_floor(b):
     xs = x[jnp.zeros((int(mp),), jnp.int32)]
     hidden = act(
-        quant_matmul_grouped(xs, bank1["gate"], tile_idx, tm=tm,
+        quant_matmul_grouped(xs, b["gate"], tile_idx, tm=tm,
                              out_dtype=xs.dtype)
-    ) * quant_matmul_grouped(xs, bank1["up"], tile_idx, tm=tm,
+    ) * quant_matmul_grouped(xs, b["up"], tile_idx, tm=tm,
                              out_dtype=xs.dtype)
-    return quant_matmul_grouped(hidden.astype(x.dtype), bank1["down"],
+    return quant_matmul_grouped(hidden.astype(x.dtype), b["down"],
                                 tile_idx, tm=tm, out_dtype=xs.dtype)
 
 
-t_floor = timeit(jax.jit(mm_floor))
+t_floor = timeit(lambda: mm_floor(bank1))
 print(f"C grouped matmuls only (no scatter/gather) : {t_floor:.3f} ms "
       f"(combine cost {t_mm - t_floor:.3f} ms)", flush=True)
 

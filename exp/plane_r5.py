@@ -265,59 +265,55 @@ emit(what="P_correctness", max_abs=round(err, 6), max_rel=round(rel, 6))
 # ---- chains -----------------------------------------------------------------
 
 
-def make_chain_qmm(lyrs):
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def chain(n_steps):
-        x0 = jnp.ones((B, cfg.hidden_size), jnp.bfloat16) * 0.01
+# weights ride as jit ARGUMENTS — closed-over multi-GB constants get
+# serialized into the HLO and break/slow the compile relay
+@functools.partial(jax.jit, static_argnums=(0,))
+def chain_qmm(n_steps, lyrs):
+    x0 = jnp.ones((B, cfg.hidden_size), jnp.bfloat16) * 0.01
 
-        def step(x, _):
-            def layer(h, li):
-                qkv = qmm.quant_matmul(h, lyrs["wqkv"], layer=li)
-                q = qkv[..., : cfg.q_dim]
-                ao = qmm.quant_matmul(q, lyrs["wo"], layer=li)
-                gu = qmm.quant_matmul(ao, lyrs["wgateup"], layer=li)
-                half = gu.shape[-1] // 2
-                hid = jax.nn.silu(gu[..., :half]) * gu[..., half:]
-                return qmm.quant_matmul(hid, lyrs["down"], layer=li), None
+    def step(x, _):
+        def layer(h, li):
+            qkv = qmm.quant_matmul(h, lyrs["wqkv"], layer=li)
+            q = qkv[..., : cfg.q_dim]
+            ao = qmm.quant_matmul(q, lyrs["wo"], layer=li)
+            gu = qmm.quant_matmul(ao, lyrs["wgateup"], layer=li)
+            half = gu.shape[-1] // 2
+            hid = jax.nn.silu(gu[..., :half]) * gu[..., half:]
+            return qmm.quant_matmul(hid, lyrs["down"], layer=li), None
 
-            y, _ = jax.lax.scan(layer, x.astype(jnp.bfloat16), jnp.arange(L, dtype=jnp.int32))
-            return (0.999 * y).astype(jnp.bfloat16), None
+        y, _ = jax.lax.scan(layer, x.astype(jnp.bfloat16), jnp.arange(L, dtype=jnp.int32))
+        return (0.999 * y).astype(jnp.bfloat16), None
 
-        y, _ = jax.lax.scan(step, x0, None, length=n_steps)
-        return y
-
-    return chain
+    y, _ = jax.lax.scan(step, x0, None, length=n_steps)
+    return y
 
 
-def make_chain_pair():
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def chain(n_steps):
-        x0 = jnp.ones((B, cfg.hidden_size), jnp.bfloat16) * 0.01
+@functools.partial(jax.jit, static_argnums=(0,))
+def chain_pair(n_steps, plyrs):
+    x0 = jnp.ones((B, cfg.hidden_size), jnp.bfloat16) * 0.01
 
-        def mm(h, nm, li):
-            data, sp, bb = pair_layers[nm]
-            o = w4pair_matmul_l(h, data, sp, li, group_size=GS)
-            if bb is not None:
-                o = o + qmm._bias_term(h, bb, GS, layer=li)
-            return o.astype(jnp.bfloat16)
+    def mm(h, nm, li):
+        data, sp, bb = plyrs[nm]
+        o = w4pair_matmul_l(h, data, sp, li, group_size=GS)
+        if bb is not None:
+            o = o + qmm._bias_term(h, bb, GS, layer=li)
+        return o.astype(jnp.bfloat16)
 
-        def step(x, _):
-            def layer(h, li):
-                qkv = mm(h, "wqkv", li)
-                q = qkv[..., : cfg.q_dim]
-                ao = mm(q, "wo", li)
-                gu = mm(ao, "wgateup", li)
-                half = gu.shape[-1] // 2
-                hid = jax.nn.silu(gu[..., :half]) * gu[..., half:]
-                return mm(hid, "down", li), None
+    def step(x, _):
+        def layer(h, li):
+            qkv = mm(h, "wqkv", li)
+            q = qkv[..., : cfg.q_dim]
+            ao = mm(q, "wo", li)
+            gu = mm(ao, "wgateup", li)
+            half = gu.shape[-1] // 2
+            hid = jax.nn.silu(gu[..., :half]) * gu[..., half:]
+            return mm(hid, "down", li), None
 
-            y, _ = jax.lax.scan(layer, x.astype(jnp.bfloat16), jnp.arange(L, dtype=jnp.int32))
-            return (0.999 * y).astype(jnp.bfloat16), None
+        y, _ = jax.lax.scan(layer, x.astype(jnp.bfloat16), jnp.arange(L, dtype=jnp.int32))
+        return (0.999 * y).astype(jnp.bfloat16), None
 
-        y, _ = jax.lax.scan(step, x0, None, length=n_steps)
-        return y
-
-    return chain
+    y, _ = jax.lax.scan(step, x0, None, length=n_steps)
+    return y
 
 
 def slope_time(fn, n1=5, n2=25, reps=3):
@@ -334,13 +330,22 @@ def slope_time(fn, n1=5, n2=25, reps=3):
     return (run(n2) - run(n1)) / (n2 - n1) * 1e3
 
 
+f32_layers = jax.device_put(f32_layers)
+bb_layers = jax.device_put(bb_layers)
+bf16_layers = jax.device_put(bf16_layers)
+pair_layers = jax.device_put(pair_layers)
+
 which = sys.argv[1:] or ["A", "Bb", "P"]
 if "A" in which:
-    emit(what="A_f32_chain_ms", value=round(slope_time(make_chain_qmm(f32_layers)), 3))
+    emit(what="A_f32_chain_ms",
+         value=round(slope_time(lambda n: chain_qmm(n, f32_layers)), 3))
 if "Bb" in which:
-    emit(what="Bb_biasbf16_chain_ms", value=round(slope_time(make_chain_qmm(bb_layers)), 3))
+    emit(what="Bb_biasbf16_chain_ms",
+         value=round(slope_time(lambda n: chain_qmm(n, bb_layers)), 3))
 if "B" in which:
-    emit(what="B_bf16_chain_ms", value=round(slope_time(make_chain_qmm(bf16_layers)), 3))
+    emit(what="B_bf16_chain_ms",
+         value=round(slope_time(lambda n: chain_qmm(n, bf16_layers)), 3))
 if "P" in which:
-    emit(what="P_pair_chain_ms", value=round(slope_time(make_chain_pair()), 3))
+    emit(what="P_pair_chain_ms",
+         value=round(slope_time(lambda n: chain_pair(n, pair_layers)), 3))
 emit(what="done")

@@ -53,7 +53,9 @@ def generate(
     stop_tokens: Optional[set[int]] = None,
     kv_capacity: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
-    cache_type: str = "normal",  # "normal" | "rotating" (sliding-window ring)
+    cache_type: str = "normal",  # "normal" | "rotating" (uniform sliding
+    # ring) | "hybrid" (per-layer window mix: full pools + ring pools,
+    # kv_cache/hybrid_cache.rs analog)
 ) -> list[int]:
     """Greedy / temperature sampling for a single sequence. Returns new tokens."""
     ids = np.asarray(prompt_ids, np.int32)[None, :]
@@ -63,6 +65,10 @@ def generate(
         from .models.llama import RotatingKVCache
 
         cache = RotatingKVCache.create(cfg, 1, dtype=compute_dtype)
+    elif cache_type == "hybrid":
+        from .models.llama import HybridKVCache
+
+        cache = HybridKVCache.create(cfg, 1, capacity, dtype=compute_dtype)
     else:
         cache = KVCache.create(cfg, 1, capacity, dtype=compute_dtype)
     stops = stop_tokens if stop_tokens is not None else set(cfg.eos_token_ids)

@@ -904,17 +904,43 @@ def quant_matmul_grouped(
         )
         return out.reshape(mp, -1).astype(out_dtype)
     x2 = x.astype(dequant_dtype)
+    # k-quant "min" planes take the MXU path (the grouped analog of
+    # `_bias_term`): bias planes riding the kernel force the slow "cur"
+    # dequant variant — splitting them out runs the kernel scale-only at
+    # f32dot speed and lands the bias as Σ_g xsum·bias[g[i]] einsums.
+    # r5 MoE ablation (exp/moe_bias_probe.log): 0.637 → 0.495 ms/call on
+    # the mixtral gate bank (eff 0.675 → 0.87), exact to ~4e-4 relative.
+    bias_mxu = qt.bias is not None
     if qt.packed:
         if qt.chunks != 1:
             raise ValueError("grouped Pallas path needs single-chunk packing")
-        return _w4_matmul_g(
-            x2, qt.data, qt.scale, qt.bias, tile_idx,
+        out = _w4_matmul_g(
+            x2, qt.data, qt.scale, None if bias_mxu else qt.bias, tile_idx,
             group_size=qt.group_size, dequant_dtype=dequant_dtype,
-            out_dtype=out_dtype, tm=tm, interpret=interpret,
+            out_dtype=jnp.float32 if bias_mxu else out_dtype,
+            tm=tm, interpret=interpret,
         )
-    return _w8_matmul_g(
-        x2, qt.data, qt.scale, qt.bias, tile_idx,
-        group_size=qt.group_size, dequant_dtype=dequant_dtype,
-        out_dtype=out_dtype, signed=qt.data.dtype == jnp.int8,
-        tm=tm, interpret=interpret,
-    )
+    else:
+        out = _w8_matmul_g(
+            x2, qt.data, qt.scale, None if bias_mxu else qt.bias, tile_idx,
+            group_size=qt.group_size, dequant_dtype=dequant_dtype,
+            out_dtype=jnp.float32 if bias_mxu else out_dtype,
+            signed=qt.data.dtype == jnp.int8,
+            tm=tm, interpret=interpret,
+        )
+    if bias_mxu:
+        out = (out + _bias_term_grouped(
+            x2, qt.bias, tile_idx, tm, qt.group_size
+        )).astype(out_dtype)
+    return out
+
+
+def _bias_term_grouped(x2, bias, tile_idx, tm: int, group_size: int):
+    """Grouped bias contribution on the MXU: per row-tile i,
+    ``Σ_k x[m,k]·b[g(k),n]`` with the bank entry ``tile_idx[i]``'s plane —
+    group-sums of x dotted against the gathered bias planes."""
+    mp, k = x2.shape
+    xs = x2.astype(jnp.float32).reshape(mp, k // group_size, group_size).sum(-1)
+    xs_t = xs.reshape(-1, tm, xs.shape[-1])  # [T, tm, G]
+    bt = bias[tile_idx].astype(jnp.float32)  # [T, G, N] (gather fuses)
+    return jnp.einsum("tmg,tgn->tmn", xs_t, bt).reshape(mp, -1)
