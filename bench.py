@@ -209,7 +209,10 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
     """Batched decode at depth CTX: returns (tok/s, vs_roofline, step_s).
     ``kv_quant`` exercises the int8/fp8 pools dequantized inside the fused
     Pallas decode kernel (deep contexts: KV bytes halve)."""
-    BS = 16 if smoke else 64
+    # 256-token paged blocks: the r5 attention probe (exp/attn_bs_probe.log)
+    # measured the fused decode kernel at 0.59 eff with 64-token blocks vs
+    # 0.74 at 256 — bigger blocks mean fewer, longer DMA stripes per chunk
+    BS = 16 if smoke else int(os.environ.get("MRSTPU_BENCH_BS", "256"))
     num_blocks = B * CTX // BS
     cache = PagedKVCache.create(cfg, num_blocks, BS, kv_quant=kv_quant)
     width = CTX // BS
@@ -279,7 +282,7 @@ def measure_speculative_draft(cfg, fcfg, weights, B, CTX, smoke, gamma=4):
     2-layer slice agrees with the target ~never (α≈0) — the point exists
     to measure the ROUND COST with a real draft; tok/s at reference
     acceptances is derived from the same measured components."""
-    BS = 16 if smoke else 64
+    BS = 16 if smoke else 256
     import dataclasses
 
     dcfg = dataclasses.replace(cfg, num_layers=2)
@@ -477,7 +480,7 @@ def measure_decode_shardmap(cfg, weights, weight_bytes, B, CTX):
         build_mesh, paged_tp_decode_chain_fn, paged_tp_forward_fn,
     )
 
-    BS = 64
+    BS = 256
     mesh = build_mesh(tp=1, dp=1, devices=jax.devices()[:1])
     num_blocks = B * CTX // BS
     from mistralrs_tpu.kv.paged import PagedKVCache, auto_head_dim_pad

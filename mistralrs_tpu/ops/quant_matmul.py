@@ -201,6 +201,11 @@ import os
 # working set fits scoped VMEM; larger M (prefill) shrinks tiles via the
 # budget walk in `_pick_tiles` (Mosaic's scoped-VMEM stack limit is 16 MB
 # and the dequantized weight tile lives on that stack too).
+#: r5 tile sweep (exp/tile_sweep_r5.log): (2048, 1024) trims the ISOLATED
+#: llama-8B decode chain 7.86 → 7.68 ms, but composed into the full step
+#: it is ~1% SLOWER (exp/bench_r5_quick*.log) — in situ the matmul tail
+#: overlaps the attention kernel's lead DMAs and the isolated win
+#: evaporates. Keep (1024, 2048); the env knobs remain for tuning.
 _TN_DEFAULT = int(os.environ.get("MRSTPU_MM_TN", "1024"))
 _TK_DEFAULT = int(os.environ.get("MRSTPU_MM_TK", "2048"))
 _VMEM_BUDGET = int(os.environ.get("MRSTPU_MM_VMEM_MB", "15")) << 20
