@@ -525,7 +525,92 @@ DEQUANTIZERS = {
     GGMLType.Q8_K: dequant_q8_k,
 }
 
+def quant_q2_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """Q2_K: 16 sub-blocks of 16, 4-bit scales/mins, 2-bit codes (84 B /
+    256). The low-bit end of the ISQ range — the ΔPPL protocol's power
+    probe (a format that genuinely degrades shows ordered positive
+    deltas)."""
+    x = x.reshape(-1, QK_K).astype(np.float32)
+    n = x.shape[0]
+    groups = x.reshape(n * 16, 16)
+    gw = None if w is None else np.asarray(w, np.float32).reshape(n * 16, 16)
+    scales, mins, _ = _make_qkx2_quants(groups, 3, w=gw)
+    scales = scales.reshape(n, 16)
+    mins = mins.reshape(n, 16)
+    max_scale = scales.max(axis=1, keepdims=True)
+    max_min = mins.max(axis=1, keepdims=True)
+    inv_scale = np.where(max_scale > 0, 15.0 / np.where(max_scale > 0, max_scale, 1), 0.0)
+    inv_min = np.where(max_min > 0, 15.0 / np.where(max_min > 0, max_min, 1), 0.0)
+    sc4 = np.clip(_nearest_int(inv_scale * scales), 0, 15).astype(np.uint8)
+    mn4 = np.clip(_nearest_int(inv_min * mins), 0, 15).astype(np.uint8)
+    d = (max_scale / 15.0).astype(np.float16).astype(np.float32)
+    dmin = (max_min / 15.0).astype(np.float16).astype(np.float32)
+    g = _LOCAL // 16
+    es = (d * sc4.astype(np.float32))[:, g]
+    em = (dmin * mn4.astype(np.float32))[:, g]
+    inv_es = np.where(es > 0, 1.0 / np.where(es > 0, es, 1), 0.0)
+    q = np.clip(_nearest_int((x + em) * inv_es), 0, 3).astype(np.uint8)
+    qs = np.zeros((n, 64), dtype=np.uint8)
+    np.add.at(qs.T, _Q2K_BYTE, (q << _Q2K_SHIFT[None, :]).T)
+    out = np.empty((n, 84), dtype=np.uint8)
+    out[:, 0:16] = sc4 | (mn4 << 4)
+    out[:, 16:80] = qs
+    out[:, 80:82] = d.astype(np.float16).view(np.uint8)
+    out[:, 82:84] = dmin.astype(np.float16).view(np.uint8)
+    return out
+
+
+def quant_q3_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """Q3_K: 16 sub-blocks of 16, signed 6-bit scales, 3-bit symmetric
+    codes in −4..3 (110 B / 256)."""
+    x = x.reshape(-1, QK_K).astype(np.float32)
+    n = x.shape[0]
+    groups = x.reshape(n * 16, 16)
+    gw = (np.ones_like(groups) if w is None
+          else np.asarray(w, np.float32).reshape(n * 16, 16))
+    # symmetric per-group scale: amax seed + one weighted LSQ refinement
+    amax = np.abs(groups).max(axis=1, keepdims=True)
+    s0 = np.where(amax > 0, amax / 4.0, 1.0)
+    q0 = np.clip(_nearest_int(groups / s0), -4, 3).astype(np.float32)
+    num = (gw * groups * q0).sum(axis=1)
+    den = (gw * q0 * q0).sum(axis=1)
+    s1 = np.where(den > 0, num / np.where(den > 0, den, 1), s0[:, 0])
+    scales = s1.reshape(n, 16)
+    max_abs = np.abs(scales).max(axis=1, keepdims=True)
+    inv = np.where(max_abs > 0, 31.0 / np.where(max_abs > 0, max_abs, 1), 0.0)
+    sc6 = np.clip(_nearest_int(inv * scales), -32, 31).astype(np.int32)
+    d = (max_abs / 31.0).astype(np.float16).astype(np.float32)
+    g = _LOCAL // 16
+    es = (d * sc6.astype(np.float32))[:, g]
+    inv_es = np.where(es != 0, 1.0 / np.where(es != 0, es, 1), 0.0)
+    q = np.clip(_nearest_int(x * inv_es), -4, 3).astype(np.int32) + 4  # 0..7
+    qs = np.zeros((n, 64), dtype=np.uint8)
+    np.add.at(qs.T, _Q2K_BYTE, ((q & 3).astype(np.uint8) << _Q2K_SHIFT[None, :]).T)
+    hmask = np.zeros((n, 32), dtype=np.uint8)
+    np.add.at(hmask.T, _Q3K_HM_BYTE,
+              (((q >> 2) & 1).astype(np.uint8) << _Q3K_HM_SHIFT[None, :]).T)
+    # pack signed scales (stored as value+32) per _unpack_q3k_scales
+    sp = (sc6 + 32).astype(np.uint8)
+    scales12 = np.zeros((n, 12), dtype=np.uint8)
+    for gi in range(16):
+        lo = sp[:, gi] & 15
+        hi = (sp[:, gi] >> 4) & 3
+        if gi < 8:
+            scales12[:, gi] |= lo
+        else:
+            scales12[:, gi - 8] |= lo << 4
+        scales12[:, 8 + gi % 4] |= hi << (2 * (gi // 4))
+    out = np.empty((n, 110), dtype=np.uint8)
+    out[:, 0:32] = hmask
+    out[:, 32:96] = qs
+    out[:, 96:108] = scales12
+    out[:, 108:110] = d.astype(np.float16).view(np.uint8)
+    return out
+
+
 QUANTIZERS = {
+    GGMLType.Q2_K: quant_q2_k,
+    GGMLType.Q3_K: quant_q3_k,
     GGMLType.Q4_0: quant_q4_0,
     GGMLType.Q5_0: quant_q5_0,
     GGMLType.Q8_0: quant_q8_0,

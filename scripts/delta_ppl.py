@@ -252,8 +252,11 @@ def main() -> int:
         "quants": {},
     }
 
-    fmts = [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
-            GGMLType.Q8_0]
+    # Q2_K/Q3_K are the protocol's POWER probes: formats that genuinely
+    # degrade must show ordered positive deltas, demonstrating the harness
+    # can detect real quantization damage (r4 verdict weak #5)
+    fmts = [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_0, GGMLType.Q4_K,
+            GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0]
     for t in fmts:
         wq = weights_from_state_dict(sd_t, CFG, dtype=jnp.float32, isq=t)
         p = ppl(wq, eval_ids)

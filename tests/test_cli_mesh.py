@@ -167,18 +167,40 @@ def test_lockstep_driver_through_model_instance(tmp_path):
     rep1.close()
 
 
-def test_multimodal_rejected_on_driver(tmp_path):
+def test_multimodal_rides_the_driver_wire(tmp_path):
+    """Media tensors replicate to workers (round-4 exclusion lifted): the
+    broadcast request carries the base64-encoded payload and the local
+    engine still receives the raw kwargs."""
     from mistralrs_tpu.chat_template import ChatTemplate
+    from mistralrs_tpu.parallel.multihost import decode_payload
     from mistralrs_tpu.serving.registry import ModelInstance
 
     path = _tiny_gguf(tmp_path)
     _, eng = cli_mod._build_engine(_serve_args(path))
+
+    class FakeDriver:
+        def __init__(self):
+            self.requests = []
+
+        def submit(self, request, prompt_ids, params, **local_kwargs):
+            self.requests.append(request)
+            return eng.add_request(prompt_ids, params, **local_kwargs)
+
+    drv = FakeDriver()
     inst = ModelInstance(model_id="m", engine=eng, tokenizer=None,
                          chat_template=ChatTemplate("{{ messages }}"),
-                         driver=object())
-    with pytest.raises(NotImplementedError):
-        inst.submit([1, 2], SamplingParams(max_tokens=2), None,
-                    prompt_embeds=np.zeros((2, 4), np.float32))
+                         driver=drv)
+    H = eng.cfg.hidden_size
+    embeds = np.arange(2 * H, dtype=np.float32).reshape(2, H)
+    inst.submit([1, 2], SamplingParams(max_tokens=2), None,
+                prompt_embeds=embeds)
+    req = drv.requests[0]
+    assert "mm" in req and "prompt_embeds" in req["mm"]
+    decoded = decode_payload(req["mm"]["prompt_embeds"])
+    np.testing.assert_array_equal(decoded, embeds)
+    import json
+
+    json.dumps(req)  # the wire format is JSON-clean
 
 
 def test_params_wire_roundtrip():

@@ -164,3 +164,29 @@ def test_quant_flat_blocks_are_zero_safe():
         y = dequantize(raw, t, x.shape)
         assert np.all(np.isfinite(y))
         np.testing.assert_allclose(y, 0.0, atol=1e-6)
+
+
+def test_q2k_q3k_encoders_roundtrip():
+    """The low-bit ISQ encoders decode through the same wire format with
+    error ordered by bit width (q2k > q3k > q4k)."""
+    import numpy as np
+
+    from mistralrs_tpu.gguf.quants import (
+        dequant_q2_k,
+        dequant_q3_k,
+        dequant_q4_k,
+        quant_q2_k,
+        quant_q3_k,
+        quant_q4_k,
+    )
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((8, 256)) * 0.1).astype(np.float32)
+    errs = {}
+    for name, qf, df in (("q2k", quant_q2_k, dequant_q2_k),
+                         ("q3k", quant_q3_k, dequant_q3_k),
+                         ("q4k", quant_q4_k, dequant_q4_k)):
+        y = df(qf(x).reshape(-1)).reshape(x.shape)
+        errs[name] = float(np.abs(y - x).mean() / np.abs(x).mean())
+    assert errs["q2k"] < 0.40 and errs["q3k"] < 0.25 and errs["q4k"] < 0.10
+    assert errs["q2k"] > errs["q3k"] > errs["q4k"]  # ordered by bit width
