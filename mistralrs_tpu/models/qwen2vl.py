@@ -118,10 +118,13 @@ def qwen25vl_prepare_multimodal_prompt(
     grid_thw: Optional[tuple[int, int, int]] = None,
     encoder_cache=None,
     compute_dtype=jnp.float32,
+    media_token_id: Optional[int] = None,  # video spans use video_token_id
 ):
     """→ (prompt_ids, prompt_embeds, extra_hash, mrope_positions [3, T])."""
     from ..multimodal import prepare_vlm_prompt
     from ..vision.qwen2vl import qwen25vl_vision_forward
+
+    tok_id = media_token_id if media_token_id is not None else cfg.image_token_id
 
     def encode(pv):
         return qwen25vl_vision_forward(
@@ -131,14 +134,14 @@ def qwen25vl_prepare_multimodal_prompt(
     ids, embeds, extra = prepare_vlm_prompt(
         prompt_ids, patches,
         embed_weights=weights["text"]["embed"],
-        image_token_id=cfg.image_token_id,
+        image_token_id=tok_id,
         encode=encode,
         encoder_cache=encoder_cache,
         cache_namespace="qwen25vl",
         compute_dtype=compute_dtype,
     )
     pos3 = mrope_position_ids(
-        np.asarray(prompt_ids), cfg.image_token_id,
+        np.asarray(prompt_ids), tok_id,
         grid_thw if patches is not None else (0, 0, 0),
         merge=cfg.vision.spatial_merge_size,
     )

@@ -28,6 +28,7 @@ class Qwen3VLConfig:
     text: ModelConfig
     vision: Qwen3VLVisionConfig
     image_token_id: int
+    video_token_id: Optional[int] = None
 
     @classmethod
     def from_hf(cls, d: Mapping[str, Any]) -> "Qwen3VLConfig":
@@ -48,6 +49,7 @@ class Qwen3VLConfig:
             text=text,
             vision=Qwen3VLVisionConfig.from_hf(d["vision_config"]),
             image_token_id=d.get("image_token_id", 151655),
+            video_token_id=d.get("video_token_id", 151656),
         )
 
 
@@ -103,6 +105,7 @@ def prepare_multimodal_prompt(
     grid_thw: Optional[tuple[int, int, int]] = None,
     encoder_cache=None,
     compute_dtype=jnp.float32,
+    media_token_id: Optional[int] = None,  # video spans use video_token_id
 ):
     """→ (prompt_ids, prompt_embeds [T, H], extra_hash, mrope_positions
     [3, T], deepstack_embeds [T, k, H]) for ``Engine.add_request`` —
@@ -125,14 +128,16 @@ def prepare_multimodal_prompt(
     ids, embeds, extra = prepare_vlm_prompt(
         prompt_ids, patches,
         embed_weights=weights["text"]["embed"],
-        image_token_id=cfg.image_token_id,
+        image_token_id=(media_token_id if media_token_id
+                        is not None else cfg.image_token_id),
         encode=encode,
         encoder_cache=None,
         cache_namespace="qwen3vl",
         compute_dtype=compute_dtype,
     )
     pos3 = mrope_position_ids(
-        np.asarray(prompt_ids), cfg.image_token_id,
+        np.asarray(prompt_ids),
+        media_token_id if media_token_id is not None else cfg.image_token_id,
         grid_thw if patches is not None else (0, 0, 0),
         merge=cfg.vision.spatial_merge_size,
     )
@@ -142,6 +147,9 @@ def prepare_multimodal_prompt(
         k = ds.shape[0]
         t_len = len(prompt_ids)
         deepstack_rows = np.zeros((t_len, k, ds.shape[-1]), np.float32)
-        img_pos = np.flatnonzero(np.asarray(prompt_ids) == cfg.image_token_id)
+        img_pos = np.flatnonzero(
+        np.asarray(prompt_ids)
+        == (media_token_id if media_token_id is not None
+            else cfg.image_token_id))
         deepstack_rows[img_pos] = ds.transpose(1, 0, 2)
     return ids, embeds, extra, pos3, deepstack_rows

@@ -404,29 +404,49 @@ def qwen25vl_adapter(
     vis = cfg.vision
     cache = encoder_cache or EncoderCache()
 
-    def process(images):
-        if len(images) != 1:
+    def process(items):
+        from ..video import VideoInput
+
+        if len(items) != 1:
             raise ValueError(
-                "qwen2.5-vl serving currently supports one image per request"
+                "qwen2.5-vl serving currently supports one media item per "
+                "request"
             )
+        it = items[0]
+        if isinstance(it, VideoInput):
+            patches, grid = qwen2vl_patchify_frames(
+                it.stacked(), vis.patch_size, vis.spatial_merge_size,
+                vis.temporal_patch_size,
+            )
+            n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+            return ProcessedMedia(patches, [n], {
+                "grid_thw": grid, "kind": "video",
+                "frame_hashes": it.frame_hashes(),
+            })
         patches, grid = qwen2vl_patchify(
-            images[0], vis.patch_size, vis.spatial_merge_size,
+            it, vis.patch_size, vis.spatial_merge_size,
             vis.temporal_patch_size,
         )
         n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
         return ProcessedMedia(patches, [n], {"grid_thw": grid})
 
     def prepare(prompt_ids, media):
+        is_video = media.extras.get("kind") == "video"
         _, embeds, _, pos3 = qwen25vl_prepare_multimodal_prompt(
             weights, cfg, prompt_ids, media.pixels,
             media.extras["grid_thw"], encoder_cache=cache,
             compute_dtype=dtype,
+            media_token_id=(getattr(cfg, "video_token_id", None)
+                            if is_video else None),
         )
         return {"prompt_embeds": embeds, "mrope_positions": pos3}
 
+    video_token = "<|video_pad|>"
     return VlmAdapter(
         "qwen25vl", image_token, process, prepare,
         expansion=lambda n: f"{vision_start}{image_token * n}{vision_end}",
+        video_token=video_token,
+        video_expansion=lambda n: f"{vision_start}{video_token * n}{vision_end}",
     )
 
 
@@ -445,30 +465,50 @@ def qwen3vl_adapter(
     vis = cfg.vision
     cache = encoder_cache or EncoderCache()
 
-    def process(images):
-        if len(images) != 1:
+    def process(items):
+        from ..video import VideoInput
+
+        if len(items) != 1:
             raise ValueError(
-                "qwen3-vl serving currently supports one image per request"
+                "qwen3-vl serving currently supports one media item per "
+                "request"
             )
+        it = items[0]
+        if isinstance(it, VideoInput):
+            patches, grid = qwen2vl_patchify_frames(
+                it.stacked(), vis.patch_size, vis.spatial_merge_size,
+                vis.temporal_patch_size,
+            )
+            n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
+            return ProcessedMedia(patches, [n], {
+                "grid_thw": grid, "kind": "video",
+                "frame_hashes": it.frame_hashes(),
+            })
         patches, grid = qwen2vl_patchify(
-            images[0], vis.patch_size, vis.spatial_merge_size,
+            it, vis.patch_size, vis.spatial_merge_size,
             vis.temporal_patch_size,
         )
         n = (grid[0] * grid[1] * grid[2]) // vis.spatial_merge_size**2
         return ProcessedMedia(patches, [n], {"grid_thw": grid})
 
     def prepare(prompt_ids, media):
+        is_video = media.extras.get("kind") == "video"
         _, embeds, _, pos3, ds_rows = prepare_multimodal_prompt(
             weights, cfg, prompt_ids, media.pixels,
             media.extras["grid_thw"], encoder_cache=cache,
             compute_dtype=dtype,
+            media_token_id=(getattr(cfg, "video_token_id", None)
+                            if is_video else None),
         )
         return {"prompt_embeds": embeds, "mrope_positions": pos3,
                 "deepstack_embeds": ds_rows}
 
+    video_token = "<|video_pad|>"
     return VlmAdapter(
         "qwen3vl", image_token, process, prepare,
         expansion=lambda n: f"{vision_start}{image_token * n}{vision_end}",
+        video_token=video_token,
+        video_expansion=lambda n: f"{vision_start}{video_token * n}{vision_end}",
     )
 
 

@@ -228,3 +228,70 @@ async def test_video_url_rejected_without_video_support(aiohttp_client):
     body = await resp.json()
     assert "video" in body["error"]["message"]
     state.shutdown()
+
+
+def test_video_through_qwen25vl_and_qwen3vl_adapters():
+    """The temporal path generalizes across the qwen family: 2.5-VL and
+    3-VL adapters process VideoInput with grid_t > 1 and video-token
+    placeholders (reference serves videos through all Qwen VL processors)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+
+    from mistralrs_tpu.serving.vlm import qwen25vl_adapter, qwen3vl_adapter
+
+    rng = np.random.default_rng(11)
+    video = VideoInput(frames=[
+        rng.integers(0, 255, (56, 56, 3), dtype=np.uint8) for _ in range(4)
+    ])
+
+    # qwen2.5-vl (HF class available → real weights)
+    import torch as _torch
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLConfig as HfCfg,
+        Qwen2_5_VLTextConfig,
+        Qwen2_5_VLVisionConfig,
+    )
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    from mistralrs_tpu.models.qwen2vl import (
+        Qwen25VLConfig,
+        qwen25vl_weights_from_state_dict,
+    )
+
+    vc = Qwen2_5_VLVisionConfig(
+        depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+        out_hidden_size=48, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, window_size=8, fullatt_block_indexes=[1],
+    )
+    tc = Qwen2_5_VLTextConfig(
+        vocab_size=160, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+    )
+    hf_cfg = HfCfg(vision_config=vc.to_dict(), text_config=tc.to_dict(),
+                   image_token_id=150, video_token_id=151,
+                   vision_start_token_id=152, pad_token_id=0)
+    _torch.manual_seed(12)
+    model = Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+    cfg25 = Qwen25VLConfig.from_hf(hf_cfg.to_dict())
+    assert cfg25.video_token_id == 151
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    w25 = qwen25vl_weights_from_state_dict(sd, cfg25)
+    ad = qwen25vl_adapter(w25, cfg25, compute_dtype=jnp.float32)
+    assert ad.supports_video
+    media = ad.process([video])
+    assert media.extras["kind"] == "video" and media.extras["grid_thw"][0] == 2
+    n = media.counts[0]
+    assert "<|video_pad|>" in ad.expand_media("video", n)
+    ids = [3, 17, 152] + [151] * n + [9, 22]
+    kwargs = ad.prepare(ids, media)
+    assert kwargs["prompt_embeds"].shape[0] == len(ids)
+    assert kwargs["mrope_positions"].shape == (3, len(ids))
+    # temporal stream advances across the two grid_t planes
+    t_stream = np.asarray(kwargs["mrope_positions"])[0, 3 : 3 + n]
+    assert len(set(t_stream.tolist())) == 2
