@@ -213,13 +213,24 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
     # measured the fused decode kernel at 0.59 eff with 64-token blocks vs
     # 0.74 at 256 — bigger blocks mean fewer, longer DMA stripes per chunk
     BS = 16 if smoke else int(os.environ.get("MRSTPU_BENCH_BS", "256"))
-    num_blocks = B * CTX // BS
-    cache = PagedKVCache.create(cfg, num_blocks, BS, kv_quant=kv_quant)
     width = CTX // BS
-    block_tables = (
-        jnp.arange(B)[:, None] * width + jnp.arange(width)[None, :]
-    ).astype(jnp.int32)
     start_len = CTX - 64
+    alloc_width = width
+    if not smoke and B * CTX >= 8 * 16384:
+        # the deepest point (8×16384 int8) sits ~70 MB past HBM capacity at
+        # full allocation; decode only touches ≤ start_len+32 rows, so shave
+        # tail blocks (table entries past the allocation read block 0 — the
+        # kernel masks rows past kv_len, bench.py r5)
+        start_len = CTX - 4 * BS - 64
+        alloc_width = -(-(start_len + 64) // BS)
+    num_blocks = B * alloc_width
+    cache = PagedKVCache.create(cfg, num_blocks, BS, kv_quant=kv_quant)
+    logical = jnp.arange(width)[None, :]
+    block_tables = jnp.where(
+        logical < alloc_width,
+        jnp.arange(B)[:, None] * alloc_width + logical,
+        0,
+    ).astype(jnp.int32)
 
     def make_chain(n_steps):
         # donate the cache: at deep contexts (8×8192 int8) the pools are
@@ -262,8 +273,11 @@ def measure_decode(cfg, fcfg, weights, weight_bytes, B, CTX, smoke,
     n1, n2 = (2, 6) if smoke else (5, 25)
     step_time = _slope_time(run, n1, n2)
     kv_dsize = 1 if kv_quant else 2
+    # roofline counts the bytes actually read: the measured steps attend
+    # over ~start_len rows (= CTX-64, or the shaved deep-point start)
+    kv_rows = start_len + 16
     kv_bytes_per_step = (
-        cfg.num_layers * B * CTX * cfg.num_kv_heads
+        cfg.num_layers * B * kv_rows * cfg.num_kv_heads
         * (cfg.head_dim * kv_dsize + (4 if kv_quant else 0)) * 2
     )
     roofline_step = (weight_bytes + kv_bytes_per_step) / V5E_HBM_GBPS
@@ -313,8 +327,11 @@ def measure_speculative_draft(cfg, fcfg, weights, B, CTX, smoke, gamma=4):
                 + pos % BS).astype(jnp.int32)
 
     def make_chain(n_rounds):
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def chain(weights, cache, dcache, tokens, lens):
+        # dweights rides as a jit ARGUMENT: closed-over weight slices would
+        # serialize ~0.3 GB of constants into the HLO and break the
+        # compile relay (the same failure as the r4 MoE ablation)
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def chain(weights, dweights, cache, dcache, tokens, lens):
             def rnd(carry, _):
                 cache, dcache, tokens, lens, acc = carry
 
@@ -371,7 +388,7 @@ def measure_speculative_draft(cfg, fcfg, weights, B, CTX, smoke, gamma=4):
         # reset lens each call (rounds advance them)
         t0 = time.perf_counter()
         out, lens, acc, cache, dcache = chains[n](
-            weights, cache, dcache, tokens0, lens0
+            weights, dweights, cache, dcache, tokens0, lens0
         )
         np.asarray(out)
         acc_counts[n] = int(acc)
@@ -672,13 +689,14 @@ def main():
                     **spec,
                     "plain_tok_s": round(plain_tps, 1),
                     "net_speedup": round(spec["tok_s"] / plain_tps, 3),
-                    "note": "verify = t=γ+1 fused prefill kernel; real "
-                            "draft rounds with greedy acceptance — on "
-                            "RANDOM bench weights the slice draft is "
-                            "~never accepted, so tok_s here is the "
-                            "α≈0 floor; tok_s_at_alpha derives wins at "
-                            "reference acceptances from the same "
-                            "measured round",
+                    "note": "verify = t=γ+1 fused prefill kernel; REAL "
+                            "draft rounds (2-layer slice) with greedy "
+                            "acceptance. On the synthetic bench weights "
+                            "the slice argmax ≈ the target argmax "
+                            "(residual stream ≈ embedding), so the "
+                            "measured acceptance is an α≈1 upper bound; "
+                            "tok_s_at_alpha gives the same measured "
+                            "round at production-range acceptances",
                 }
                 be = None
                 for a in (x / 100 for x in range(0, 101, 5)):

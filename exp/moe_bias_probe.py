@@ -67,7 +67,7 @@ def run(tag, fn, q):
                       "t25_ms": round(t25 * 1e3, 2),
                       "t5_ms": round(t5 * 1e3, 2)}), flush=True)
 
-run("bias-in-kernel(cur)",
+run("bias-in-kernel(f32dot_bias)",
     lambda x2, q: qmm.quant_matmul_grouped(x2, q, tile_idx, tm=tm,
                                            out_dtype=jnp.bfloat16), qt)
 run("scale-only(f32dot)",

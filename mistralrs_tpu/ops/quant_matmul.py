@@ -105,10 +105,38 @@ _MM_VARIANT = _os.environ.get("MRSTPU_MM_VARIANT", "f32dot")
 
 def _deq_dot(x_ref, codes_i32, s_ref, b_ref, group_size, dequant_dtype):
     """One half-plane contraction ``x[TM, TK] · dequant(codes)[TK, TN]`` in
-    the variant selected by ``MRSTPU_MM_VARIANT``. Bias planes (k-quant
-    "min" values when not folded into the group-sum MXU path) always take
-    the reference formulation."""
-    variant = _MM_VARIANT if b_ref is None else "cur"
+    the variant selected by ``MRSTPU_MM_VARIANT``. Bias planes riding the
+    kernel (grouped/MoE banks, where the XLA `_bias_term` gather would
+    materialize the selected planes under the layer scan) stay on the
+    f32dot path: the scale-only dot plus the "min" term as TWO MXU dots —
+    ``Σ_k x·b[g(k)] = (x @ E) @ b`` with E the group-sum expander (iota
+    compare, constant-folded). r5 MoE probe: 0.637 → ~0.50 ms/call chained
+    vs the "cur" fallback, with no gather traffic."""
+    variant = _MM_VARIANT if b_ref is None else (
+        "f32dot_bias" if _MM_VARIANT == "f32dot" else "cur"
+    )
+    if variant == "f32dot_bias":
+        s = jnp.repeat(
+            s_ref[...].astype(jnp.float32).reshape(-1, s_ref.shape[-1]),
+            group_size, axis=0,
+        )
+        w = codes_i32.astype(jnp.float32) * s
+        x32 = x_ref[...].astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            x32, w, _DN, preferred_element_type=jnp.float32
+        )
+        tk = w.shape[0]
+        gpt = tk // group_size
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tk, gpt), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tk, gpt), 1)
+        e = (rows // group_size == cols).astype(jnp.float32)
+        xs = jax.lax.dot_general(
+            x32, e, _DN, preferred_element_type=jnp.float32
+        )  # [TM, gpt] group sums
+        b = b_ref[...].astype(jnp.float32).reshape(-1, b_ref.shape[-1])
+        return acc + jax.lax.dot_general(
+            xs, b, _DN, preferred_element_type=jnp.float32
+        )
     if variant == "cur":
         w = _dequant(codes_i32, s_ref, b_ref, group_size, dequant_dtype)
         return jax.lax.dot_general(
@@ -214,7 +242,9 @@ _VMEM_BUDGET = int(os.environ.get("MRSTPU_MM_VMEM_MB", "15")) << 20
 def _tile_vmem(tm, tn, tk, group_size, planes, has_bias, out_bytes):
     """Scoped-VMEM bytes for one grid step: double-buffered in/out blocks +
     the stack-allocated dequantized weight tile(s) + the f32 accumulator.
-    `planes` = 2 for the w4 split-half layout, 1 for w8."""
+    `planes` = 2 for the w4 split-half layout, 1 for w8. Bias-in-kernel
+    calls additionally stack the group-sum expander E [tk, gpt] and the
+    xs partial (the f32dot_bias path)."""
     gpt = max(tk // group_size, 1)
     x = planes * tm * tk * 2
     codes = tk * tn
@@ -222,7 +252,8 @@ def _tile_vmem(tm, tn, tk, group_size, planes, has_bias, out_bytes):
     o = tm * tn * out_bytes
     temp = planes * tk * tn * 2
     acc = tm * tn * 4
-    return 2 * (x + codes + s + o) + temp + acc
+    bias_stack = planes * (tk * gpt + tm * gpt) * 4 if has_bias else 0
+    return 2 * (x + codes + s + o) + temp + acc + bias_stack
 
 
 def _pick_tiles(
@@ -909,43 +940,22 @@ def quant_matmul_grouped(
         )
         return out.reshape(mp, -1).astype(out_dtype)
     x2 = x.astype(dequant_dtype)
-    # k-quant "min" planes take the MXU path (the grouped analog of
-    # `_bias_term`): bias planes riding the kernel force the slow "cur"
-    # dequant variant — splitting them out runs the kernel scale-only at
-    # f32dot speed and lands the bias as Σ_g xsum·bias[g[i]] einsums.
-    # r5 MoE ablation (exp/moe_bias_probe.log): 0.637 → 0.495 ms/call on
-    # the mixtral gate bank (eff 0.675 → 0.87), exact to ~4e-4 relative.
-    bias_mxu = qt.bias is not None
+    # bias planes ride the kernel and take the in-kernel f32dot_bias path
+    # (`_deq_dot`): scale-only dequant + the "min" term as two MXU dots.
+    # (An XLA-side gathered-bias einsum measured faster in isolation but
+    # MATERIALIZES bias[tile_idx] under forward_paged's layer scan — the
+    # full mixtral decode regressed 487 → 249 tok/s; exp/bench_r5_full.log.)
     if qt.packed:
         if qt.chunks != 1:
             raise ValueError("grouped Pallas path needs single-chunk packing")
-        out = _w4_matmul_g(
-            x2, qt.data, qt.scale, None if bias_mxu else qt.bias, tile_idx,
+        return _w4_matmul_g(
+            x2, qt.data, qt.scale, qt.bias, tile_idx,
             group_size=qt.group_size, dequant_dtype=dequant_dtype,
-            out_dtype=jnp.float32 if bias_mxu else out_dtype,
-            tm=tm, interpret=interpret,
+            out_dtype=out_dtype, tm=tm, interpret=interpret,
         )
-    else:
-        out = _w8_matmul_g(
-            x2, qt.data, qt.scale, None if bias_mxu else qt.bias, tile_idx,
-            group_size=qt.group_size, dequant_dtype=dequant_dtype,
-            out_dtype=jnp.float32 if bias_mxu else out_dtype,
-            signed=qt.data.dtype == jnp.int8,
-            tm=tm, interpret=interpret,
-        )
-    if bias_mxu:
-        out = (out + _bias_term_grouped(
-            x2, qt.bias, tile_idx, tm, qt.group_size
-        )).astype(out_dtype)
-    return out
-
-
-def _bias_term_grouped(x2, bias, tile_idx, tm: int, group_size: int):
-    """Grouped bias contribution on the MXU: per row-tile i,
-    ``Σ_k x[m,k]·b[g(k),n]`` with the bank entry ``tile_idx[i]``'s plane —
-    group-sums of x dotted against the gathered bias planes."""
-    mp, k = x2.shape
-    xs = x2.astype(jnp.float32).reshape(mp, k // group_size, group_size).sum(-1)
-    xs_t = xs.reshape(-1, tm, xs.shape[-1])  # [T, tm, G]
-    bt = bias[tile_idx].astype(jnp.float32)  # [T, G, N] (gather fuses)
-    return jnp.einsum("tmg,tgn->tmn", xs_t, bt).reshape(mp, -1)
+    return _w8_matmul_g(
+        x2, qt.data, qt.scale, qt.bias, tile_idx,
+        group_size=qt.group_size, dequant_dtype=dequant_dtype,
+        out_dtype=out_dtype, signed=qt.data.dtype == jnp.int8,
+        tm=tm, interpret=interpret,
+    )
