@@ -35,7 +35,7 @@ import time
 #: Last decode tok/s validated on real TPU hardware (updated whenever a TPU
 #: bench run completes). Reported in the degraded-mode record when the axon
 #: relay is unreachable so a hang/crash never masks the last known-good number.
-LAST_VALIDATED = {"value": 738.1, "vs_baseline": 0.777, "date": "2026-08-19"}
+LAST_VALIDATED = {"value": 748.3, "vs_baseline": 0.782, "date": "2026-08-20"}
 
 
 def _degraded_record(why: str) -> str:
