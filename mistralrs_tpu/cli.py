@@ -482,6 +482,16 @@ def cmd_tune(args):
     report = auto_tune(
         cfg, hbm_bytes=hbm, context_len=args.context_len, batch=args.batch
     )
+    if getattr(args, "chips", 1) and args.chips > 1:
+        from .tuning import QUANT_LEVELS, recommend_mesh
+
+        bpw = {n: b for n, b, _ in QUANT_LEVELS}.get(
+            report["recommended"] or "q4k", 4.8
+        )
+        report["mesh"] = recommend_mesh(
+            cfg, args.chips, hbm_bytes=hbm, context_len=args.context_len,
+            batch=args.batch, quant_bpw=bpw,
+        )
     print(_json.dumps(report, indent=2))
     return 0
 
@@ -622,6 +632,9 @@ def main(argv=None):
     p.add_argument("--chip", choices=["v5e", "v5p", "v6e"], default="v5e")
     p.add_argument("--context-len", type=int, default=4096)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--chips", type=int, default=1,
+                   help="chip count: adds a (tp, dp) mesh recommendation "
+                        "(the auto-device-map analog)")
     p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("doctor", help="environment health check")

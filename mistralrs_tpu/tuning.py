@@ -92,3 +92,75 @@ def auto_tune(
         "recommended": recommended,
         "entries": [e.__dict__ for e in entries],
     }
+
+
+def recommend_mesh(
+    cfg: ModelConfig,
+    n_chips: int,
+    *,
+    hbm_bytes: int = V5E_HBM_BYTES,
+    context_len: int = 4096,
+    batch: int = 8,
+    quant_bpw: float = 4.8,  # q4k default
+    kv_dtype_bytes: int = 2,
+    activation_reserve_frac: float = 0.1,
+) -> dict:
+    """(tp, dp) mesh recommendation — the TPU analog of the reference's
+    auto device mapping (`pipeline/loaders/auto_device_map.rs`): instead of
+    per-layer GPU offload, pick the smallest tensor-parallel degree whose
+    per-chip share (weights/tp + this group's KV + activations) fits HBM,
+    and spend the remaining chips on data parallelism (throughput).
+
+    TP must divide the head counts and FFN width (the same auto-step-down
+    rule as `resolve_tensor_parallelism`, distributed.rs:67); MoE experts
+    shard expert-parallel when tp divides them."""
+    params = _param_count(cfg)
+    weight_bytes = int(params * quant_bpw / 8)
+    kv_per_token = cfg.num_layers * cfg.kv_dim * 2 * kv_dtype_bytes
+    budget = hbm_bytes * (1.0 - activation_reserve_frac)
+
+    def divides(tp: int) -> bool:
+        if cfg.num_heads % tp or cfg.num_kv_heads % tp:
+            return False
+        if cfg.num_experts:
+            if cfg.num_experts % tp:
+                return False
+        elif cfg.intermediate_size % tp:
+            return False
+        return True
+
+    candidates = []
+    for tp in range(1, n_chips + 1):
+        if n_chips % tp or not divides(tp):
+            continue
+        dp = n_chips // tp
+        if batch % dp:
+            continue
+        per_chip_w = weight_bytes / tp
+        group_batch = batch // dp
+        kv = kv_per_token * context_len * group_batch
+        total = per_chip_w + kv
+        fits = total <= budget
+        free_for_kv = max(budget - per_chip_w, 0)
+        max_ctx = int(free_for_kv // max(kv_per_token * group_batch, 1))
+        candidates.append({
+            "tp": tp, "dp": dp, "fits": fits,
+            "per_chip_gb": round(total / 2**30, 2),
+            "weight_share_gb": round(per_chip_w / 2**30, 2),
+            "kv_gb": round(kv / 2**30, 2),
+            "max_context_tokens": max_ctx,
+        })
+    # smallest fitting tp (most dp) wins; else the largest-tp candidate
+    # (closest to fitting) so the caller sees what would be needed
+    fitting = [c for c in candidates if c["fits"]]
+    pick = (min(fitting, key=lambda c: c["tp"]) if fitting
+            else (max(candidates, key=lambda c: c["tp"])
+                  if candidates else None))
+    return {
+        "n_chips": n_chips,
+        "quant_bpw": quant_bpw,
+        "recommended": None if pick is None else
+        {"tp": pick["tp"], "dp": pick["dp"]},
+        "fits": bool(pick and pick["fits"]),
+        "candidates": candidates,
+    }
