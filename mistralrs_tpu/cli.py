@@ -21,7 +21,11 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--kv-quant", choices=["int8", "fp8"], default=None)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--num-kv-blocks", type=int, default=None)
-    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--block-size", type=int, default=64,
+                   help="paged KV block tokens; bigger blocks mean fewer, "
+                        "longer DMA stripes in the fused decode kernel "
+                        "(r5 probe: eff 0.59@64 -> 0.74@256 isolated) at "
+                        "coarser prefix-cache granularity")
     p.add_argument("--chat-template", default=None, help="jinja template override file")
     p.add_argument("--draft-model", default=None,
                    help="draft model path → speculative decoding (greedy)")
@@ -76,7 +80,7 @@ def _apply_toml_config(args):
 
 
 _ARG_DEFAULTS = {
-    "max_batch": 8, "block_size": 16, "num_kv_blocks": None, "max_seq_len": None,
+    "max_batch": 8, "block_size": 64, "num_kv_blocks": None, "max_seq_len": None,
     "kv_quant": None, "host": "0.0.0.0", "port": 8080, "temperature": 0.7,
     "max_tokens": 512,
 }

@@ -126,7 +126,12 @@ def test_lockstep_driver_through_model_instance(tmp_path):
     _, eng0 = cli_mod._build_engine(_serve_args(path))
     _, eng1 = cli_mod._build_engine(_serve_args(path))
 
-    port = 19941
+    import socket as _socket
+
+    _s = _socket.socket()
+    _s.bind(("127.0.0.1", 0))
+    port = _s.getsockname()[1]
+    _s.close()
     rep0 = RequestReplicator(0, 2, port=port)
     rep1 = RequestReplicator(1, 2, port=port)
     t = threading.Thread(target=rep0.start_server, daemon=True)

@@ -7,7 +7,12 @@ from mistralrs_tpu.parallel.multihost import RequestReplicator
 
 
 def test_request_replication_loopback():
-    port = 19881
+    import socket as _socket
+
+    _s = _socket.socket()
+    _s.bind(("127.0.0.1", 0))
+    port = _s.getsockname()[1]
+    _s.close()
     host0 = RequestReplicator(0, 3, port=port)
     w1 = RequestReplicator(1, 3, port=port)
     w2 = RequestReplicator(2, 3, port=port)
