@@ -109,7 +109,9 @@ def _mla_kernel(
         rout.wait()
         start_chunk(0, 0)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [nh_p, D]
+    from .paged_attention import LOG2E
+
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [nh_p, D]
     nh_p = q_ref.shape[1]
 
     def body(ci, carry):
@@ -132,8 +134,8 @@ def _mla_kernel(
         pos = ci * span + jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
         s = jnp.where(pos < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p, k[:, :rank], (((1,), (0,)), ((), ())),

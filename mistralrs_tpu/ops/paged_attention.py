@@ -28,6 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+#: exp2-folded flash softmax: exp(x) = exp2(x·log2e) with log2e folded into
+#: the QK scale (or applied post-softcap) — exp2 is the VPU-native
+#: transcendental; measured −5.6% on the decode attention chain
+#: (exp/exp2_probe_r5.log). Identical math: exp2(log2e·x) ≡ exp(x).
+LOG2E = 1.4426950408889634
 
 
 def _decode_kernel(
@@ -236,7 +241,10 @@ def _decode_kernel(
     group_p, hd = q_ref.shape[2], q_ref.shape[3]
     span = block_size * chunk
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [n_kv, group_p, hd]
+    # log2e folds into the scale unless softcap must see true logits
+    q = q_ref[0].astype(jnp.float32) * (
+        scale if softcap else scale * LOG2E
+    )  # [n_kv, group_p, hd]
 
     def wait_writeback():
         kout.wait()
@@ -288,15 +296,15 @@ def _decode_kernel(
             vs_t = jnp.swapaxes(sv[:, n_kv:2 * n_kv], 0, 1)
             s = s * ks_t[:, None, :]
         if softcap:
-            s = jnp.tanh(s * (1.0 / softcap)) * softcap
+            s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
         pos = ci * span + jax.lax.broadcasted_iota(jnp.int32, (1, 1, span), 2)
         mask = pos < kv_len
         w = window_ref[0]
         mask = mask & (((kv_len - 1 - pos) < w) | (w <= 0))
         s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
         l = l * alpha + jnp.sum(p, axis=2, keepdims=True)
         if quantized:
             # v's scale folds into p before the PV dot ((p·s)·v == p·(s·v))
@@ -311,7 +319,8 @@ def _decode_kernel(
         # sink logit seeds the running max/denominator: softmax over
         # [scores, sink] with the sink's value contribution discarded —
         # exactly sdpa's concat-then-drop semantics in flash form
-        m0 = sinks_ref[...].astype(jnp.float32)[:, :, None]
+        # (log2 domain, like the folded scores)
+        m0 = sinks_ref[...].astype(jnp.float32)[:, :, None] * LOG2E
         l0 = jnp.ones((n_kv, group_p, 1), jnp.float32)
     else:
         m0 = jnp.full((n_kv, group_p, 1), NEG_INF, jnp.float32)
@@ -775,7 +784,7 @@ def _prefill_kernel(
     # m/l [1, rows] — so no per-chunk relayouts are needed anywhere: the QK
     # and PV dots contract on axis 0/1 directly and every broadcast aligns.
     if has_sinks:
-        sink = sinks_ref[...].astype(jnp.float32)  # [n_kv, group]
+        sink = sinks_ref[...].astype(jnp.float32) * LOG2E  # log2 domain
         for h in range(n_kv):
             m_ref[h] = jnp.broadcast_to(
                 sink[h][:, None], (group, q_tile)).reshape(1, rows)
@@ -785,8 +794,9 @@ def _prefill_kernel(
         l_ref[...] = jnp.zeros((n_kv, 1, rows), jnp.float32)
     acc_ref[...] = jnp.zeros((n_kv, hd, rows), jnp.float32)
     q_in.wait()
-    q_scr[...] = (  # pre-scale in place
-        q_scr[...].astype(jnp.float32) * scale).astype(q_scr.dtype)
+    q_scr[...] = (  # pre-scale in place (log2e folded unless softcap)
+        q_scr[...].astype(jnp.float32)
+        * (scale if softcap else scale * LOG2E)).astype(q_scr.dtype)
 
     # query positions: row r of the flattened [group, q_tile] tile is token
     # ta + (r mod q_tile), at absolute position ctx + that
@@ -806,12 +816,12 @@ def _prefill_kernel(
         if ks_col is not None:
             s = s * ks_col
         if softcap:
-            s = jnp.tanh(s * (1.0 / softcap)) * softcap
+            s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
         s = jnp.where(mask, s, NEG_INF)
         m_old = m_ref[h]  # [1, rows]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=0, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m_old - m_new)
+        p = jnp.exp2(s - m_new)
         l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=0, keepdims=True)
         m_ref[h] = m_new
         if vs_col is not None:
